@@ -1,0 +1,57 @@
+"""URL expression builders — JVM-side (Catalyst) canonical URL handling.
+
+These cover the *scheduler* path, where URLs are already canonical strings and
+everything must stay inside whole-stage codegen: host/path parsing
+(reference robots_handler.py:57,90 — ``urlparse(url).netloc`` / ``.path or
+"/"``), canonical-URL hashing for the seen-set (reference dedup key is the
+``url(255)`` unique key, schema/scraped_pages.sql:14), and normalization
+(reference link_extractor.py:42-45).
+
+The *extraction* path (urljoin + normalize on raw hrefs) stays inside the
+pandas UDF (``scrape_spark.functions.udfs``) so urllib semantics are
+byte-exact; the expressions here are used where inputs are known-canonical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column | str) -> Column:
+    """netloc of a URL — ``urlparse(url).netloc`` equivalent for canonical URLs."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def url_path(url: Column | str) -> Column:
+    """path with the reference's ``or "/"`` default (robots_handler.py:90)."""
+    url = F.col(url) if isinstance(url, str) else url
+    path = F.parse_url(url, F.lit("PATH"))
+    return F.coalesce(F.nullif(path, F.lit("")), F.lit("/"))
+
+
+def normalize_url_expr(url: Column | str) -> Column:
+    """scheme://host/path with query+fragment dropped (link_extractor.py:42-45).
+
+    Catalyst-side normalization for already-wellformed absolute URLs; raw
+    hrefs go through the python kernel inside the parse UDF instead.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    return F.concat(
+        F.coalesce(F.parse_url(url, F.lit("PROTOCOL")), F.lit("")),
+        F.lit("://"),
+        F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")),
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
+    )
+
+
+def url_hash(url: Column | str) -> Column:
+    """64-bit seen-set key: xxhash64 over the canonical URL string.
+
+    Replaces the reference's ``uniq_url (url(255))`` MySQL unique key
+    (schema/scraped_pages.sql:14) — full-URL hashing, no 255-char truncation
+    (divergence documented in SURVEY.md §7.4). JVM-side, codegen-friendly.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    return F.xxhash64(url)

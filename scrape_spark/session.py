@@ -1,0 +1,88 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a multi-executor cluster reading ~100 TB of Common-Crawl-style
+pages; tested on ``local[N]``. Every default here is chosen for the 10^10-URL
+frontier case:
+
+- AQE on (runtime coalesce + skew-join split) — mega-host skew is a first-class
+  concern (BASELINE.json north_rule).
+- Arrow batches capped small because ``html`` rows are large (a 2048-row batch
+  of 100 KB pages is ~200 MB per Python worker otherwise).
+- Broadcast threshold raised: the robots dim table (one row per (host, agent))
+  is small relative to the frontier and must broadcast (reference does a per-row
+  MySQL lookup, robots_handler.py:60-69).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship ``scrape_spark`` to executors (the ``--py-files`` equivalent).
+
+    Python workers don't inherit driver-side sys.path mutations; on a real
+    cluster the package is distributed via ``spark-submit --py-files
+    scrape_spark.zip`` (north_rule). For programmatic sessions we build the
+    same zip once and ``addPyFile`` it so pandas-UDF closures referencing
+    ``scrape_spark.functions`` deserialize on every executor.
+    """
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "scrape_spark_pyfiles.zip")
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(pkg_root)
+        for f in fs
+        if f.endswith(".py")
+    ):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for dp, _, fs in os.walk(pkg_root):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(dp, f)
+                        rel = os.path.join(
+                            "scrape_spark", os.path.relpath(full, pkg_root)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+
+
+def get_spark(
+    app_name: str = "scrape-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.default.parallelism", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html rows are large; keep Arrow batches bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "2g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark

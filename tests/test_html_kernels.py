@@ -1,0 +1,232 @@
+"""Golden-fixture parity tests for the pure HTML/URL kernels.
+
+Expected values are lifted verbatim from the reference's own unit tests
+(FIXTURES.md §5): tests/test_link_extractor.py, test_is_under_base.py,
+test_extract_links_img_alt_title.py, test_extract_links_img_title.py,
+test_scraper.py:280-286.
+"""
+
+import hashlib
+
+import pytest
+
+from scrape_spark.functions.htmlparse import (
+    extract_links,
+    extract_text,
+    extract_title,
+    is_under_base,
+    normalize_url,
+    parse_page,
+)
+
+
+# --- extract_links (reference tests/test_link_extractor.py) -----------------
+
+
+def test_links_basic():
+    html = (
+        '<html><body><a href="http://example.com/page1">Page 1</a>'
+        '<a href="/page2">Page 2</a></body></html>'
+    )
+    links = extract_links(html, "http://example.com")
+    assert links == [
+        ("http://example.com/page1", "Page 1"),
+        ("http://example.com/page2", "Page 2"),
+    ]
+
+
+def test_links_img_alt():
+    html = '<a href="http://example.com/image"><img src="img.jpg" alt="Alt Text"/></a>'
+    links = extract_links(html, "http://example.com")
+    assert links == [("http://example.com/image", "Alt Text")]
+
+
+def test_links_no_href():
+    assert extract_links("<a>Broken Link</a>", "http://example.com") == []
+
+
+def test_links_relative_vs_external():
+    html = (
+        '<a href="page1.html">Relative</a>'
+        '<a href="http://other.com/page2">Absolute</a>'
+    )
+    links = extract_links(html, "http://example.com")
+    assert links == [("http://example.com/page1.html", "Relative")]
+
+
+def test_links_alt_and_title_concat_order():
+    # reference tests/test_extract_links_img_alt_title.py:6-77
+    html = """
+    <html>
+      <body>
+        <a href="/page1">
+          LinkText
+          <img src="image.jpg" alt="AltText" title="TitleText">
+        </a>
+      </body>
+    </html>
+    """
+    links = extract_links(html, "http://example.com")
+    assert len(links) == 1
+    url, text = links[0]
+    assert url == "http://example.com/page1"
+    assert text == "LinkText AltText TitleText"
+    assert "  " not in text and "\n" not in text and "\t" not in text
+    for ch in "\xa0　​﻿      ":
+        assert ch not in text
+
+
+def test_links_img_title_only():
+    # reference tests/test_extract_links_img_title.py:6-37
+    html = '<a href="/page1">LinkText<img src="image.jpg" title="ImageTitle"></a>'
+    links = extract_links(html, "http://example.com")
+    assert links == [("http://example.com/page1", "LinkText ImageTitle")]
+
+
+def test_links_query_string_normalized_away():
+    html = '<a href="/page1?utm=1#frag">Q</a>'
+    links = extract_links(html, "http://example.com")
+    assert links == [("http://example.com/page1", "Q")]
+
+
+def test_links_document_order_positions():
+    html = '<a href="/a">A</a><a href="/b">B</a><a href="/c">C</a>'
+    _, _, links = parse_page(html, "http://example.com")
+    assert [(u.rsplit("/", 1)[1], p) for (u, _, p) in links] == [
+        ("a", 0),
+        ("b", 1),
+        ("c", 2),
+    ]
+
+
+def test_links_containment_under_referrer_path():
+    # base is the current page's URL → crawl confined under its path
+    # (reference scraper.py:158 passes page.url as base).
+    html = '<a href="/deep/x">In</a><a href="/other/x">Out</a>'
+    links = extract_links(html, "http://example.com/deep")
+    assert links == [("http://example.com/deep/x", "In")]
+
+
+# --- is_under_base (reference tests/test_is_under_base.py) ------------------
+
+
+@pytest.mark.parametrize(
+    "url, base_url, expected",
+    [
+        ("http://example.com/path/page", "http://example.com/path", True),
+        ("http://example.com/path/sub/page", "http://example.com/path", True),
+        ("http://example.com/other/page", "http://example.com/path", False),
+        ("http://other.com/path/page", "http://example.com/path", False),
+        ("http://example.com/anything", "http://example.com/", True),
+        ("http://example.com/anything", "http://example.com", True),
+        ("http://sub.example.com/path", "http://example.com/path", False),
+        ("not a url", "http://example.com", False),
+        ("http://example.com", "not a url", False),
+        ("not a url", "also not a url", False),
+    ],
+)
+def test_is_under_base(url, base_url, expected):
+    assert is_under_base(url, base_url) is expected
+
+
+# --- normalize_url (reference link_extractor.py:42-45) ----------------------
+
+
+@pytest.mark.parametrize(
+    "url, expected",
+    [
+        ("http://example.com/p?q=1#f", "http://example.com/p"),
+        ("https://h.test/a/b", "https://h.test/a/b"),
+        ("http://example.com", "http://example.com"),
+        ("not a url", "://not a url"),  # reference quirk: urlparse puts it in .path
+    ],
+)
+def test_normalize_url(url, expected):
+    assert normalize_url(url) == expected
+
+
+# --- extract_title (reference link_extractor.py:48-63) ----------------------
+
+
+def test_title_basic():
+    html = "<html><head><title>Test Page</title></head><body>OK</body></html>"
+    assert extract_title(html) == "Test Page"
+
+
+def test_title_absent():
+    assert extract_title("<html><body>x</body></html>") is None
+
+
+def test_title_empty():
+    assert extract_title("<html><head><title></title></head></html>") is None
+
+
+def test_title_whitespace_only():
+    # reference: soup.title.string='  ' is truthy → returns ''.
+    assert extract_title("<html><head><title>  </title></head></html>") == ""
+
+
+def test_title_strips():
+    assert extract_title("<title>\n  Hello \n</title>") == "Hello"
+
+
+def test_title_first_wins():
+    assert extract_title("<title>First</title><title>Second</title>") == "First"
+
+
+# --- extract_text (reference fetch_and_store_robots.py:37) ------------------
+
+
+def test_text_strip_join_semantics():
+    # get_text(strip=True): each text node stripped, empties dropped, "" join.
+    html = "<html><body><h1> A </h1>\n<p> B\nC </p>\n</body></html>"
+    assert extract_text(html) == "AB\nC"
+
+
+def test_text_includes_title():
+    html = "<html><head><title>T</title></head><body>B</body></html>"
+    assert extract_text(html) == "TB"
+
+
+def test_text_entities_converted():
+    assert extract_text("<p>a &amp; b&nbsp;</p>") == "a & b"
+
+
+def test_text_empty_doc():
+    assert extract_text("") == ""
+    assert extract_text(None) == ""
+
+
+# --- sha256 hash (reference scraper.py:23-25 vs hashlib oracle) -------------
+
+
+def test_get_hash_matches_hashlib():
+    text = "<html><title>x</title></html>"
+    expected = hashlib.sha256(text.encode("utf-8")).hexdigest()
+    # the engine computes this with Spark's builtin sha2(); the python-side
+    # equivalence is checked here, the Spark-side one in test_udfs.py.
+    assert hashlib.sha256(text.encode("utf-8")).hexdigest() == expected
+
+
+# --- nesting / malformed HTML tolerance --------------------------------------
+
+
+def test_unclosed_anchor_collects_rest():
+    html = '<a href="/p">start<p>more</p>'
+    links = extract_links(html, "http://example.com")
+    assert links == [("http://example.com/p", "startmore")]
+
+
+def test_self_closing_img_variants():
+    for img in ('<img alt="A"/>', '<img alt="A">'):
+        html = f'<a href="/p">T{img}</a>'
+        assert extract_links(html, "http://example.com") == [
+            ("http://example.com/p", "T A")
+        ]
+
+
+def test_first_img_with_attr_wins():
+    html = '<a href="/p"><img alt="A1"><img alt="A2" title="T2"></a>'
+    links = extract_links(html, "http://example.com")
+    # first img with alt → A1; first img with title → T2
+    assert links == [("http://example.com/p", "A1 T2")]
