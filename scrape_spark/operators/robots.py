@@ -1,0 +1,217 @@
+"""robots.txt rules dim table + allow/deny predicate + TTL refresh.
+
+The reference caches per-domain rules in MySQL with a 24 h TTL
+(robots_handler.py:24-25, schema/robots_rules.sql) and probes them one row at
+a time per URL (robots_handler.py:60-69). The engine keeps the same logical
+table — ``(host, user_agent, disallow, allow, crawl_delay, fetched_at,
+expires_at)`` with newline-joined path-prefix patterns — as a small dim
+DataFrame that BROADCAST-joins onto the frontier batch.
+
+Predicate parity (robots_handler.py:90-104, deny checked BEFORE allow):
+
+- any non-empty disallow pattern that path-prefix-matches → denied, delay 0
+- else → allowed with delay = crawl_delay or 0  (the allow list only matters
+  in the reference to short-circuit to the same allowed result, so the
+  engine's boolean is simply NOT deny; allow patterns are kept for parity
+  and future per-path precedence modes)
+- no rules row (or expired) → allowed, delay 0 (robots_handler.py:83-84)
+
+Refresh: expired/missing hosts are a distinct host list; fetching is
+simulated by joining a robots_txt source table (per graft spec the "network"
+is pre-materialized) and parsing with the stdlib RobotFileParser inside
+``applyInPandas`` over the tiny distinct-host set.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from io import StringIO
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TTL_HOURS = 24  # robots_handler.py:25
+
+ROBOTS_SCHEMA = (
+    "host string, user_agent string, disallow string, allow string, "
+    "crawl_delay int, fetched_at timestamp, expires_at timestamp"
+)
+
+
+def valid_rules(robots: DataFrame, now: Column | None = None) -> DataFrame:
+    """TTL predicate: rules usable iff expires_at > now (robots_handler.py:64)."""
+    now = now if now is not None else F.current_timestamp()
+    return robots.where(F.col("expires_at") > now)
+
+
+def robots_denied_expr(
+    path: Column, disallow: Column, allow: Column | None = None
+) -> Column:
+    """True iff any non-empty disallow pattern prefix-matches the path.
+
+    Deny-before-allow precedence (robots_handler.py:92-96): a disallow match
+    wins regardless of allow patterns; with no disallow match the request is
+    allowed either way, so allow patterns don't change the boolean.
+    NULL disallow (no rules / no patterns) → not denied.
+    """
+    return F.coalesce(
+        F.exists(
+            F.split(disallow, "\n"),
+            lambda p: (p != F.lit("")) & path.startswith(p),
+        ),
+        F.lit(False),
+    )
+
+
+def join_robots(
+    frontier: DataFrame,
+    robots: DataFrame,
+    user_agent: str = "MyScraperBot",
+    host_col: str = "host",
+    path_col: str = "path",
+    now: Column | None = None,
+) -> DataFrame:
+    """Broadcast-join valid rules onto the batch and evaluate the predicate.
+
+    Adds ``robots_denied`` boolean and ``crawl_delay`` int (0 when absent —
+    robots_handler.py:102-104 ``or 0``). The dim side is deduped per host and
+    broadcast: replaces the reference's per-URL MySQL point lookup D2.
+    """
+    dim = (
+        valid_rules(robots, now)
+        .where(F.col("user_agent") == user_agent)
+        .select(
+            F.col("host").alias(host_col),
+            F.col("disallow").alias("_r_disallow"),
+            F.col("allow").alias("_r_allow"),
+            F.col("crawl_delay").alias("_r_delay"),
+        )
+        .dropDuplicates([host_col])
+    )
+    joined = frontier.join(F.broadcast(dim), on=host_col, how="left")
+    denied = robots_denied_expr(
+        F.col(path_col), F.col("_r_disallow"), F.col("_r_allow")
+    )
+    return (
+        joined.withColumn("robots_denied", denied)
+        .withColumn(
+            "crawl_delay",
+            F.when(F.col("robots_denied"), F.lit(0)).otherwise(
+                F.coalesce(F.col("_r_delay"), F.lit(0))
+            ),
+        )
+        .drop("_r_disallow", "_r_allow", "_r_delay")
+    )
+
+
+# -- refresh path -------------------------------------------------------------
+
+
+def _parse_robots_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Parse raw robots.txt bodies with the stdlib RobotFileParser.
+
+    Mirrors the reference's storage decision (robots_handler.py:20-22): it
+    persists only blanket '*' rules when disallow_all/allow_all is set, plus
+    crawl_delay. The engine additionally persists the per-path prefixes for
+    the configured agent (superset — the reference's own check_robots_rules
+    expects path prefixes in these columns, robots_handler.py:93-101).
+    """
+    from urllib.robotparser import RobotFileParser
+
+    out = []
+    now = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
+    expires = now + _dt.timedelta(hours=TTL_HOURS)
+    for host, agent, body in zip(
+        pdf["host"], pdf["user_agent"], pdf["robots_txt"]
+    ):
+        rp = RobotFileParser()
+        disallow_pats: list[str] = []
+        allow_pats: list[str] = []
+        delay = None
+        if body:
+            rp.parse(StringIO(body).read().splitlines())
+            if getattr(rp, "disallow_all", False):
+                disallow_pats = ["*"]
+            if getattr(rp, "allow_all", False):
+                allow_pats = ["*"]
+            try:
+                delay = rp.crawl_delay(agent)
+            except Exception:
+                delay = None
+            # per-path prefixes for this agent (engine extension, see doc)
+            entry = getattr(rp, "default_entry", None) or getattr(
+                rp, "_default_entry", None
+            )
+            for e in getattr(rp, "entries", []):
+                if e.applies_to(agent):
+                    entry = e
+                    break
+            if entry is not None:
+                for line in entry.rulelines:
+                    pat = line.path
+                    if pat in ("", "*"):
+                        continue
+                    (allow_pats if line.allowance else disallow_pats).append(pat)
+        out.append(
+            (
+                host,
+                agent,
+                "\n".join(disallow_pats),
+                "\n".join(allow_pats),
+                int(delay) if delay is not None else None,
+                now,
+                expires,
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "host",
+            "user_agent",
+            "disallow",
+            "allow",
+            "crawl_delay",
+            "fetched_at",
+            "expires_at",
+        ],
+    )
+
+
+def refresh_robots(
+    robots: DataFrame,
+    needed_hosts: DataFrame,
+    robots_txt_source: DataFrame,
+    user_agent: str = "MyScraperBot",
+    now: Column | None = None,
+) -> DataFrame:
+    """Refresh rules for hosts that are missing or expired → new dim table.
+
+    ``needed_hosts``: one column ``host`` (the batch's distinct hosts).
+    ``robots_txt_source``: (host, robots_txt string) — the simulated network.
+    Hosts absent from the source keep no row (reference: fetch failure stores
+    nothing, fetch_and_store_robots skips DB on URLError,
+    robots_handler.py:42-44 → default allow downstream).
+
+    Upsert = anti-join old rows out, union parsed new rows (Iceberg MERGE in
+    production, keyed (host, user_agent) — robots_handler.py:27-39).
+    """
+    stale = (
+        needed_hosts.select("host")
+        .distinct()
+        .join(
+            valid_rules(robots, now).where(F.col("user_agent") == user_agent),
+            on="host",
+            how="left_anti",
+        )
+    )
+    fetched = stale.join(robots_txt_source, on="host", how="inner").withColumn(
+        "user_agent", F.lit(user_agent)
+    )
+    parsed = fetched.groupBy("host").applyInPandas(
+        _parse_robots_pdf, schema=ROBOTS_SCHEMA
+    )
+    keep = robots.join(
+        parsed.select("host", "user_agent"), on=["host", "user_agent"], how="left_anti"
+    )
+    return keep.unionByName(parsed)

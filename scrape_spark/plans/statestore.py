@@ -1,0 +1,137 @@
+"""Snapshot-versioned table store — Iceberg-style state for the crawl.
+
+In production this layer IS Apache Iceberg: each crawl round ends in one
+``MERGE INTO``/append per table and one snapshot commit, giving resumable
+state with per-snapshot lineage (BASELINE.json north_rule). The Iceberg
+runtime jars are not available in this sandbox, so the same contract is
+implemented directly over parquet:
+
+- every write is copy-on-write into a fresh ``snap_<n>`` directory,
+- a JSON manifest records the snapshot chain per table with row counts and
+  caller-supplied lineage metadata (the per-round fetch/dedup/extract metrics),
+- reads always go through the manifest's *current* snapshot, so readers are
+  isolated from in-flight writes and any snapshot can be rolled back to.
+
+This replaces the reference's mutable MySQL tables (schema/scraped_pages.sql,
+schema/robots_rules.sql) where state transitions are row-at-a-time UPDATEs
+(models.py:156-171); here a round's state transition is one bulk dataframe
+write + an atomic manifest swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    """Versioned parquet tables under one root directory."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+    def _load(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"tables": {}}
+
+    def _save(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic commit
+
+    # -- writes ------------------------------------------------------------
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Write ``df`` as the table's next snapshot; returns the snapshot id.
+
+        Copy-on-write: the previous snapshot stays on disk until pruned, so a
+        failed write never corrupts current state (crash before the manifest
+        swap ⇒ the old snapshot is still current — this is the resume
+        guarantee exercised by tests/test_resume.py).
+        """
+        manifest = self._load()
+        tbl = manifest["tables"].setdefault(name, {"snapshots": [], "current": None})
+        snap_id = (tbl["snapshots"][-1]["id"] + 1) if tbl["snapshots"] else 0
+        path = os.path.join(self.root, name, f"snap_{snap_id:05d}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        rows = self.spark.read.parquet(path).count()
+        tbl["snapshots"].append(
+            {
+                "id": snap_id,
+                "path": path,
+                "rows": rows,
+                "wall_time": time.time(),
+                "meta": meta or {},
+            }
+        )
+        tbl["current"] = snap_id
+        self._save(manifest)
+        return snap_id
+
+    # -- reads -------------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        tbl = self._manifest_path and self._load()["tables"].get(name)
+        return bool(tbl and tbl["current"] is not None)
+
+    def current_snapshot(self, name: str) -> dict | None:
+        tbl = self._load()["tables"].get(name)
+        if not tbl or tbl["current"] is None:
+            return None
+        return next(s for s in tbl["snapshots"] if s["id"] == tbl["current"])
+
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        tbl = self._load()["tables"].get(name)
+        if not tbl:
+            raise KeyError(f"no such table: {name}")
+        sid = tbl["current"] if snapshot_id is None else snapshot_id
+        snap = next(s for s in tbl["snapshots"] if s["id"] == sid)
+        return self.spark.read.parquet(snap["path"])
+
+    def lineage(self, name: str) -> list[dict]:
+        """Snapshot chain with per-snapshot metadata (round metrics)."""
+        tbl = self._load()["tables"].get(name)
+        return list(tbl["snapshots"]) if tbl else []
+
+    # -- admin -------------------------------------------------------------
+    def rollback(self, name: str, snapshot_id: int) -> None:
+        manifest = self._load()
+        tbl = manifest["tables"][name]
+        if not any(s["id"] == snapshot_id for s in tbl["snapshots"]):
+            raise KeyError(f"{name}: no snapshot {snapshot_id}")
+        tbl["current"] = snapshot_id
+        self._save(manifest)
+
+    def prune(self, name: str, keep_last: int = 2) -> None:
+        """Drop all but the newest ``keep_last`` snapshots' data files."""
+        manifest = self._load()
+        tbl = manifest["tables"].get(name)
+        if not tbl:
+            return
+        keep = {s["id"] for s in tbl["snapshots"][-keep_last:]} | {tbl["current"]}
+        kept = []
+        for s in tbl["snapshots"]:
+            if s["id"] in keep:
+                kept.append(s)
+            else:
+                shutil.rmtree(s["path"], ignore_errors=True)
+        tbl["snapshots"] = kept
+        self._save(manifest)

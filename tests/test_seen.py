@@ -1,0 +1,78 @@
+"""SeenSet: exact dedup semantics with the bloom prefilter in the path."""
+
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.seen import SeenSet
+from scrape_spark.plans.statestore import SnapshotStore
+
+
+def _mk(spark, tmp_path, **kw):
+    store = SnapshotStore(spark, str(tmp_path / "state"))
+    return SeenSet(store, n_buckets=8, bucket_capacity=1 << 12, **kw)
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_filter_new_on_empty_set_passes_all(spark, tmp_path):
+    seen = _mk(spark, tmp_path)
+    cand = _urls(spark, ["http://a.test/1", "http://a.test/2"])
+    assert seen.filter_new(cand).count() == 2
+
+
+def test_add_then_filter(spark, tmp_path):
+    seen = _mk(spark, tmp_path)
+    seen.add(_urls(spark, [f"http://h.test/p/{i}" for i in range(500)]))
+    cand = _urls(
+        spark,
+        [f"http://h.test/p/{i}" for i in range(450, 550)],  # 50 dup, 50 new
+    )
+    out = seen.filter_new(cand)
+    urls = {r["url"] for r in out.collect()}
+    assert urls == {f"http://h.test/p/{i}" for i in range(500, 550)}
+    # schema untouched for downstream
+    assert out.columns == ["url"]
+
+
+def test_incremental_add_unions(spark, tmp_path):
+    seen = _mk(spark, tmp_path)
+    seen.add(_urls(spark, ["http://h.test/a"]))
+    seen.add(_urls(spark, ["http://h.test/b"]))
+    out = seen.filter_new(
+        _urls(spark, ["http://h.test/a", "http://h.test/b", "http://h.test/c"])
+    )
+    assert {r["url"] for r in out.collect()} == {"http://h.test/c"}
+    # seen table content is the union, deduped
+    assert seen.read().count() == 2
+
+
+def test_extra_columns_survive(spark, tmp_path):
+    seen = _mk(spark, tmp_path)
+    seen.add(_urls(spark, ["http://h.test/a"]))
+    cand = spark.createDataFrame(
+        [("http://h.test/a", 1), ("http://h.test/x", 2)], "url string, depth int"
+    )
+    out = seen.filter_new(cand)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["depth"] == 2
+    assert set(out.columns) == {"url", "depth"}
+
+
+def test_exact_on_url_mode(spark, tmp_path):
+    seen = _mk(spark, tmp_path)
+    seen.add(_urls(spark, ["http://h.test/a"]))
+    out = seen.filter_new(_urls(spark, ["http://h.test/a", "http://h.test/b"]),
+                          exact_on_url=True)
+    assert {r["url"] for r in out.collect()} == {"http://h.test/b"}
+
+
+def test_bloom_prefilter_routes_most_rows_past_join(spark, tmp_path):
+    """Sanity: fresh urls are 'definitely new' (bloom), dups are 'maybe'."""
+    seen = _mk(spark, tmp_path)
+    seen.add(_urls(spark, [f"http://h.test/{i}" for i in range(1000)]))
+    # internal probe: reuse the machinery via filter_new and check counts only
+    fresh = _urls(spark, [f"http://new.test/{i}" for i in range(1000)])
+    assert seen.filter_new(fresh).count() == 1000
+    dups = _urls(spark, [f"http://h.test/{i}" for i in range(1000)])
+    assert seen.filter_new(dups).count() == 0
