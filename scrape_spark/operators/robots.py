@@ -108,62 +108,81 @@ def join_robots(
 # -- refresh path -------------------------------------------------------------
 
 
-def _parse_robots_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Parse raw robots.txt bodies with the stdlib RobotFileParser.
+def parse_robots_body(body: str | None, agent: str) -> tuple[str, str, int | None]:
+    """Pure kernel: robots.txt body → (disallow, allow, crawl_delay).
 
-    Mirrors the reference's storage decision (robots_handler.py:20-22): it
-    persists only blanket '*' rules when disallow_all/allow_all is set, plus
-    crawl_delay. The engine additionally persists the per-path prefixes for
-    the configured agent (superset — the reference's own check_robots_rules
-    expects path prefixes in these columns, robots_handler.py:93-101).
+    Stdlib RobotFileParser, shared by the Spark refresh path and the
+    in-memory reference oracle (tests). Mirrors the reference's storage
+    decision (robots_handler.py:20-22): blanket '*' when
+    disallow_all/allow_all, plus crawl_delay; the engine additionally
+    persists the per-path prefixes for the configured agent (superset — the
+    reference's own check_robots_rules expects path prefixes in these
+    columns, robots_handler.py:93-101). Patterns newline-joined.
     """
     from urllib.robotparser import RobotFileParser
 
+    disallow_pats: list[str] = []
+    allow_pats: list[str] = []
+    delay = None
+    if body:
+        rp = RobotFileParser()
+        rp.parse(StringIO(body).read().splitlines())
+        if getattr(rp, "disallow_all", False):
+            disallow_pats = ["*"]
+        if getattr(rp, "allow_all", False):
+            allow_pats = ["*"]
+        try:
+            delay = rp.crawl_delay(agent)
+        except Exception:
+            delay = None
+        entry = getattr(rp, "default_entry", None) or getattr(
+            rp, "_default_entry", None
+        )
+        for e in getattr(rp, "entries", []):
+            if e.applies_to(agent):
+                entry = e
+                break
+        if entry is not None:
+            for line in entry.rulelines:
+                pat = line.path
+                if pat in ("", "*"):
+                    continue
+                (allow_pats if line.allowance else disallow_pats).append(pat)
+    return (
+        "\n".join(disallow_pats),
+        "\n".join(allow_pats),
+        int(delay) if delay is not None else None,
+    )
+
+
+def check_rules(
+    path: str, disallow: str | None, allow: str | None, crawl_delay: int | None
+) -> tuple[bool, int]:
+    """Pure predicate: (allowed, delay) — reference robots_handler.py:90-104.
+
+    Disallow checked BEFORE allow; any non-empty prefix match denies with
+    delay 0; otherwise allowed with crawl_delay or 0. Used by the oracle;
+    the Spark path evaluates the same logic as a Catalyst expression
+    (``robots_denied_expr``).
+    """
+    if disallow:
+        for pattern in disallow.split("\n"):
+            if pattern and path.startswith(pattern):
+                return False, 0
+    if allow:
+        for pattern in allow.split("\n"):
+            if pattern and path.startswith(pattern):
+                return True, crawl_delay or 0
+    return True, crawl_delay or 0
+
+
+def _parse_robots_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     out = []
     now = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
     expires = now + _dt.timedelta(hours=TTL_HOURS)
-    for host, agent, body in zip(
-        pdf["host"], pdf["user_agent"], pdf["robots_txt"]
-    ):
-        rp = RobotFileParser()
-        disallow_pats: list[str] = []
-        allow_pats: list[str] = []
-        delay = None
-        if body:
-            rp.parse(StringIO(body).read().splitlines())
-            if getattr(rp, "disallow_all", False):
-                disallow_pats = ["*"]
-            if getattr(rp, "allow_all", False):
-                allow_pats = ["*"]
-            try:
-                delay = rp.crawl_delay(agent)
-            except Exception:
-                delay = None
-            # per-path prefixes for this agent (engine extension, see doc)
-            entry = getattr(rp, "default_entry", None) or getattr(
-                rp, "_default_entry", None
-            )
-            for e in getattr(rp, "entries", []):
-                if e.applies_to(agent):
-                    entry = e
-                    break
-            if entry is not None:
-                for line in entry.rulelines:
-                    pat = line.path
-                    if pat in ("", "*"):
-                        continue
-                    (allow_pats if line.allowance else disallow_pats).append(pat)
-        out.append(
-            (
-                host,
-                agent,
-                "\n".join(disallow_pats),
-                "\n".join(allow_pats),
-                int(delay) if delay is not None else None,
-                now,
-                expires,
-            )
-        )
+    for host, agent, body in zip(pdf["host"], pdf["user_agent"], pdf["robots_txt"]):
+        disallow, allow, delay = parse_robots_body(body, agent)
+        out.append((host, agent, disallow, allow, delay, now, expires))
     return pd.DataFrame(
         out,
         columns=[
