@@ -1,0 +1,281 @@
+"""Text-analysis kernels for the training-data pipeline — dialect-templated.
+
+Large-scale training-data preparation needs text statistics (token counts,
+quality scores), document fingerprints (rolling hash), MinHash/SimHash
+signatures for near-dup detection, and a language-ID heuristic. The reference
+crawler stores raw text only (fetch_and_store_robots.py:37 is its single
+HTML→text op); everything here is an engine extension over the `documents`
+table shape (doc_id, text, lang, source, n_chars).
+
+Design rule: every kernel is a **pure SQL expression built from a dialect
+table**, so the *identical formula* compiles to both Spark SQL (the engine)
+and DuckDB SQL (the correctness oracle). That keeps the hot path 100%
+JVM-side (whole-stage codegen over higher-order array functions — zero Python
+in these kernels) and makes every operator oracle-checkable bit-for-bit:
+no floating hashes, all arithmetic is exact int64 mod-prime.
+
+Scale notes: all kernels are per-row map expressions — no shuffle, no UDF
+serialization, trivially parallel at 100 TB. MinHash/SimHash costs are
+bounded by SHINGLE_WORDS/SIMHASH_WORDS caps, not document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime — classic Karp-Rabin modulus; keeps a*x+b within int64.
+HASH_P = 2_147_483_647
+# deterministic affine-hash constants for the MinHash family h_i(x)=(A_i*x+B_i)%P
+MINHASH_A = [769_121, 933_199, 180_511, 421_847, 654_911, 302_873, 508_229, 717_419]
+MINHASH_B = [12_289, 524_287, 98_317, 331_777, 70_657, 786_433, 214_129, 402_653]
+N_MINHASH = len(MINHASH_A)
+
+SHINGLE_WORDS = 32  # shingling looks at the first 32 tokens (cost cap)
+SHINGLE_K = 3  # word 3-grams
+SIMHASH_WORDS = 32
+SIMHASH_BITS = 16
+FINGERPRINT_CHARS = 64
+
+# ---------------------------------------------------------------------------
+# dialect tables: the SAME template strings compile to Spark SQL and DuckDB SQL
+# ---------------------------------------------------------------------------
+SPARK_DIALECT = {
+    "chr": "ascii({x})",  # code point of 1-char string
+    "split": "split({s}, ' ')",
+    "transform": "transform({arr}, {lam})",
+    "filter": "filter({arr}, {lam})",
+    "fold0": "aggregate({arr}, CAST(0 AS BIGINT), {lam})",  # fold with init 0
+    "seq": "sequence({a}, {b})",  # inclusive range a..b (guard a<=b!)
+    "at": "element_at({arr}, {i})",  # 1-based index
+    "amin": "array_min({arr})",
+    "asum": "aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+    "size": "size({arr})",
+    "idiv": "({a} div {b})",
+    "empty_bigint_array": "CAST(array() AS array<bigint>)",
+}
+DUCK_DIALECT = {
+    "chr": "unicode({x})",
+    "split": "string_split({s}, ' ')",
+    "transform": "list_transform({arr}, {lam})",
+    "filter": "list_filter({arr}, {lam})",
+    "fold0": "list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), {lam})",
+    "seq": "range({a}, ({b}) + 1)",  # DuckDB range is end-exclusive
+    "at": "{arr}[{i}]",
+    "amin": "list_min({arr})",
+    "asum": "list_sum({arr})",
+    "size": "len({arr})",
+    "idiv": "({a} // {b})",
+    "empty_bigint_array": "CAST([] AS BIGINT[])",
+}
+
+
+def _char_fold(s: str, d: dict) -> str:
+    """Karp-Rabin rolling hash of a whole string: fold (acc*31+code) % P."""
+    codes = d["transform"].format(
+        arr=d["seq"].format(a="1", b=f"length({s})"),
+        lam="i -> CAST(" + d["chr"].format(x=f"substr({s}, i, 1)") + " AS BIGINT)",
+    )
+    return d["fold0"].format(arr=codes, lam=f"(acc, c) -> (acc * 31 + c) % {HASH_P}")
+
+
+def fingerprint_sql(text: str, d: dict, n_chars: int = FINGERPRINT_CHARS) -> str:
+    """Rolling-hash document fingerprint over the first ``n_chars`` chars."""
+    prefix = f"substr({text}, 1, {n_chars})"
+    return f"CASE WHEN length({text}) = 0 THEN 0 ELSE {_char_fold(prefix, d)} END"
+
+
+def words_sql(text: str, d: dict, cap: int | None = None) -> str:
+    w = d["split"].format(s=text)
+    if cap is None:
+        return w
+    # first `cap` words via index transform (portable slice)
+    n = f"least({d['size'].format(arr=w)}, {cap})"
+    return d["transform"].format(
+        arr=d["seq"].format(a="1", b=n),
+        lam=f"i -> {d['at'].format(arr=w, i='i')}",
+    )
+
+
+def word_hashes_sql(text: str, d: dict, cap: int = SHINGLE_WORDS) -> str:
+    """int64 hash per token (first ``cap`` tokens)."""
+    ws = words_sql(text, d, cap)
+    return d["transform"].format(arr=ws, lam=f"__w -> {_char_fold('__w', d)}")
+
+
+def shingle_hashes_sql(text: str, d: dict) -> str:
+    """Hashes of word 3-gram shingles over the first SHINGLE_WORDS tokens.
+
+    Shingle hash combines the three word hashes with base-1000003 mixing
+    (exact int64: values < P * 1e6 * 2 < 2^52). The word-hash array is bound
+    ONCE (``_bind``) — naive inlining recomputes all 32 char-folds for every
+    shingle element reference, a ~100× blowup measured on both engines.
+    """
+    wh = word_hashes_sql(text, d, SHINGLE_WORDS)
+    n = d["size"].format(arr="__wh")
+    a1 = d["at"].format(arr="__wh", i="i")
+    a2 = d["at"].format(arr="__wh", i="i + 1")
+    a3 = d["at"].format(arr="__wh", i="i + 2")
+    body = d["transform"].format(
+        arr=d["seq"].format(a="1", b=f"{n} - {SHINGLE_K - 1}"),
+        lam=f"i -> (({a1} * 1000003 + {a2}) % {HASH_P} * 1000003 + {a3}) % {HASH_P}",
+    )
+    # guard: fewer than K words -> empty array (sequence(1,0) is DESCENDING in
+    # Spark, so the guard is load-bearing, not cosmetic)
+    guarded = (
+        f"CASE WHEN {n} < {SHINGLE_K} THEN {d['empty_bigint_array']} "
+        f"ELSE {body} END"
+    )
+    return _bind(guarded, "__wh", wh, d)
+
+
+def minhash_sigs_array_sql(text: str, d: dict, k: int | None = None) -> str:
+    """All k MinHash components as one array, shingles computed ONCE per row."""
+    k = k or N_MINHASH
+    sh = shingle_hashes_sql(text, d)
+    sigs = []
+    for i in range(k):
+        mapped = d["transform"].format(
+            arr="__sh",
+            lam=f"s -> ({MINHASH_A[i]} * s + {MINHASH_B[i]}) % {HASH_P}",
+        )
+        sigs.append(f"coalesce({d['amin'].format(arr=f'({mapped})')}, -1)")
+    arr = (
+        "array(" + ", ".join(sigs) + ")"
+        if d is SPARK_DIALECT
+        else "[" + ", ".join(sigs) + "]"
+    )
+    return _bind(arr, "__sh", sh, d)
+
+
+def minhash_sig_sql(text: str, d: dict, i: int) -> str:
+    """i-th MinHash signature component: min over shingles of (A*sh+B)%P."""
+    sh = shingle_hashes_sql(text, d)
+    mapped = d["transform"].format(
+        arr="__sh",
+        lam=f"s -> ({MINHASH_A[i]} * s + {MINHASH_B[i]}) % {HASH_P}",
+    )
+    sig = f"coalesce({d['amin'].format(arr=f'({mapped})')}, -1)"
+    return _bind(sig, "__sh", sh, d)
+
+
+def simhash_sql(text: str, d: dict, bits: int = SIMHASH_BITS) -> str:
+    """SimHash over token hashes: per-bit majority vote packed into an int64."""
+    wh = word_hashes_sql(text, d, SIMHASH_WORDS)
+    terms = []
+    for b in range(bits):
+        pow2 = 1 << b
+        votes = d["transform"].format(
+            arr="__wh",
+            lam=f"h -> ({d['idiv'].format(a='h', b=pow2)} % 2) * 2 - 1",
+        )
+        s = d["asum"].format(arr=f"({votes})")
+        terms.append(f"(CASE WHEN ({s}) > 0 THEN {pow2} ELSE 0 END)")
+    expr = " + ".join(terms)
+    return _bind(expr, "__wh", wh, d)
+
+
+def _bind(expr: str, var: str, value: str, d: dict) -> str:
+    """Bind a repeated subexpression via a 1-element transform (portable CTE).
+
+    Avoids recomputing ``value`` per use site: wraps expr as
+    transform(array(value), var -> expr)[1].
+    """
+    arr = f"array({value})" if d is SPARK_DIALECT else f"[{value}]"
+    one = d["transform"].format(arr=arr, lam=f"{var} -> {expr}")
+    return d["at"].format(arr=f"({one})", i="1")
+
+
+# ---------------------------------------------------------------------------
+# token / quality / language statistics (plain portable SQL arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def token_count_sql(text: str, d: dict) -> str:
+    return d["size"].format(arr=d["split"].format(s=text))
+
+
+def occurrences_sql(text: str, needle: str) -> str:
+    """Occurrence count via length arithmetic — portable across both engines."""
+    nlen = len(needle)
+    lit = needle.replace("'", "''")
+    return f"((length({text}) - length(replace({text}, '{lit}', ''))) / {nlen})"
+
+
+# marker stopwords per language for the n-gram/stopword lang-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "a"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+}
+
+
+def lang_score_sql(text: str, lang: str) -> str:
+    padded = f"(' ' || {text} || ' ')"
+    terms = [occurrences_sql(padded, f" {m} ") for m in LANG_MARKERS[lang]]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lang_pred_sql(text: str) -> str:
+    """argmax over LANG_MARKERS scores; 'und' (undetermined) when all zero."""
+    scores = {lg: lang_score_sql(text, lg) for lg in LANG_MARKERS}
+    en, de, fr = scores["en"], scores["de"], scores["fr"]
+    return (
+        f"CASE WHEN {en} = 0 AND {de} = 0 AND {fr} = 0 THEN 'und' "
+        f"WHEN {en} >= {de} AND {en} >= {fr} THEN 'en' "
+        f"WHEN {de} >= {fr} THEN 'de' ELSE 'fr' END"
+    )
+
+
+def quality_score_sql(text: str, d: dict) -> str:
+    """Heuristic quality score in [0,1]: length, word-shape, punctuation mix.
+
+    score = 0.4*min(tokens/100,1) + 0.3*(1/(1+|avg_word_len-5|))
+          + 0.3*min(10*punct_ratio, 1)   — exact rational arithmetic, rounded
+    by the caller.
+    """
+    nt = f"CAST({token_count_sql(text, d)} AS DOUBLE)"
+    awl = f"(CAST(length({text}) AS DOUBLE) - ({nt} - 1)) / {nt}"
+    punct = (
+        f"({occurrences_sql(text, '.')} + {occurrences_sql(text, ',')}) "
+        f"/ CAST(length({text}) AS DOUBLE)"
+    )
+    # every literal CAST to DOUBLE: DuckDB otherwise parses 0.4 as DECIMAL and
+    # its decimal arithmetic diverges from Spark's IEEE doubles in the last ulp
+    def D(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    return (
+        f"({D('0.4')} * least({nt} / {D('100')}, {D('1')}) "
+        f"+ {D('0.3')} * ({D('1')} / ({D('1')} + abs(({awl}) - {D('5')}))) "
+        f"+ {D('0.3')} * least({D('10')} * ({punct}), {D('1')}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark Column wrappers (the engine-side API)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(text_col: str) -> Column:
+    return F.expr(fingerprint_sql(text_col, SPARK_DIALECT))
+
+
+def token_count(text_col: str) -> Column:
+    return F.expr(token_count_sql(text_col, SPARK_DIALECT))
+
+
+def minhash_signature(text_col: str, k: int = N_MINHASH) -> Column:
+    return F.expr(minhash_sigs_array_sql(text_col, SPARK_DIALECT, k))
+
+
+def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
+    return F.expr(simhash_sql(text_col, SPARK_DIALECT, bits))
+
+
+def quality_score(text_col: str) -> Column:
+    return F.expr(quality_score_sql(text_col, SPARK_DIALECT))
+
+
+def lang_pred(text_col: str) -> Column:
+    return F.expr(lang_pred_sql(text_col))

@@ -1,0 +1,139 @@
+"""Document-level deduplication operators for training-data pipelines.
+
+The reference dedups URLs only (unique key + per-link existence probe,
+models.py:207-216 / schema/scraped_pages.sql:14); content-level dedup is
+limited to *storing* a SHA-256 (scraper.py:23-25) that is never used as a
+key. A 100 TB corpus needs real content dedup, so the engine adds, as
+first-class operators over the ``documents`` table shape:
+
+- **exact dedup** — hash-groupBy on sha256(text), keep first doc per group
+  (one shuffle on the 64-hex hash; partial agg combines map-side).
+- **MinHash + LSH near-dup** — k=8 signature (textstats.minhash_signature,
+  pure JVM expression), banded into b single-row bands; candidate pairs =
+  self-join on (band_idx, band_value) buckets, then estimated Jaccard =
+  matching-signature fraction filter. Shuffle is on band values — only
+  near-colliding docs ever meet, never O(n²).
+- **SimHash** — 16-bit majority-vote fingerprint; near-dups = bucket join on
+  the fingerprint (hamming-0) or rotate-band variants.
+- **n-gram Jaccard** — exact word-3-gram Jaccard for candidate pairs
+  (verification stage after LSH, or direct on small pair lists).
+
+All signature math is exact int64 arithmetic from
+``scrape_spark.functions.textstats`` — every operator here is
+DuckDB-oracle-checkable (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scrape_spark.functions import textstats as ts
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct text: (content_sha, keep_id, n_dups).
+
+    ``keep_id`` = smallest doc id in the group (deterministic first-wins,
+    mirroring the reference's first-INSERT-wins upsert, models.py:50-114).
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_sha"), id_col)
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig array<bigint> of length N_MINHASH) — pure expression, no UDF."""
+    return docs.select(
+        F.col(id_col), ts.minhash_signature(text_col).alias("sig")
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    min_est_jaccard: float = 0.25,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH + signature-overlap filter.
+
+    Returns (id_1, id_2, n_sig_match) with id_1 < id_2 and
+    n_sig_match/k >= min_est_jaccard. Plan shape: signatures (map-only) →
+    posexplode bands (×b) → shuffle on band value → per-bucket pairs →
+    distinct → overlap filter. Bucket sizes are bounded by collision rate,
+    not corpus size; a pathological all-identical corpus degrades to the
+    exact-dedup case which should run FIRST at scale.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col)
+    bands = sigs.select(
+        F.col(id_col).alias("id"),
+        "sig",
+        F.posexplode(F.slice(F.col("sig"), 1, n_bands)).alias("band_idx", "band_val"),
+    )
+    left = bands.select("band_idx", "band_val", F.col("id").alias("id_1"), F.col("sig").alias("sig_1"))
+    right = bands.select("band_idx", "band_val", F.col("id").alias("id_2"), F.col("sig").alias("sig_2"))
+    pairs = (
+        left.join(right, on=["band_idx", "band_val"], how="inner")
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sig_1", "sig_2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    k = ts.N_MINHASH
+    overlap = F.expr(
+        "size(filter(zip_with(sig_1, sig_2, (a, b) -> a = b), x -> x))"
+    ).cast("long")
+    return (
+        pairs.withColumn("n_sig_match", overlap)
+        .where(F.col("n_sig_match") >= F.lit(min_est_jaccard * k))
+        .select("id_1", "id_2", "n_sig_match")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash int64) — 16-bit majority-vote fingerprint."""
+    return docs.select(F.col(id_col), ts.simhash(text_col).alias("simhash"))
+
+
+def simhash_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of docs sharing a simhash: (simhash, n_docs, min_id)."""
+    return (
+        simhash_fingerprints(docs, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min(id_col).alias("min_id"))
+    )
+
+
+def _shingle_set(text_col: str):
+    return F.array_distinct(F.expr(ts.shingle_hashes_sql(text_col, ts.SPARK_DIALECT)))
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    text_1: str = "text_1",
+    text_2: str = "text_2",
+) -> DataFrame:
+    """Exact word-3-gram Jaccard for pre-paired rows; adds ``jaccard`` double.
+
+    Intersection/union on distinct shingle-hash sets — integer division is
+    exact, so the double is engine-reproducible bit-for-bit.
+    """
+    s1, s2 = _shingle_set(text_1), _shingle_set(text_2)
+    inter = F.size(F.array_intersect(s1, s2)).cast("double")
+    union = F.size(F.array_union(s1, s2)).cast("double")
+    return pairs.withColumn(
+        "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    )
