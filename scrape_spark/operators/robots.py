@@ -197,6 +197,24 @@ def _parse_robots_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def stale_hosts(
+    robots: DataFrame,
+    needed_hosts: DataFrame,
+    user_agent: str = "MyScraperBot",
+    now: Column | None = None,
+) -> DataFrame:
+    """Hosts from ``needed_hosts`` with no valid (unexpired) rules row."""
+    return (
+        needed_hosts.select("host")
+        .distinct()
+        .join(
+            valid_rules(robots, now).where(F.col("user_agent") == user_agent),
+            on="host",
+            how="left_anti",
+        )
+    )
+
+
 def refresh_robots(
     robots: DataFrame,
     needed_hosts: DataFrame,
@@ -215,15 +233,7 @@ def refresh_robots(
     Upsert = anti-join old rows out, union parsed new rows (Iceberg MERGE in
     production, keyed (host, user_agent) — robots_handler.py:27-39).
     """
-    stale = (
-        needed_hosts.select("host")
-        .distinct()
-        .join(
-            valid_rules(robots, now).where(F.col("user_agent") == user_agent),
-            on="host",
-            how="left_anti",
-        )
-    )
+    stale = stale_hosts(robots, needed_hosts, user_agent, now)
     fetched = stale.join(robots_txt_source, on="host", how="inner").withColumn(
         "user_agent", F.lit(user_agent)
     )

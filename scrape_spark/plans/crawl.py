@@ -55,7 +55,7 @@ from scrape_spark.operators.politeness import (
     host_quota_expr,
     per_host_take,
 )
-from scrape_spark.operators.robots import join_robots, refresh_robots
+from scrape_spark.operators.robots import join_robots, refresh_robots, stale_hosts
 from scrape_spark.operators.seen import SeenSet
 from scrape_spark.plans.statestore import SnapshotStore
 
@@ -147,7 +147,11 @@ class CrawlJob:
             )
             .drop("_ord")
         )
-        self.store.write("frontier", seeds, meta={"event": "seed", "urls": len(urls)})
+        self.store.write(
+            "frontier",
+            seeds,
+            meta={"event": "seed", "urls": len(urls), "next_seq": len(urls)},
+        )
         self.seen.add(seeds.select("url"))
 
     # -- state helpers -----------------------------------------------------------
@@ -162,6 +166,12 @@ class CrawlJob:
         return self.spark.createDataFrame([], ROBOTS_SCHEMA)
 
     def _next_seq(self, frontier: DataFrame) -> int:
+        # carried in snapshot metadata (one manifest read); reads the CURRENT
+        # snapshot, not the lineage tail, so rollback rewinds the counter too;
+        # agg fallback covers stores written before this optimization
+        snap = self.store.current_snapshot("frontier")
+        if snap and "next_seq" in snap["meta"]:
+            return snap["meta"]["next_seq"]
         row = frontier.agg(F.max("seq").alias("m")).collect()[0]
         return (row["m"] or 0) + 1
 
@@ -180,15 +190,18 @@ class CrawlJob:
             frontier.unpersist()
             return None
 
-        # --- robots refresh for stale/missing hosts (P4/S5) ---
-        robots = refresh_robots(
-            self._robots(),
-            pending.select("host"),
-            self.robots_source,
-            self.user_agent,
-        )
-        self.store.write("robots", robots, meta={"event": "round", "round": round_idx})
-        robots = self.store.read("robots")  # cut lineage
+        # --- robots refresh for stale/missing hosts only (P4/S5) ---
+        # skip the snapshot rewrite entirely when every pending host has valid
+        # rules (the common steady-state: TTL is 24h, rounds are minutes)
+        robots = self._robots()
+        if not stale_hosts(robots, pending.select("host"), self.user_agent).isEmpty():
+            robots = refresh_robots(
+                robots, pending.select("host"), self.robots_source, self.user_agent
+            )
+            self.store.write(
+                "robots", robots, meta={"event": "round", "round": round_idx}
+            )
+            robots = self.store.read("robots")  # cut lineage
 
         # --- robots gate (D2/P3) + politeness (T3) ---
         gated = join_robots(pending, robots, self.user_agent)
@@ -352,10 +365,16 @@ class CrawlJob:
         )
 
         # --- metrics (A1/A2/A4 parity + engine extensions) ---
+        # one agg job over the (cached, quota-bounded) hits instead of three
+        hit_row = hits.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("text") == F.col("src_text"), 0).otherwise(1)
+            ).alias("mism"),
+        ).collect()[0]
+        n_hits, text_mismatch = hit_row["n"], int(hit_row["mism"] or 0)
         n_blocked = blocked.count()
         n_new = new.count()
-        n_hits = hits.count()
-        text_mismatch = hits.count() - results.where(F.col("text_match")).count()
         metrics = {
             "event": "round",
             "round": round_idx,
@@ -365,6 +384,7 @@ class CrawlJob:
             "fetch_errors": n_batch - n_hits,
             "new_urls": n_new,
             "text_mismatches": text_mismatch,
+            "next_seq": next_seq + n_new,
             "round_wall_sec": round(time.time() - t0, 3),
         }
         return frontier_next, metrics

@@ -28,6 +28,20 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (no Spark job — metadata only).
+
+    Iceberg manifests carry these counts natively; this is the local-parquet
+    equivalent. Cuts one full read-back job per snapshot commit.
+    """
+    import pyarrow.dataset as ds
+
+    try:
+        return ds.dataset(path, format="parquet", partitioning="hive").count_rows()
+    except Exception:
+        return -1  # count unavailable; lineage still records the snapshot
+
+
 class SnapshotStore:
     """Versioned parquet tables under one root directory."""
 
@@ -73,7 +87,7 @@ class SnapshotStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        rows = self.spark.read.parquet(path).count()
+        rows = _parquet_rows(path)
         tbl["snapshots"].append(
             {
                 "id": snap_id,

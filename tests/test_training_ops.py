@@ -1,0 +1,245 @@
+"""Tests for training-data pipeline operators: dedup, similarity, textstats,
+multimodal plumbing. Pure-Python reference implementations of the hash
+kernels serve as oracles (the DuckDB cross-engine check lives in
+tools/check_oracle.py / the driver gate)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.functions import textstats as ts
+
+P = ts.HASH_P
+
+
+# ---------------------------------------------------------------------------
+# pure-Python oracles for the dialect-templated kernels
+# ---------------------------------------------------------------------------
+def py_char_fold(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % P
+    return acc
+
+
+def py_fingerprint(text: str) -> int:
+    return py_char_fold(text[:64]) if text else 0
+
+
+def py_word_hashes(text: str, cap: int = ts.SHINGLE_WORDS) -> list[int]:
+    return [py_char_fold(w) for w in text.split(" ")[:cap]]
+
+
+def py_shingles(text: str) -> list[int]:
+    wh = py_word_hashes(text)
+    if len(wh) < ts.SHINGLE_K:
+        return []
+    return [
+        ((wh[i] * 1000003 + wh[i + 1]) % P * 1000003 + wh[i + 2]) % P
+        for i in range(len(wh) - 2)
+    ]
+
+
+def py_minhash(text: str) -> list[int]:
+    sh = py_shingles(text)
+    out = []
+    for a, b in zip(ts.MINHASH_A, ts.MINHASH_B):
+        vals = [(a * s + b) % P for s in sh]
+        out.append(min(vals) if vals else -1)
+    return out
+
+
+def py_simhash(text: str, bits: int = ts.SIMHASH_BITS) -> int:
+    wh = py_word_hashes(text, ts.SIMHASH_WORDS)
+    acc = 0
+    for b in range(bits):
+        votes = sum(((h >> b) & 1) * 2 - 1 for h in wh)
+        if votes > 0:
+            acc |= 1 << b
+    return acc
+
+
+SAMPLES = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "a b c",
+    "single",
+    "",
+    "unicode wörds añd ţext with Ünïcode characters spread across tokens here",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, t) for i, t in enumerate(SAMPLES)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fingerprint_matches_python(docs):
+    got = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", ts.fingerprint("text").alias("fp")).collect()}
+    for i, t in enumerate(SAMPLES):
+        assert got[i] == py_fingerprint(t), t
+
+
+def test_minhash_matches_python(docs):
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select("doc_id", ts.minhash_signature("text").alias("sig")).collect()
+    }
+    for i, t in enumerate(SAMPLES):
+        assert got[i] == py_minhash(t), t
+
+
+def test_simhash_matches_python(docs):
+    got = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", ts.simhash("text").alias("sh")).collect()}
+    for i, t in enumerate(SAMPLES):
+        assert got[i] == py_simhash(t), t
+
+
+def test_token_count(docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", ts.token_count("text").alias("n")).collect()}
+    for i, t in enumerate(SAMPLES):
+        assert got[i] == len(t.split(" ")), t
+
+
+# ---------------------------------------------------------------------------
+# dedup operators
+# ---------------------------------------------------------------------------
+def test_exact_dedup(spark):
+    from scrape_spark.operators.dedup import exact_dedup
+
+    rows = [(0, "same text"), (1, "same text"), (2, "other text"), (3, "same text")]
+    out = exact_dedup(spark.createDataFrame(rows, "doc_id long, text string")).collect()
+    by_sha = {r["content_sha"]: r for r in out}
+    same_sha = hashlib.sha256(b"same text").hexdigest()
+    assert by_sha[same_sha]["keep_id"] == 0
+    assert by_sha[same_sha]["n_dups"] == 3
+    assert len(out) == 2
+
+
+def test_minhash_neardup_finds_near_duplicates(spark):
+    from scrape_spark.operators.dedup import minhash_neardup_pairs
+
+    base = "spark engine shuffles data across partitions while the optimizer prunes columns and pushes filters down to the scan layer every time"
+    near = base.replace("every time", "all day")  # tail edit: most shingles shared
+    far = "completely different words about cooking pasta with garlic butter and fresh basil leaves tonight"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    pairs = {(r["id_1"], r["id_2"]) for r in minhash_neardup_pairs(df).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_bounds(spark):
+    from scrape_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = "one two three four five six seven eight nine ten"
+    rows = [(0, 1, a, a), (2, 3, a, "alpha beta gamma delta epsilon zeta eta theta")]
+    pairs = spark.createDataFrame(
+        rows, "id_1 long, id_2 long, text_1 string, text_2 string"
+    )
+    got = {(r["id_1"], r["id_2"]): r["jaccard"] for r in ngram_jaccard_pairs(pairs).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(2, 3)] == 0.0
+
+
+def test_simhash_buckets_group_identical(spark):
+    from scrape_spark.operators.dedup import simhash_buckets
+
+    t = "repeatable content with enough words to vote on simhash bits properly"
+    df = spark.createDataFrame(
+        [(0, t), (1, t), (2, "other thing entirely with distinct vocabulary")],
+        "doc_id long, text string",
+    )
+    out = simhash_buckets(df).collect()
+    counts = sorted(r["n_docs"] for r in out)
+    assert counts == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# similarity operators
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 4)) for i in range(40)]
+    return (
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ),
+        vecs,
+    )
+
+
+def test_cosine_topk_matches_numpy(emb):
+    from scrape_spark.operators.similarity import cosine_topk
+
+    df, vecs = emb
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(df, queries, k=5).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qid in range(3):
+        expect = [
+            int(j)
+            for j in sorted(
+                (j for j in range(40) if j != qid),
+                key=lambda j: (-sims[qid, j], j),
+            )[:5]
+        ]
+        mine = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert mine == expect, qid
+
+
+def test_lsh_topk_recall(emb):
+    from scrape_spark.operators.similarity import cosine_topk, lsh_topk
+
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(df, queries, k=5).collect()
+    approx = lsh_topk(df, queries, k=5, n_bits=2).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, recall  # 2-bit buckets on random data: partial recall
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_multimodal_features_deterministic(spark):
+    from scrape_spark.functions.multimodal import (
+        extract_features,
+        media_from_documents,
+        resize_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "payload one", "en", "s0"), (1, "payload two", "de", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    media = media_from_documents(df)
+    feats = {r["media_id"]: r for r in resize_plan(extract_features(media)).collect()}
+    assert feats[0]["n_bytes"] == len(b"payload one")
+    assert feats[0]["content_sha"] == hashlib.sha256(b"payload one").hexdigest()
+    assert 64 <= feats[0]["width"] <= 255 and 64 <= feats[0]["height"] <= 255
+    assert 0 < feats[0]["resize_scale"] <= 1.0
+    # determinism: same payload -> same fake decode
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert again[0]["width"] == feats[0]["width"]
+
+
+def test_decode_real_is_stubbed():
+    from scrape_spark.functions.multimodal import decode_media_real
+
+    with pytest.raises(NotImplementedError):
+        decode_media_real(b"x", "image")
