@@ -620,6 +620,33 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- F8: JSON payload encode/decode (reference models.py:46,136-138) ---------
+@_q(
+    "payload_json",
+    """SELECT props ->> '$.k' AS k_val, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE props IS NOT NULL GROUP BY 1""",
+)
+def q_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """SELECT get_json_object(props, '$.k') AS k_val, count(*) AS n
+FROM events WHERE props IS NOT NULL GROUP BY 1"""
+    )
+
+
+# -- D4: point lookup by key (reference models.py:219-234) -------------------
+@_q(
+    "page_lookup",
+    f"""WITH f AS ({FRONTIER_SQL})
+SELECT url, host, seq, status FROM f WHERE url = 'http://host2.test/doc/42'""",
+)
+def q_page_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir)
+    return fr.where(F.col("url") == "http://host2.test/doc/42").select(
+        "url", "host", "seq", "status"
+    )
+
+
 # -- events: time-bucketed aggregation (pipeline metrics shape) --------------
 @_q(
     "events_hourly",

@@ -65,9 +65,25 @@ def get_spark(
 ) -> SparkSession:
     cpus = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # modest FIXED heap: this sandbox's guest memory is lazily faulted by the
+    # host, so on-demand heap growth under 32-thread allocation pressure
+    # produced young-GC pauses up to 118 s (measured). A small pre-touched
+    # heap keeps the working set resident; spill handles the rest.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: driver JVM IS the executor — the 1g default thrashes GC
+        # the moment 32 tasks hold html Arrow batches concurrently
+        .config("spark.driver.memory", driver_mem)
+        # throughput GC: html/Arrow buffers are large short-lived allocations;
+        # G1's humongous-region handling stalled parse stages (GCLocker storms).
+        # -Xms + AlwaysPreTouch fault the whole heap in at startup (untimed)
+        # instead of inside task execution.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -75,7 +91,7 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html rows are large; keep Arrow batches bounded.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
