@@ -74,17 +74,27 @@ class SeenSet:
         return not self.store.exists(self.name)
 
     def read(self) -> DataFrame:
-        """Current seen table: (url string, url_hash long, seen_bucket int)."""
-        return self.store.read(self.name)
+        """Current seen table: (url string, url_hash long, seen_bucket int).
+
+        Union of the delta-snapshot chain since the last compaction base —
+        add() appends ONLY new keys per round (O(new), not O(total): a
+        10^10-key table must never be rewritten per crawl round), with
+        periodic compaction bounding the chain length.
+        """
+        return self.store.read_chain(self.name)
 
     # -- write path ----------------------------------------------------------
-    def add(self, urls: DataFrame, url_col: str = "url") -> int:
-        """Union new (url, url_hash) keys into the seen set + refresh blooms.
+    def add(
+        self, urls: DataFrame, url_col: str = "url", compact_every: int = 16
+    ) -> int:
+        """Append new (url, url_hash) keys as a delta snapshot + refresh blooms.
 
-        ``urls`` must already be deduplicated (the crawl round guarantees this
-        via first-discovery min_by). Only buckets receiving new keys have
-        their bloom files rewritten (read-modify-write of a few MB each); the
-        parquet side is a copy-on-write snapshot (Iceberg MERGE in prod).
+        ``urls`` must already be deduplicated against the seen set (the crawl
+        round guarantees this: filter_new → first-discovery min_by). Only
+        buckets receiving new keys have their bloom files rewritten
+        (read-modify-write of a few MB each); the parquet side appends one
+        bucket-partitioned delta per round (Iceberg append commit in prod)
+        and compacts to a fresh base every ``compact_every`` deltas.
         """
         new = (
             urls.select(
@@ -94,10 +104,15 @@ class SeenSet:
             .dropDuplicates(["url_hash"])
         )
         new = self._with_bucket(new)
-        if not self.is_empty():
-            merged = self.read().unionByName(new).dropDuplicates(["url_hash"])
+        if self.is_empty():
+            merged, meta = new, {"base": True}
+        elif self.store.chain_length(self.name) >= compact_every:
+            merged = (
+                self.read().unionByName(new).dropDuplicates(["url_hash"])
+            )
+            meta = {"base": True, "compaction": True}
         else:
-            merged = new
+            merged, meta = new, {"delta": True}
 
         # bloom refresh for touched buckets — build per-bucket partial blooms
         # distributedly over the NEW keys only, collect just the (bucket,
@@ -123,7 +138,7 @@ class SeenSet:
                 f.write(new_bytes)
             os.replace(tmp, path)
 
-        return self.store.write(self.name, merged, partition_by=[_BUCKET])
+        return self.store.write(self.name, merged, meta=meta, partition_by=[_BUCKET])
 
     # -- probe path ----------------------------------------------------------
     def filter_new(

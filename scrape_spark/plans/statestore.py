@@ -81,6 +81,11 @@ class SnapshotStore:
         """
         manifest = self._load()
         tbl = manifest["tables"].setdefault(name, {"snapshots": [], "current": None})
+        # a write after a rollback commits the rolled-back state as the new
+        # head: discard the stale forward chain (Iceberg-style branch cut) so
+        # chain-reading tables (delta snapshots) never see orphaned futures
+        if tbl["current"] is not None:
+            tbl["snapshots"] = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
         snap_id = (tbl["snapshots"][-1]["id"] + 1) if tbl["snapshots"] else 0
         path = os.path.join(self.root, name, f"snap_{snap_id:05d}")
         writer = df.write.mode("overwrite")
@@ -119,6 +124,42 @@ class SnapshotStore:
         sid = tbl["current"] if snapshot_id is None else snapshot_id
         snap = next(s for s in tbl["snapshots"] if s["id"] == sid)
         return self.spark.read.parquet(snap["path"])
+
+    def read_chain(self, name: str) -> DataFrame:
+        """Union of the snapshot chain up to current, starting at the last
+        snapshot marked ``meta={"base": True}`` (a full rewrite/compaction).
+
+        This is the append-only read path: tables whose writes are deltas
+        (e.g. the seen set's per-round new keys) are the union of the base
+        plus subsequent deltas — the Iceberg manifest-list equivalent.
+        """
+        tbl = self._load()["tables"].get(name)
+        if not tbl or tbl["current"] is None:
+            raise KeyError(f"no such table: {name}")
+        chain = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
+        start = 0
+        for i, s in enumerate(chain):
+            if s["meta"].get("base"):
+                start = i
+        paths = [s["path"] for s in chain[start:]]
+        # per-path reads unioned: a single multi-root read trips partition
+        # discovery (CONFLICTING_DIRECTORY_STRUCTURES) on hive-partitioned
+        # snapshot dirs with different roots
+        df = self.spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            df = df.unionByName(self.spark.read.parquet(p))
+        return df
+
+    def chain_length(self, name: str) -> int:
+        """Number of delta snapshots since the last base (compaction signal)."""
+        tbl = self._load()["tables"].get(name)
+        if not tbl or tbl["current"] is None:
+            return 0
+        chain = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
+        n = 0
+        for s in chain:
+            n = 0 if s["meta"].get("base") else n + 1
+        return n
 
     def lineage(self, name: str) -> list[dict]:
         """Snapshot chain with per-snapshot metadata (round metrics)."""
