@@ -176,9 +176,25 @@ def check_rules(
     return True, crawl_delay or 0
 
 
-def _parse_robots_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def _make_parse_robots_pdf(now: _dt.datetime):
+    """Parse-kernel factory with a DRIVER-fixed fetch timestamp.
+
+    Stamping ``datetime.now`` inside the UDF would let a task retry /
+    speculative re-execution produce rows differing only in fetched_at /
+    expires_at — the timestamp must be decided once, on the driver, per
+    refresh (the rest of the engine already runs on a virtual clock).
+    """
+
+    def _parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _parse_robots_pdf(pdf, now)
+
+    return _parse
+
+
+def _parse_robots_pdf(pdf: pd.DataFrame, now: _dt.datetime | None = None) -> pd.DataFrame:
     out = []
-    now = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
+    if now is None:
+        now = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
     expires = now + _dt.timedelta(hours=TTL_HOURS)
     for host, agent, body in zip(pdf["host"], pdf["user_agent"], pdf["robots_txt"]):
         disallow, allow, delay = parse_robots_body(body, agent)
@@ -221,6 +237,7 @@ def refresh_robots(
     robots_txt_source: DataFrame,
     user_agent: str = "MyScraperBot",
     now: Column | None = None,
+    now_dt: _dt.datetime | None = None,
 ) -> DataFrame:
     """Refresh rules for hosts that are missing or expired → new dim table.
 
@@ -237,8 +254,10 @@ def refresh_robots(
     fetched = stale.join(robots_txt_source, on="host", how="inner").withColumn(
         "user_agent", F.lit(user_agent)
     )
+    if now_dt is None:
+        now_dt = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
     parsed = fetched.groupBy("host").applyInPandas(
-        _parse_robots_pdf, schema=ROBOTS_SCHEMA
+        _make_parse_robots_pdf(now_dt), schema=ROBOTS_SCHEMA
     )
     keep = robots.join(
         parsed.select("host", "user_agent"), on=["host", "user_agent"], how="left_anti"

@@ -26,6 +26,26 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Driver heap default derived from available memory.
+
+    The bench environment wants a large FIXED pre-touched heap (lazily-faulted
+    guest memory → GC pauses, see get_spark notes), but baking 12g into the
+    library default makes every consumer fail on smaller hosts. Use roughly
+    half of MemAvailable, clamped to [2g, 12g]; the env override
+    ``SPARK_GRAFT_DRIVER_MEM`` remains the bench knob.
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(12, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship ``scrape_spark`` to executors (the ``--py-files`` equivalent).
 
@@ -69,7 +89,7 @@ def get_spark(
     # host, so on-demand heap growth under 32-thread allocation pressure
     # produced young-GC pauses up to 118 s (measured). A small pre-touched
     # heap keeps the working set resident; spill handles the rest.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -84,6 +104,9 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             f"-XX:+UseParallelGC -Xms{driver_mem} -XX:+AlwaysPreTouch",
         )
+        # timestamp rendering (events_hourly etc.) must not depend on the
+        # host zone: parquet timestamps are written/read as UTC instants
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
