@@ -5,34 +5,37 @@ Replaces the reference's row-at-a-time duplicate probe
 models.py:207-216, called once per extracted link at scraper.py:159-162) with
 a two-tier distributed design sized for a 10^10-URL frontier:
 
-1. **Bloom prefilter** (fast path): the seen set is hash-bucketed by
-   ``pmod(xxhash64(url), n_buckets)``; each bucket owns a numpy bloom filter
-   persisted as one sidecar file. Candidate links are repartitioned by bucket
-   and probed via ``mapInPandas`` — each task lazily loads ONLY its own
-   buckets' blooms (worker-local cache), so memory per task stays bounded at
-   any scale (at 10^10 keys / 4096 buckets / 16 bits/key ≈ 5 MB per bucket;
-   nothing is broadcast). "Definitely new" rows (the overwhelming majority in
-   a healthy crawl round) skip the join entirely.
+1. **Base blooms** (fast path): the seen set is hash-bucketed by
+   ``pmod(xxhash64(url), n_buckets)``. At every BASE write (first add and
+   each compaction) a per-bucket numpy bloom filter is built distributedly
+   (``groupBy(bucket).applyInPandas``) and stored as a ``(bucket, bloom)``
+   TABLE in the SnapshotStore — never collected to the driver, never written
+   as a driver-local sidecar file. Probing is a bucket-cogroup: candidates
+   shuffle to their bucket, each task receives exactly its bucket's bloom row
+   (at 10^10 keys / 4096 buckets / 16 bits/key ≈ 5 MB per bucket; nothing is
+   broadcast, no task ever holds more than its own buckets' blooms).
 
-2. **Exact anti-join** (correctness path): "maybe seen" rows — true
-   duplicates plus the bloom's ~1e-4 false positives — go through a real
-   ``left_anti`` join against the seen table on ``url_hash`` (64-bit collision
-   risk over 10^10 keys ≈ 2.7e-3 table-wide; both sides also carry ``url`` so
-   strict mode can join on the full string). Dedup is therefore EXACT; the
-   bloom only shrinks the shuffle.
+2. **Exact checks** (correctness path):
 
-The seen table and its blooms are updated per crawl round with the newly
-scheduled URLs; only buckets that received keys rebuild their bloom
-(incremental OR-merge, ``bloom.merge``).
+   - rows the base bloom flags "maybe seen" — true duplicates plus the
+     bloom's ~1e-4 false positives — anti-join the full seen table on
+     ``url_hash`` (both sides also carry ``url`` for strict mode);
+   - rows the base bloom clears ("definitely not in the base") still
+     anti-join the DELTA key set — the keys appended since the last
+     compaction, a bounded O(compact_every × round_new) side that the
+     planner can broadcast.
+
+   Dedup is therefore EXACT; blooms only shrink the expensive join.
+
+Writes are O(new) per round: ``add`` appends one key delta (Iceberg append
+commit in production); blooms are rebuilt only at compaction, so a crawl
+round writes no bloom bytes at all.
 """
 
 from __future__ import annotations
 
-import os
-from collections.abc import Iterator
-
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from scrape_spark.operators import bloom as bloom_kernel
@@ -40,9 +43,11 @@ from scrape_spark.plans.statestore import SnapshotStore
 
 _BUCKET = "seen_bucket"
 
+BLOOM_SCHEMA = f"{_BUCKET} int, bloom binary, n_keys long"
+
 
 class SeenSet:
-    """URL-seen set backed by a SnapshotStore table + bloom sidecar files."""
+    """URL-seen set backed by SnapshotStore tables (keys + per-bucket blooms)."""
 
     def __init__(
         self,
@@ -56,15 +61,14 @@ class SeenSet:
         self.spark = store.spark
         self.n_buckets = n_buckets
         self.bits_per_key = bits_per_key
-        # blooms are FIXED-SIZE per bucket (sized for bucket_capacity keys)
-        # so incremental updates are a same-size OR-merge; size n_buckets ×
-        # bucket_capacity ≥ expected total URLs (10^10 → 4096 buckets of
-        # 2.5M keys ≈ 5 MB each). Exceeding capacity only degrades the FP
-        # rate gradually — correctness is unaffected (exact anti-join).
+        # blooms are FIXED-SIZE per bucket (sized for bucket_capacity keys):
+        # size n_buckets × bucket_capacity ≥ expected total URLs (10^10 →
+        # 4096 buckets of 2.5M keys ≈ 5 MB each). Exceeding capacity only
+        # degrades the FP rate gradually — correctness is unaffected (exact
+        # anti-join).
         self.m_bits = bloom_kernel.sizeof_bits(bucket_capacity, bits_per_key)
         self.name = name
-        self.bloom_dir = os.path.join(store.root, f"{name}_bloom")
-        os.makedirs(self.bloom_dir, exist_ok=True)
+        self.bloom_name = f"{name}_bloom"
 
     # -- helpers -----------------------------------------------------------
     def _with_bucket(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
@@ -83,18 +87,37 @@ class SeenSet:
         """
         return self.store.read_chain(self.name)
 
+    def _delta_keys(self) -> DataFrame | None:
+        """Keys appended since the last base, or None when the base is current."""
+        parts = self.store.chain_parts(self.name)
+        if len(parts) == 1:
+            return None
+        df = None
+        for p in parts[1:]:
+            d = self.spark.read.parquet(p["path"])
+            df = d if df is None else df.unionByName(d)
+        return df
+
     # -- write path ----------------------------------------------------------
     def add(
-        self, urls: DataFrame, url_col: str = "url", compact_every: int = 16
+        self,
+        urls: DataFrame,
+        url_col: str = "url",
+        compact_every: int = 16,
+        meta: dict | None = None,
     ) -> int:
-        """Append new (url, url_hash) keys as a delta snapshot + refresh blooms.
+        """Append new (url, url_hash) keys as a delta snapshot.
 
         ``urls`` must already be deduplicated against the seen set (the crawl
-        round guarantees this: filter_new → first-discovery min_by). Only
-        buckets receiving new keys have their bloom files rewritten
-        (read-modify-write of a few MB each); the parquet side appends one
-        bucket-partitioned delta per round (Iceberg append commit in prod)
-        and compacts to a fresh base every ``compact_every`` deltas.
+        round guarantees this: filter_new → first-discovery min_by). The
+        parquet side appends one bucket-partitioned delta per round (Iceberg
+        append commit in prod) and compacts to a fresh base every
+        ``compact_every`` deltas; per-bucket blooms are rebuilt —
+        distributedly, as a store table — only at those base writes.
+
+        ``meta`` (e.g. the crawl round index) is stamped into the snapshot so
+        checkpoint rollback can rewind the seen set in lockstep with the
+        frontier (CrawlJob.rollback_to_round).
         """
         new = (
             urls.select(
@@ -104,41 +127,34 @@ class SeenSet:
             .dropDuplicates(["url_hash"])
         )
         new = self._with_bucket(new)
+        base_meta = dict(meta or {})
         if self.is_empty():
-            merged, meta = new, {"base": True}
+            merged, snap_meta = new, {**base_meta, "base": True}
         elif self.store.chain_length(self.name) >= compact_every:
             merged = (
                 self.read().unionByName(new).dropDuplicates(["url_hash"])
             )
-            meta = {"base": True, "compaction": True}
+            snap_meta = {**base_meta, "base": True, "compaction": True}
         else:
-            merged, meta = new, {"delta": True}
-
-        # bloom refresh for touched buckets — build per-bucket partial blooms
-        # distributedly over the NEW keys only, collect just the (bucket,
-        # bytes) pairs (bounded: ≤ touched_buckets × bloom_size), OR-merge
-        # into the sidecar files.
-        new_blooms = (
-            new.select(_BUCKET, "url_hash")
-            .groupBy(_BUCKET)
-            .applyInPandas(
-                _build_bloom_fn(self.m_bits),
-                schema=f"{_BUCKET} int, bloom binary, n_keys long",
+            snap_id = self.store.write(
+                self.name, new, meta={**base_meta, "delta": True},
+                partition_by=[_BUCKET],
             )
-            .collect()
-        )
-        for row in new_blooms:
-            path = os.path.join(self.bloom_dir, f"bucket_{row[_BUCKET]:05d}.bloom")
-            new_bytes = bytes(row["bloom"])
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    new_bytes = bloom_kernel.merge([f.read(), new_bytes])
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(new_bytes)
-            os.replace(tmp, path)
+            return snap_id
 
-        return self.store.write(self.name, merged, meta=meta, partition_by=[_BUCKET])
+        # base write → rebuild the per-bucket blooms from the full key set,
+        # entirely on executors (groupBy-bucket build, store-table write);
+        # nothing is collected and no local sidecar files exist
+        merged = merged.persist()
+        snap_id = self.store.write(
+            self.name, merged, meta=snap_meta, partition_by=[_BUCKET]
+        )
+        blooms = merged.select(_BUCKET, "url_hash").groupBy(_BUCKET).applyInPandas(
+            _build_bloom_fn(self.m_bits), schema=BLOOM_SCHEMA
+        )
+        self.store.write(self.bloom_name, blooms, meta={**base_meta, "base": True})
+        merged.unpersist()
+        return snap_id
 
     # -- probe path ----------------------------------------------------------
     def filter_new(
@@ -146,10 +162,11 @@ class SeenSet:
     ) -> DataFrame:
         """Rows of ``candidates`` whose URL is NOT in the seen set.
 
-        Plan shape (see module doc): bucket → mapInPandas bloom probe →
-        maybe-seen rows anti-join the seen table (bucket-pruned by the join
-        key), definitely-new rows bypass the join. With an empty seen set the
-        input is returned unchanged (minus helper columns).
+        Plan shape (see module doc): bucket → cogroup bloom probe against the
+        base blooms → "maybe seen" rows anti-join the full seen table, while
+        "definitely new" rows anti-join only the (small) post-base delta
+        keys. With an empty seen set the input is returned unchanged (minus
+        helper columns).
         """
         if self.is_empty():
             return candidates
@@ -157,47 +174,42 @@ class SeenSet:
         cand = self._with_bucket(
             candidates.withColumn("url_hash", F.xxhash64(F.col(url_col)))
         )
-        bloom_dir = self.bloom_dir
-        schema = cand.schema.add("maybe_seen", "boolean")
+        # NB: StructType.add MUTATES the df's cached schema object — build a
+        # fresh StructType for the probe output schema instead
+        from pyspark.sql.types import BooleanType, StructField, StructType
 
-        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cache: dict[int, bytes | None] = {}
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                maybe = pd.Series(False, index=pdf.index)
-                for bucket, idx in pdf.groupby(_BUCKET).groups.items():
-                    if bucket not in cache:
-                        path = os.path.join(
-                            bloom_dir, f"bucket_{int(bucket):05d}.bloom"
-                        )
-                        cache[bucket] = (
-                            open(path, "rb").read() if os.path.exists(path) else None
-                        )
-                    blm = cache[bucket]
-                    if blm is not None:
-                        maybe.loc[idx] = bloom_kernel.might_contain(
-                            blm, pdf.loc[idx, "url_hash"].to_numpy()
-                        )
-                pdf = pdf.copy()
-                pdf["maybe_seen"] = maybe
-                yield pdf
-
-        probed = cand.repartition(self.n_buckets, _BUCKET).mapInPandas(
-            probe, schema=schema
+        schema = StructType(
+            list(cand.schema.fields) + [StructField("maybe_seen", BooleanType())]
         )
+
+        if self.store.exists(self.bloom_name):
+            blooms = self.store.read(self.bloom_name)
+            probed = (
+                cand.groupBy(_BUCKET)
+                .cogroup(blooms.groupBy(_BUCKET))
+                .applyInPandas(_probe_fn, schema=schema)
+            )
+        else:  # store predates bloom tables: everything goes to the exact join
+            probed = cand.withColumn("maybe_seen", F.lit(True))
+
         definitely_new = probed.where(~F.col("maybe_seen"))
         maybe_seen = probed.where(F.col("maybe_seen"))
 
         seen = self.read()
-        if exact_on_url:
-            survivors = maybe_seen.join(
-                seen.select(F.col("url").alias(url_col)), on=url_col, how="left_anti"
+        key = url_col if exact_on_url else "url_hash"
+
+        def _anti(left: DataFrame, right: DataFrame | None) -> DataFrame:
+            if right is None:
+                return left
+            r = right.select(F.col("url").alias(url_col)) if exact_on_url else (
+                right.select("url_hash")
             )
-        else:
-            survivors = maybe_seen.join(
-                seen.select("url_hash"), on="url_hash", how="left_anti"
-            )
+            return left.join(r, on=key, how="left_anti")
+
+        survivors = _anti(maybe_seen, seen)
+        # base bloom says "not in base" — only the post-base deltas can still
+        # contain the key (bounded by compaction cadence → broadcastable)
+        definitely_new = _anti(definitely_new, self._delta_keys())
         return definitely_new.unionByName(survivors).drop(
             "maybe_seen", _BUCKET, *(["url_hash"] if "url_hash" not in candidates.columns else [])
         )
@@ -216,3 +228,19 @@ def _build_bloom_fn(m_bits: int):
         )
 
     return build
+
+
+def _probe_fn(cand: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped bucket probe: candidates × (their bucket's bloom row).
+
+    ``blooms`` has 0 or 1 rows (one bloom per bucket). A bucket with no bloom
+    row has no base keys → nothing is "maybe seen". Buckets present only on
+    the bloom side produce no candidate rows.
+    """
+    if cand.empty:
+        return cand.assign(maybe_seen=pd.Series([], dtype=bool))
+    if blooms.empty:
+        return cand.assign(maybe_seen=False)
+    blm = bytes(blooms["bloom"].iloc[0])
+    maybe = bloom_kernel.might_contain(blm, cand["url_hash"].to_numpy())
+    return cand.assign(maybe_seen=maybe)

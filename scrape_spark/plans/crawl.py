@@ -6,31 +6,41 @@ round-trips and a global sleep. Here one *round* processes the entire
 politeness-capped pending frontier as a single declarative plan
 (SURVEY.md §3.2):
 
-    pending ⟵ frontier WHERE status='pending'
+    pending ⟵ merge-on-read frontier WHERE status='pending'
     robots refresh (stale hosts only) → broadcast-join → blocked / allowed
     per-host quota + salted top-k  → batch        (T3; skew-capped)
     virtual fetch slots             → politeness evidence (monotone per host)
-    batch ⋈ pages (simulated fetch) → hits + misses (S2; 404 path)
+    batch ⋈ pages on (url, method, payload) → hits + misses (S2/S3; 404 path)
     fused parse UDF                 → text, title, links  (F1-F6, one pass)
     posexplode links → first-discovery dedup → seen-set anti-join (D1)
     deterministic seq assignment    → new pending rows (SURVEY §7.4)
-    frontier state transition + seen update + metrics → one snapshot each
+    ROUND DELTA = touched batch rows + blocked rows + new rows
+                  → ONE O(batch+new) snapshot append  (never a frontier rewrite)
 
-Scale notes (10^10-URL frontier, 100 TB pages):
+Scale design (10^10-URL frontier, 100 TB pages):
 
-- The ``pages`` table is only ever SCANNED, never shuffled: the quota-capped
-  batch broadcasts into an inner join (hits) and the misses are recovered by
-  anti-joining the batch against the (small) hit-url set. With Iceberg, a
-  bucket(url) layout upgrades this to a storage-partitioned join and dynamic
-  partition pruning of the scan; html/text columns are pruned away on the
-  scheduler path either way (column projection).
-- Frontier state is re-written per round through the SnapshotStore
-  (write-read-back), so the logical plan does NOT grow with round count —
-  the classic iterative-lineage trap — and every round is a resumable
-  checkpoint with metrics in its manifest entry (north_rule lineage).
-- All counts for metrics are taken off cached round intermediates
-  (bounded by the quota), never off the full frontier except one
-  ``groupBy(status)`` per round (A1 parity).
+- **Frontier state is delta-chained, not rewritten.** A round writes ONLY the
+  rows it touched (outcome of the quota-bounded batch + newly discovered
+  URLs); reads resolve last-writer-wins per url via
+  ``SnapshotStore.read_merged`` (Iceberg merge-on-read): the base is scanned
+  with a broadcast anti-join against the (small) delta key set, deltas merge
+  with one O(delta)-sized shuffle. Periodic compaction (every
+  ``compact_every`` rounds) rewrites the merged view as a fresh base so the
+  chain never grows unboundedly. The reference's equivalent is a
+  row-at-a-time ``UPDATE … WHERE url=%s`` per page (models.py:156-171).
+- **The ``pages`` table is only ever SCANNED, never shuffled**: the
+  quota-capped batch broadcasts into an inner join (hits). Above the
+  broadcast limit, pass a bucketed pages table (``pages_bucketed=True`` with
+  a ``CLUSTERED BY (url) SORTED BY (url)`` catalog table): only the probe
+  shuffles to the bucket layout and the pre-sorted bucket files merge-join
+  in place — the parquet stand-in for an Iceberg bucket(url)
+  storage-partitioned join. html/text columns are pruned away on the
+  scheduler path either way.
+- **Driver-barrier diet**: the frontier's pending count and seq counter ride
+  in snapshot metadata, so a steady-state round runs ~4 Spark jobs (seq
+  offsets, one fused metrics agg over the cached round delta, the delta
+  write, the seen append) — all over O(batch+new) rows; emptiness is decided
+  from metadata arithmetic with zero jobs.
 
 Crawl-order determinism: rows get ``seq`` assigned at insertion ordered by
 ``(depth, parent_seq, link_pos)``; when politeness never defers, this equals
@@ -43,7 +53,7 @@ from __future__ import annotations
 import datetime as _dt
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -70,6 +80,8 @@ FRONTIER_SCHEMA = (
     "round int"
 )
 
+FRONTIER_COLS = [s.split()[0] for s in FRONTIER_SCHEMA.split(", ")]
+
 _RESULT_COLS = [
     "status",
     "error_message",
@@ -81,6 +93,16 @@ _RESULT_COLS = [
     "fetch_slot",
     "round",
 ]
+
+# fetch identity (S2/S3): a POST page is keyed by its payload too — same url
+# with a different body is a DIFFERENT fetch (reference fetch_post_content,
+# scraper.py:119-149, posts row["payload"] and stores the response per row)
+_FETCH_KEYS = ["url", "method", "_payload_key"]
+
+
+def _payload_key(col: Column | str = "payload") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(""))
 
 
 class CrawlJob:
@@ -98,25 +120,47 @@ class CrawlJob:
         n_buckets: int = 32,
         bucket_capacity: int = 1 << 17,
         broadcast_batch_limit: int = 2_000_000,
+        compact_every: int = 8,
+        pages_bucketed: bool = False,
     ) -> None:
         self.spark = spark
         self.store = store
+        # S3: fetch identity includes (method, payload); a pages source without
+        # those columns is an all-GET web (the common Common-Crawl shape)
+        if "method" not in pages.columns:
+            pages = pages.withColumn("method", F.lit("GET"))
+        if "payload" not in pages.columns:
+            pages = pages.withColumn("payload", F.lit(None).cast("string"))
         self.pages = pages
+        self.pages_bucketed = pages_bucketed
         self.robots_source = robots_source
         self.user_agent = user_agent
         self.round_seconds = round_seconds
         self.zero_delay_cap = zero_delay_cap
         self.broadcast_batch_limit = broadcast_batch_limit
+        self.compact_every = compact_every
         self.seen = SeenSet(
             store, n_buckets=n_buckets, bucket_capacity=bucket_capacity
         )
 
     # -- setup -----------------------------------------------------------------
-    def seed(self, urls: list[str]) -> None:
-        """Initialize frontier + seen set from a seed list (S10)."""
-        rows = [(u, i) for i, u in enumerate(urls)]
+    def seed(self, urls: list[str | tuple[str, str, str | None]]) -> None:
+        """Initialize frontier + seen set from a seed list (S10).
+
+        Each seed is a url string (GET) or a ``(url, method, payload)`` tuple
+        (S3: the reference CLI's ``--method/--payload``, scraper.py:222-231).
+        """
+        rows = []
+        for i, u in enumerate(urls):
+            if isinstance(u, str):
+                rows.append((u, "GET", None, i))
+            else:
+                url, method, payload = u
+                rows.append((url, (method or "GET").upper(), payload, i))
         seeds = (
-            self.spark.createDataFrame(rows, "url string, _ord int")
+            self.spark.createDataFrame(
+                rows, "url string, method string, payload string, _ord int"
+            )
             .select(
                 "url",
                 url_hash("url").alias("url_hash"),
@@ -128,8 +172,8 @@ class CrawlJob:
                 F.lit(-1).cast("long").alias("parent_seq"),
                 F.col("_ord").alias("link_pos"),
                 F.col("_ord").cast("long").alias("seq"),
-                F.lit("GET").alias("method"),
-                F.lit(None).cast("string").alias("payload"),
+                "method",
+                "payload",
                 F.lit("pending").alias("status"),
                 *[
                     F.lit(None).cast(t).alias(c)
@@ -150,13 +194,23 @@ class CrawlJob:
         self.store.write(
             "frontier",
             seeds,
-            meta={"event": "seed", "urls": len(urls), "next_seq": len(urls)},
+            meta={
+                "event": "seed",
+                "base": True,
+                "urls": len(urls),
+                "next_seq": len(urls),
+                "n_rounds": 0,
+                "pending": len(urls),
+            },
         )
-        self.seen.add(seeds.select("url"))
+        self.seen.add(seeds.select("url"), meta={"round": -1})
 
     # -- state helpers -----------------------------------------------------------
     def frontier(self) -> DataFrame:
-        return self.store.read("frontier")
+        """Merge-on-read view: base scan + broadcast anti-join + delta LWW."""
+        return self.store.read_merged(
+            "frontier", key="url", broadcast_keys_limit=self.broadcast_batch_limit
+        )
 
     def _robots(self) -> DataFrame:
         if self.store.exists("robots"):
@@ -165,30 +219,54 @@ class CrawlJob:
 
         return self.spark.createDataFrame([], ROBOTS_SCHEMA)
 
-    def _next_seq(self, frontier: DataFrame) -> int:
+    def _meta(self) -> dict:
+        snap = self.store.current_snapshot("frontier")
+        return snap["meta"] if snap else {}
+
+    def _next_seq(self, meta: dict) -> int:
         # carried in snapshot metadata (one manifest read); reads the CURRENT
         # snapshot, not the lineage tail, so rollback rewinds the counter too;
         # agg fallback covers stores written before this optimization
-        snap = self.store.current_snapshot("frontier")
-        if snap and "next_seq" in snap["meta"]:
-            return snap["meta"]["next_seq"]
-        row = frontier.agg(F.max("seq").alias("m")).collect()[0]
+        if "next_seq" in meta:
+            return meta["next_seq"]
+        row = self.frontier().agg(F.max("seq").alias("m")).collect()[0]
         return (row["m"] or 0) + 1
 
-    def _round_index(self) -> int:
-        snaps = self.store.lineage("frontier")
-        return sum(1 for s in snaps if s["meta"].get("event") == "round")
+    def _round_index(self, meta: dict) -> int:
+        # n_rounds in the CURRENT snapshot's meta (not a lineage count):
+        # orphaned forward snapshots after a rollback must not inflate the
+        # replayed round index (its `round` column and virtual fetch slots
+        # would diverge from the original run)
+        if "n_rounds" in meta:
+            return meta["n_rounds"]
+        cur = self.store.current_snapshot("frontier")
+        cur_id = cur["id"] if cur else -1
+        return sum(
+            1
+            for s in self.store.lineage("frontier")
+            if s["meta"].get("event") == "round" and s["id"] <= cur_id
+        )
 
     # -- one round ---------------------------------------------------------------
     def run_round(self) -> dict | None:
         """Execute one frontier-expansion round; None when frontier is drained."""
         t0 = time.time()
-        round_idx = self._round_index()
-        frontier = self.frontier().persist(StorageLevel.MEMORY_AND_DISK)
-        pending = frontier.where(F.col("status") == "pending")
-        if pending.isEmpty():
-            frontier.unpersist()
-            return None
+        meta0 = self._meta()
+        round_idx = self._round_index(meta0)
+        pending_est = meta0.get("pending")  # exact when maintained; None = unknown
+        if pending_est == 0:
+            return None  # drained — decided from metadata, zero Spark jobs
+
+        pending = (
+            self.frontier()
+            .where(F.col("status") == "pending")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if pending_est is None:
+            pending_est = pending.count()
+            if pending_est == 0:
+                pending.unpersist()
+                return None
 
         # --- robots refresh for stale/missing hosts only (P4/S5) ---
         # skip the snapshot rewrite entirely when every pending host has valid
@@ -219,23 +297,44 @@ class CrawlJob:
         batch = assign_fetch_slots(batch, round_start).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        n_batch = batch.count()
 
-        # --- simulated fetch: batch ⟕ pages without shuffling pages (S2) ---
-        probe = batch.select("url", "seq", "depth")
-        if n_batch <= self.broadcast_batch_limit:
+        # --- simulated fetch: batch ⋈ pages on (url, method, payload) (S2/S3),
+        #     without ever shuffling the pages side ---
+        probe = batch.select(
+            "url", "method", _payload_key().alias("_payload_key"), "seq", "depth"
+        )
+        # batch ≤ pending: the metadata estimate decides the join strategy
+        # without a count job (conservative: a quota-capped batch can be far
+        # smaller than pending, but a wrong guess only costs a sort-merge)
+        if pending_est <= self.broadcast_batch_limit:
             probe = F.broadcast(probe)
+        elif self.pages_bucketed:
+            # pages is CLUSTERED BY (url) SORTED BY (url): force the
+            # sort-merge strategy so ONLY the probe shuffles to the bucket
+            # layout; the pre-sorted bucket files merge in place
+            probe = probe.hint("merge")
+        pages_keyed = self.pages.withColumn(
+            "_payload_key", _payload_key()
+        ).select(
+            "url", "method", "_payload_key", "html",
+            F.col("text").alias("src_text"),
+        )
         hits = (
-            self.pages.select("url", "html", F.col("text").alias("src_text"))
-            .join(probe, on="url", how="inner")
+            pages_keyed.join(probe, on=_FETCH_KEYS, how="inner")
             .withColumn("parsed", parse_page_expr("html", "url"))
             .select(
                 "url",
+                "method",
+                "_payload_key",
                 "seq",
                 "depth",
                 "src_text",
                 F.sha2(F.col("html"), 256).alias("content_hash"),  # F3/D3
-                F.length("html").alias("content_len"),
+                # P7: the reference extracts links only from non-blank content
+                # (scraper.py:186-193); blank pages are still marked done
+                (F.length(F.trim(F.col("html").cast("string"))) > 0).alias(
+                    "has_content"
+                ),
                 F.col("parsed.text").alias("text"),
                 F.col("parsed.title").alias("raw_title"),
                 F.col("parsed.links").alias("links"),
@@ -245,8 +344,7 @@ class CrawlJob:
 
         # --- link expansion (O2 → D1 → §7.4 ordering) ---
         edges = (
-            # P7: empty content → processed, no links (explode drops empty arrays)
-            hits.where(F.length(F.trim(F.col("text"))) >= 0)  # keep all; links==[] if empty
+            hits.where(F.col("has_content"))  # P7 empty-content branch
             .select(
                 F.col("url").alias("referrer"),
                 F.col("seq").alias("parent_seq"),
@@ -265,22 +363,66 @@ class CrawlJob:
         fresh = first_discovery(
             edges, "url", ["parent_seq", "link_pos"], ["title", "referrer", "depth"]
         )
-        new = self.seen.filter_new(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+        new = self.seen.filter_new(fresh)
 
-        frontier_next, metrics = self._apply_round(
-            frontier, batch, blocked, hits, new, round_idx, n_batch, t0
-        )
-        self.store.write("frontier", frontier_next, meta=metrics)
-        if metrics["new_urls"]:
-            self.seen.add(new.select("url"))
-        for df in (frontier, batch, hits, new):
+        delta, next_seq = self._round_delta(batch, blocked, hits, new, round_idx, meta0)
+        delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # --- metrics (A1/A2/A4 parity + engine extensions): ONE fused agg over
+        # the cached O(batch+new) round delta instead of four count jobs ---
+        is_done = F.col("status") == "done"
+        row = delta.agg(
+            F.sum(is_done.cast("int")).alias("fetched"),
+            F.sum((F.col("status") == "error").cast("int")).alias("errors"),
+            F.sum((F.col("status") == "blocked").cast("int")).alias("blocked"),
+            F.sum((F.col("status") == "pending").cast("int")).alias("new"),
+            F.sum((is_done & ~F.col("text_match")).cast("int")).alias("mism"),
+        ).collect()[0]
+        n_done, n_err = int(row["fetched"] or 0), int(row["errors"] or 0)
+        n_blocked, n_new = int(row["blocked"] or 0), int(row["new"] or 0)
+        if n_done + n_err + n_blocked + n_new == 0:
+            # pending rows exist but nothing is schedulable (e.g. every host's
+            # crawl_delay exceeds round_seconds → quota 0): a zero-progress
+            # round must terminate the drive loop, not append empty deltas
+            for df in (pending, batch, hits, delta):
+                df.unpersist()
+            return None
+        metrics = {
+            "event": "round",
+            "round": round_idx,
+            "scheduled": n_done + n_err,
+            "blocked": n_blocked,
+            "fetched": n_done,
+            "fetch_errors": n_err,
+            "new_urls": n_new,
+            "text_mismatches": int(row["mism"] or 0),
+            "next_seq": next_seq + n_new,
+            "n_rounds": round_idx + 1,
+            "pending": pending_est - (n_done + n_err) - n_blocked + n_new,
+            "delta": True,
+            "round_wall_sec": round(time.time() - t0, 3),
+        }
+        self.store.write("frontier", delta, meta=metrics)
+        if n_new:
+            self.seen.add(
+                delta.where(F.col("status") == "pending").select("url"),
+                meta={"round": round_idx},
+            )
+        for df in (pending, batch, hits, delta):
             df.unpersist()
+        self._maybe_compact(metrics)
         return metrics
 
-    def _apply_round(
-        self, frontier, batch, blocked, hits, new, round_idx, n_batch, t0
-    ):
-        next_seq = self._next_seq(frontier)
+    def _round_delta(
+        self, batch, blocked, hits, new, round_idx: int, meta0: dict
+    ) -> tuple[DataFrame, int]:
+        """The round's O(batch+new) state delta: touched rows + new rows.
+
+        Built WITHOUT joining the full frontier — ``batch`` and ``blocked``
+        already carry every frontier column (they are pending rows), so the
+        outcome join is batch ⋈ hit-results on the fetch key: O(batch).
+        """
+        next_seq = self._next_seq(meta0)
 
         # new pending rows with deterministic sequence (§7.4)
         new_rows = (
@@ -312,31 +454,39 @@ class CrawlJob:
             )
         )
 
-        # state transition for the processed batch (T5/S6 MERGE semantics)
+        # state transition for the processed batch (T5/S6 MERGE semantics):
+        # hit → done row; no hit → the reference's fetch-failure path
+        # (content '', status NULL, error set — scraper.py:100-109)
         results = hits.select(
-            "url",
-            F.lit("done").alias("status"),
-            F.lit(None).cast("string").alias("error_message"),
-            F.lit(200).alias("status_code"),
-            "content_hash",
-            title_with_fallback(F.col("raw_title"), F.col("url")).alias("page_title"),
-            F.sha2(F.col("text"), 256).alias("text_sha"),
-            (F.col("text") == F.col("src_text")).alias("text_match"),
+            *_FETCH_KEYS,
+            F.lit(True).alias("_hit"),
+            F.col("content_hash").alias("_content_hash"),
+            title_with_fallback(F.col("raw_title"), F.col("url")).alias("_page_title"),
+            F.sha2(F.col("text"), 256).alias("_text_sha"),
+            (F.col("text") == F.col("src_text")).alias("_text_match"),
         )
-        misses = batch.join(
-            F.broadcast(hits.select("url")), on="url", how="left_anti"
-        ).select(
-            "url",
-            F.lit("error").alias("status"),
-            F.lit("404 Not Found").alias("error_message"),
-            F.lit(None).cast("int").alias("status_code"),
-            F.lit(None).cast("string").alias("content_hash"),
-            F.lit(None).cast("string").alias("page_title"),
-            F.lit(None).cast("string").alias("text_sha"),
-            F.lit(None).cast("boolean").alias("text_match"),
+        updated = (
+            batch.withColumn("_payload_key", _payload_key())
+            .join(results, on=_FETCH_KEYS, how="left")
+            .select(
+                *[c for c in FRONTIER_COLS if c not in _RESULT_COLS],
+                F.when(F.col("_hit"), F.lit("done"))
+                .otherwise(F.lit("error"))
+                .alias("status"),
+                F.when(F.col("_hit"), F.lit(None).cast("string"))
+                .otherwise(F.lit("404 Not Found"))
+                .alias("error_message"),
+                F.when(F.col("_hit"), F.lit(200)).cast("int").alias("status_code"),
+                F.when(F.col("_hit"), F.col("_content_hash")).alias("content_hash"),
+                F.when(F.col("_hit"), F.col("_page_title")).alias("page_title"),
+                F.when(F.col("_hit"), F.col("_text_sha")).alias("text_sha"),
+                F.when(F.col("_hit"), F.col("_text_match")).alias("text_match"),
+                F.col("fetch_slot"),
+                F.lit(round_idx).alias("round"),
+            )
         )
-        blocked_res = blocked.select(
-            "url",
+        blocked_rows = blocked.select(
+            *[c for c in FRONTIER_COLS if c not in _RESULT_COLS],
             F.lit("blocked").alias("status"),
             F.lit("Blocked by robots.txt").alias("error_message"),
             F.lit(None).cast("int").alias("status_code"),
@@ -344,50 +494,37 @@ class CrawlJob:
             F.lit(None).cast("string").alias("page_title"),
             F.lit(None).cast("string").alias("text_sha"),
             F.lit(None).cast("boolean").alias("text_match"),
+            F.lit(None).cast("timestamp").alias("fetch_slot"),
+            F.lit(round_idx).alias("round"),
         )
-        outcome = results.unionByName(misses).unionByName(blocked_res)
+        delta = (
+            updated.select(*FRONTIER_COLS)
+            .unionByName(blocked_rows.select(*FRONTIER_COLS))
+            .unionByName(new_rows.select(*FRONTIER_COLS))
+        )
+        return delta, next_seq
 
-        slot_info = batch.select("url", "fetch_slot").unionByName(
-            blocked.select("url", F.lit(None).cast("timestamp").alias("fetch_slot"))
-        )
-        updates = (
-            frontier.drop(*_RESULT_COLS)
-            .join(outcome, on="url", how="inner")
-            .join(slot_info, on="url", how="left")
-            .withColumn("round", F.lit(round_idx))
-            .select(*frontier.columns)
-        )
-        untouched = frontier.join(
-            outcome.select("url"), on="url", how="left_anti"
-        )
-        frontier_next = untouched.unionByName(updates).unionByName(
-            new_rows.select(*frontier.columns)
-        )
+    def _maybe_compact(self, counters: dict) -> None:
+        """Rewrite the merged view as a fresh base when the chain grows long.
 
-        # --- metrics (A1/A2/A4 parity + engine extensions) ---
-        # one agg job over the (cached, quota-bounded) hits instead of three
-        hit_row = hits.agg(
-            F.count("*").alias("n"),
-            F.sum(
-                F.when(F.col("text") == F.col("src_text"), 0).otherwise(1)
-            ).alias("mism"),
-        ).collect()[0]
-        n_hits, text_mismatch = hit_row["n"], int(hit_row["mism"] or 0)
-        n_blocked = blocked.count()
-        n_new = new.count()
-        metrics = {
-            "event": "round",
-            "round": round_idx,
-            "scheduled": n_batch,
-            "blocked": n_blocked,
-            "fetched": n_hits,
-            "fetch_errors": n_batch - n_hits,
-            "new_urls": n_new,
-            "text_mismatches": text_mismatch,
-            "next_seq": next_seq + n_new,
-            "round_wall_sec": round(time.time() - t0, 3),
-        }
-        return frontier_next, metrics
+        Bounds merge-on-read cost at O(total + compact_every × batch); the
+        counters (next_seq / n_rounds / pending) ride along so resume and the
+        barrier diet survive compaction.
+        """
+        if self.store.chain_length("frontier") < self.compact_every:
+            return
+        merged = self.frontier()
+        self.store.write(
+            "frontier",
+            merged,
+            meta={
+                "event": "compaction",
+                "base": True,
+                "next_seq": counters["next_seq"],
+                "n_rounds": counters["n_rounds"],
+                "pending": counters["pending"],
+            },
+        )
 
     # -- full crawl ---------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> list[dict]:
@@ -398,6 +535,45 @@ class CrawlJob:
                 break
             out.append(m)
         return out
+
+    # -- checkpoint admin -----------------------------------------------------------
+    def rollback_to_round(self, round_idx: int) -> None:
+        """Rewind frontier + seen + robots to the state after ``round_idx``.
+
+        The frontier snapshot for a round carries the round index in its
+        meta; seen/robots snapshots are stamped with the round that wrote
+        them, so the coordinated target is the LATEST snapshot of each table
+        with ``meta.round <= round_idx`` (rounds that add no new URLs write
+        no seen snapshot — the previous one is still exact). Rolling back
+        only the frontier would desync the seen set: URLs discovered in
+        discarded rounds would stay 'seen' and never be re-enqueued.
+        """
+
+        def _target(table: str) -> int | None:
+            best = None
+            for s in self.store.lineage(table):
+                r = s["meta"].get("round")
+                if r is None and s["meta"].get("event") == "seed":
+                    r = -1
+                if r is not None and r <= round_idx:
+                    best = s["id"]
+            return best
+
+        f_target = None
+        for s in self.store.lineage("frontier"):
+            ev = s["meta"].get("event")
+            if ev == "seed" and round_idx < 0:
+                f_target = s["id"]
+            if ev == "round" and s["meta"].get("round") == round_idx:
+                f_target = s["id"]
+        if f_target is None:
+            raise KeyError(f"no frontier snapshot for round {round_idx}")
+        self.store.rollback("frontier", f_target)
+        for table in ("seen", "seen_bloom", "robots"):
+            if self.store.exists(table):
+                t = _target(table)
+                if t is not None:
+                    self.store.rollback(table, t)
 
     # -- reporting ------------------------------------------------------------------
     def status_counts(self) -> dict[str, int]:

@@ -26,6 +26,23 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_VCOL = "_snap_v"
+
+
+def lww_latest(df: DataFrame, key: str, v_col: str = _VCOL) -> DataFrame:
+    """Last-writer-wins per key over a versioned union of delta snapshots.
+
+    One ``max_by(struct(cols), version)`` hash aggregation (map-side partial
+    agg, single shuffle on the key) — the merge-on-read resolution step for
+    delta-chained tables. Shuffle size is O(delta rows), NOT O(table rows):
+    callers only feed the delta chain through this, never the base.
+    """
+    cols = [c for c in df.columns if c not in (key, v_col)]
+    packed = F.struct(*[F.col(c) for c in cols])
+    agg = df.groupBy(key).agg(F.max_by(packed, F.col(v_col)).alias("_r"))
+    return agg.select(F.col(key), *[F.col(f"_r.{c}").alias(c) for c in cols])
 
 
 def _parquet_rows(path: str) -> int:
@@ -81,12 +98,19 @@ class SnapshotStore:
         """
         manifest = self._load()
         tbl = manifest["tables"].setdefault(name, {"snapshots": [], "current": None})
+        # snapshot ids are NEVER reused (Iceberg semantics): Spark caches file
+        # listings per path session-wide, so re-writing a discarded snapshot's
+        # directory would serve stale listings to later readers
+        snap_id = (tbl["snapshots"][-1]["id"] + 1) if tbl["snapshots"] else 0
         # a write after a rollback commits the rolled-back state as the new
         # head: discard the stale forward chain (Iceberg-style branch cut) so
-        # chain-reading tables (delta snapshots) never see orphaned futures
+        # chain-reading tables (delta snapshots) never see orphaned futures,
+        # and delete their now-unreachable data files
         if tbl["current"] is not None:
+            orphans = [s for s in tbl["snapshots"] if s["id"] > tbl["current"]]
             tbl["snapshots"] = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
-        snap_id = (tbl["snapshots"][-1]["id"] + 1) if tbl["snapshots"] else 0
+            for s in orphans:
+                shutil.rmtree(s["path"], ignore_errors=True)
         path = os.path.join(self.root, name, f"snap_{snap_id:05d}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -149,6 +173,60 @@ class SnapshotStore:
         for p in paths[1:]:
             df = df.unionByName(self.spark.read.parquet(p))
         return df
+
+    def chain_parts(self, name: str) -> list[dict]:
+        """Snapshot records from the last base (inclusive) up to current.
+
+        ``parts[0]`` is the base (a full rewrite / compaction / first write);
+        the rest are deltas in commit order. This is the manifest-list view a
+        merge-on-read reader needs.
+        """
+        tbl = self._load()["tables"].get(name)
+        if not tbl or tbl["current"] is None:
+            raise KeyError(f"no such table: {name}")
+        chain = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
+        start = 0
+        for i, s in enumerate(chain):
+            if s["meta"].get("base"):
+                start = i
+        return chain[start:]
+
+    def read_merged(
+        self,
+        name: str,
+        key: str,
+        broadcast_keys_limit: int = 4_000_000,
+    ) -> DataFrame:
+        """Merge-on-read view of a delta-chained table (Iceberg MoR equivalent).
+
+        row for ``key`` = the latest version across (base, delta_1, …, delta_n):
+
+        - deltas resolve last-writer-wins (`lww_latest`, shuffle O(delta rows)),
+        - base rows survive unless superseded — a LEFT ANTI join whose right
+          side is just the delta key set; when the manifest row counts bound
+          it under ``broadcast_keys_limit`` the anti-join is a broadcast,
+          so the base is only ever SCANNED (no shuffle of the big side).
+
+        Writers keep per-round commits O(touched rows); periodic compaction
+        (a ``base`` write of this merged view) bounds the delta chain.
+        """
+        parts = self.chain_parts(name)
+        base = self.spark.read.parquet(parts[0]["path"])
+        if len(parts) == 1:
+            return base
+        deltas = None
+        delta_rows = 0
+        for p in parts[1:]:
+            d = self.spark.read.parquet(p["path"]).withColumn(
+                _VCOL, F.lit(p["id"])
+            )
+            deltas = d if deltas is None else deltas.unionByName(d)
+            delta_rows = -1 if (delta_rows < 0 or p["rows"] < 0) else delta_rows + p["rows"]
+        latest = lww_latest(deltas, key).select(*base.columns)
+        keys = latest.select(key)
+        if 0 <= delta_rows <= broadcast_keys_limit:
+            keys = F.broadcast(keys)
+        return base.join(keys, on=key, how="left_anti").unionByName(latest)
 
     def chain_length(self, name: str) -> int:
         """Number of delta snapshots since the last base (compaction signal)."""

@@ -1,0 +1,157 @@
+"""Delta-chained frontier: per-round writes are O(batch+new), never O(total).
+
+VERDICT r1 item 1/2: the frontier state transition must not join or rewrite
+the full frontier per round, and the seen-set blooms must not live as
+driver-local sidecar files. These tests pin both properties structurally
+(snapshot row counts from the manifest, store-table blooms) plus the
+coordinated frontier+seen+robots rollback (ADVICE r1).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from scrape_spark.plans.crawl import CrawlJob
+from scrape_spark.plans.statestore import SnapshotStore
+from scrape_spark.sources.webgraph import generate_pages, robots_source_df, seed_urls
+
+N_HOSTS = 3
+PPH = 30
+K = 3
+
+
+def _job(spark, root, pages, **kw):
+    return CrawlJob(
+        spark,
+        SnapshotStore(spark, root),
+        pages,
+        robots_source_df(spark, N_HOSTS, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+        bucket_capacity=1 << 12,
+        **kw,
+    )
+
+
+def test_round_writes_are_delta_sized(spark, tmp_path):
+    """Each round snapshot holds exactly scheduled+blocked+new rows."""
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    job = _job(spark, str(tmp_path / "d"), pages, compact_every=10_000)
+    job.seed(seed_urls(N_HOSTS))
+    metrics = job.run()
+    assert len(metrics) >= 3
+
+    rounds = [
+        s for s in job.store.lineage("frontier") if s["meta"].get("event") == "round"
+    ]
+    assert len(rounds) == len(metrics)
+    total = job.frontier().count()
+    for snap, m in zip(rounds, metrics):
+        expected = m["scheduled"] + m["blocked"] + m["new_urls"]
+        assert snap["rows"] == expected, (snap["id"], snap["rows"], expected)
+    # late rounds touch only their batch — far fewer rows than the table
+    assert rounds[-1]["rows"] < total
+    pages.unpersist()
+
+
+def test_pending_metadata_tracks_exact_count(spark, tmp_path):
+    """The barrier-diet pending estimate must equal the real pending count."""
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    job = _job(spark, str(tmp_path / "p"), pages)
+    job.seed(seed_urls(N_HOSTS))
+    while True:
+        m = job.run_round()
+        meta = job.store.current_snapshot("frontier")["meta"]
+        actual = job.status_counts().get("pending", 0)
+        assert meta["pending"] == actual
+        if m is None or meta["pending"] == 0:
+            break
+    assert job.status_counts().get("pending", 0) == 0
+    pages.unpersist()
+
+
+def test_compaction_bounds_chain_and_preserves_state(spark, tmp_path):
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    a = _job(spark, str(tmp_path / "nc"), pages, compact_every=10_000)
+    a.seed(seed_urls(N_HOSTS))
+    a.run()
+    b = _job(spark, str(tmp_path / "cc"), pages, compact_every=2)
+    b.seed(seed_urls(N_HOSTS))
+    b.run()
+    assert b.store.chain_length("frontier") <= 2
+    cols = ["url", "status", "seq", "depth", "content_hash", "error_message"]
+    sa = sorted(tuple(r) for r in a.frontier().select(*cols).collect())
+    sb = sorted(tuple(r) for r in b.frontier().select(*cols).collect())
+    assert sa == sb
+    pages.unpersist()
+
+
+def test_blooms_are_store_tables_not_driver_files(spark, tmp_path):
+    """No *.bloom sidecars anywhere; blooms live as a snapshot table."""
+    root = str(tmp_path / "b")
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    job = _job(spark, root, pages)
+    job.seed(seed_urls(N_HOSTS))
+    job.run(max_rounds=3)
+    assert job.store.exists("seen_bloom")
+    blooms = job.store.read("seen_bloom")
+    assert set(blooms.columns) == {"seen_bucket", "bloom", "n_keys"}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            assert not f.endswith(".bloom"), os.path.join(dirpath, f)
+    # probe still exact after the store moves (simulates reading via a
+    # different mount point — nothing may reference absolute driver paths)
+    seen_urls = {r["url"] for r in job.seen.read().select("url").collect()}
+    cand = spark.createDataFrame(
+        [(u,) for u in list(seen_urls)[:20]] + [("http://fresh.test/x",)],
+        "url string",
+    )
+    out = {r["url"] for r in job.seen.filter_new(cand).collect()}
+    assert out == {"http://fresh.test/x"}
+    pages.unpersist()
+
+
+def test_rollback_to_round_coordinated(spark, tmp_path):
+    """Frontier + seen (+ blooms/robots) rewind together (ADVICE r1)."""
+    pages = generate_pages(spark, N_HOSTS, 12, K, mega_host=None).persist()
+    root = str(tmp_path / "rr")
+    job = _job(spark, root, pages)
+    job.seed(seed_urls(N_HOSTS))
+    job.run()
+    cols = ["url", "status", "seq", "depth", "content_hash", "error_message"]
+    final = sorted(tuple(r) for r in job.frontier().select(*cols).collect())
+
+    job.rollback_to_round(0)
+    # lockstep: every frontier URL is seen, and nothing beyond the frontier is
+    f_urls = {r["url"] for r in job.frontier().select("url").collect()}
+    s_urls = {r["url"] for r in job.seen.read().select("url").collect()}
+    assert f_urls == s_urls
+
+    j2 = _job(spark, root, pages)
+    j2.run()
+    replay = sorted(tuple(r) for r in j2.frontier().select(*cols).collect())
+    assert replay == final
+    pages.unpersist()
+
+
+def test_replayed_round_indices_match_after_rollback(spark, tmp_path):
+    """ADVICE r1: the first replayed round after rollback must reuse the
+    original round index (round column + virtual fetch slots identical)."""
+    pages = generate_pages(spark, N_HOSTS, 12, K, mega_host=None).persist()
+    root = str(tmp_path / "ri")
+    job = _job(spark, root, pages)
+    job.seed(seed_urls(N_HOSTS))
+    job.run()
+    orig = {
+        r["url"]: (r["round"], r["fetch_slot"])
+        for r in job.frontier().select("url", "round", "fetch_slot").collect()
+    }
+    job.rollback_to_round(0)
+    j2 = _job(spark, root, pages)
+    j2.run()
+    replay = {
+        r["url"]: (r["round"], r["fetch_slot"])
+        for r in j2.frontier().select("url", "round", "fetch_slot").collect()
+    }
+    assert replay == orig
+    pages.unpersist()
