@@ -634,6 +634,67 @@ FROM events WHERE props IS NOT NULL GROUP BY 1"""
     )
 
 
+# -- S2/S3: simulated fetch keyed on (url, method, payload) ------------------
+# pages: every frontier url has a GET page; every 7th also a POST variant
+# whose content depends on the posted body (scraper.py:119-149).
+# request batch: GETs, matching POSTs, and mismatched-payload POSTs (→ miss).
+_POST_PG_BODY = """\
+SELECT url, 'GET' AS method, CAST(NULL AS STRING) AS payload, text AS html FROM f
+UNION ALL
+SELECT url, 'POST' AS method, '{"q":' || CAST(seq AS STRING) || '}' AS payload,
+       'POST:' || text AS html
+FROM f WHERE seq % 7 = 0"""
+
+_POST_RQ_BODY = """\
+SELECT url, 'GET' AS method, CAST(NULL AS STRING) AS payload FROM f WHERE seq % 5 = 0
+UNION ALL
+SELECT url, 'POST' AS method, '{"q":' || CAST(seq AS STRING) || '}' AS payload
+FROM f WHERE seq % 7 = 0 AND seq % 2 = 0
+UNION ALL
+SELECT url, 'POST' AS method, '{"q":-1}' AS payload
+FROM f WHERE seq % 7 = 0 AND seq % 2 = 1"""
+
+
+@_q(
+    "post_fetch",
+    f"""WITH f AS ({FRONTIER_SQL}),
+pg AS ({_POST_PG_BODY}),
+rq AS ({_POST_RQ_BODY})
+SELECT pg.url AS url, rq.method AS method, coalesce(rq.payload, '') AS payload_key,
+       sha256(pg.html) AS content_sha
+FROM pg JOIN rq ON pg.url = rq.url AND pg.method = rq.method
+               AND coalesce(pg.payload, '') = coalesce(rq.payload, '')""",
+)
+def q_post_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-identity join via the engine's simulated_fetch (crawl.py S2/S3).
+
+    A POST page is keyed by its payload: matching (url, method, payload)
+    rows hit; a POST with a mismatched body misses even though a GET page
+    exists at the same url (reference scraper.py:119-149, 176-183).
+    """
+    from scrape_spark.plans.crawl import simulated_fetch
+
+    _view(spark, sf_dir, "documents")
+    pages = spark.sql(f"WITH f AS ({FRONTIER_SQL}) {_POST_PG_BODY}")
+    probe = spark.sql(f"WITH f AS ({FRONTIER_SQL}) {_POST_RQ_BODY}").select(
+        "url",
+        "method",
+        F.coalesce("payload", F.lit("")).alias("_payload_key"),
+    )
+    hits = simulated_fetch(
+        pages.withColumn("src_text", F.col("html")),
+        probe,
+        pages_have_methods=True,
+        broadcast=True,
+    )
+    return hits.select(
+        "url",
+        "method",
+        F.col("_payload_key").alias("payload_key"),
+        F.sha2(F.col("html"), 256).alias("content_sha"),
+    )
+
+
 # -- D4: point lookup by key (reference models.py:219-234) -------------------
 @_q(
     "page_lookup",

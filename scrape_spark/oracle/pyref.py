@@ -56,6 +56,8 @@ class OracleRow:
     link_pos: int = -1
     text: str | None = None
     page_title: str | None = None  # fetched <title> (title col is never updated)
+    method: str = "GET"  # S3: scraper.py:176-183 row.get("method", "GET")
+    payload: str | None = None
 
     @property
     def seq(self) -> int:
@@ -64,8 +66,11 @@ class OracleRow:
 
 @dataclass
 class ReferenceCrawler:
-    pages: dict[str, str]  # url → html (the simulated web)
+    pages: dict[str, str]  # url → html (the simulated GET web)
     robots_txt: dict[str, str]  # host → robots.txt body
+    # (url, payload) → html: the simulated POST responses (S3 — a POST page
+    # is keyed by its body too, scraper.py:119-149/176-183)
+    post_pages: dict[tuple[str, str], str] = field(default_factory=dict)
     user_agent: str = "MyScraperBot"
     table: dict[str, OracleRow] = field(default_factory=dict)  # insertion-ordered
     crawl_order: list[str] = field(default_factory=list)
@@ -74,17 +79,24 @@ class ReferenceCrawler:
 
     # -- state ---------------------------------------------------------------
     def _insert(self, url: str, referrer: str | None, title: str | None,
-                depth: int, parent_seq: int, link_pos: int) -> None:
+                depth: int, parent_seq: int, link_pos: int,
+                method: str = "GET", payload: str | None = None) -> None:
         if url in self.table:  # exists_in_db probe (models.py:207-216)
             return
         self.table[url] = OracleRow(
             id=len(self.table) + 1, url=url, referrer=referrer, title=title,
             depth=depth, parent_seq=parent_seq, link_pos=link_pos,
+            method=method, payload=payload,
         )
 
-    def seed(self, urls: list[str]) -> None:
-        for u in urls:
-            self._insert(u, None, None, depth=0, parent_seq=-1, link_pos=-1)
+    def seed(self, urls: list[str | tuple[str, str, str | None]]) -> None:
+        for i, u in enumerate(urls):
+            if isinstance(u, str):
+                url, method, payload = u, "GET", None
+            else:
+                url, method, payload = u[0], (u[1] or "GET").upper(), u[2]
+            self._insert(url, None, None, depth=0, parent_seq=-1, link_pos=i,
+                         method=method, payload=payload)
 
     def _dequeue(self) -> OracleRow | None:
         for row in self.table.values():  # dict preserves insertion (id) order
@@ -126,7 +138,12 @@ class ReferenceCrawler:
         if delay and float(delay) > 0:
             self.clock += float(delay)  # time.sleep(delay), scraper.py:34-36
 
-        html = self.pages.get(url)
+        if row.method == "POST":
+            # fetch_post_content (scraper.py:119-149): response depends on the
+            # posted body; parse/links/hash identical to GET afterwards
+            html = self.post_pages.get((url, row.payload or ""))
+        else:
+            html = self.pages.get(url)
         if html is None:
             # fetch failure path (scraper.py:100-109): content '', status NULL
             row.content, row.status_code = "", None

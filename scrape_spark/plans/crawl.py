@@ -105,6 +105,59 @@ def _payload_key(col: Column | str = "payload") -> Column:
     return F.coalesce(c, F.lit(""))
 
 
+def simulated_fetch(
+    pages: DataFrame,
+    probe: DataFrame,
+    pages_have_methods: bool,
+    broadcast: bool = True,
+    bucketed: bool = False,
+) -> DataFrame:
+    """Fetch identity join: probe (url, method, _payload_key, …) ⋈ pages.
+
+    The pages side is never shuffled:
+
+    - all-GET web (``pages_have_methods=False`` — the Common-Crawl shape):
+      ONE url-keyed join against a single pages scan. POST probes cannot hit
+      an all-GET web, so they skip the join entirely and surface as fetch
+      errors downstream (batch anti-join → 404) — this keeps the join key
+      equal to the bucket key, so a ``CLUSTERED BY (url)`` pages table
+      shuffles only the probe (``bucketed=True`` forces that sort-merge).
+    - mixed web: the GET probe joins the GET page subset on url; the POST
+      probe joins on the full (url, method, payload) identity (reference
+      fetch_post_content, scraper.py:119-149 — same url + different body is
+      a different page).
+
+    Returns page rows with probe columns attached plus method/_payload_key.
+    """
+    get_probe = probe.where(F.col("method") == "GET").drop("method", "_payload_key")
+    if broadcast:
+        get_probe = F.broadcast(get_probe)
+    elif bucketed:
+        get_probe = get_probe.hint("merge")
+    if not pages_have_methods:
+        return (
+            pages.drop("method", "payload")
+            .join(get_probe, on="url", how="inner")
+            .withColumn("method", F.lit("GET"))
+            .withColumn("_payload_key", F.lit(""))
+        )
+    pages_keyed = pages.withColumn("_payload_key", _payload_key())
+    hits_get = (
+        pages_keyed.where(F.col("method") == "GET")
+        .drop("method", "_payload_key", "payload")
+        .join(get_probe, on="url", how="inner")
+        .withColumn("method", F.lit("GET"))
+        .withColumn("_payload_key", F.lit(""))
+    )
+    post_probe = probe.where(F.col("method") != "GET")
+    if broadcast:
+        post_probe = F.broadcast(post_probe)
+    hits_post = pages_keyed.drop("payload").join(
+        post_probe, on=_FETCH_KEYS, how="inner"
+    )
+    return hits_get.unionByName(hits_post.select(*hits_get.columns))
+
+
 class CrawlJob:
     """Driver-side crawl iteration over SnapshotStore state."""
 
@@ -126,10 +179,10 @@ class CrawlJob:
         self.spark = spark
         self.store = store
         # S3: fetch identity includes (method, payload); a pages source without
-        # those columns is an all-GET web (the common Common-Crawl shape)
-        if "method" not in pages.columns:
-            pages = pages.withColumn("method", F.lit("GET"))
-        if "payload" not in pages.columns:
+        # those columns is an all-GET web (the common Common-Crawl shape),
+        # which keeps the fetch join url-keyed and bucket-layout-compatible
+        self.pages_have_methods = "method" in pages.columns
+        if self.pages_have_methods and "payload" not in pages.columns:
             pages = pages.withColumn("payload", F.lit(None).cast("string"))
         self.pages = pages
         self.pages_bucketed = pages_bucketed
@@ -303,24 +356,23 @@ class CrawlJob:
         probe = batch.select(
             "url", "method", _payload_key().alias("_payload_key"), "seq", "depth"
         )
+        pages_cols = ["url", "html", F.col("text").alias("src_text")] + (
+            ["method", "payload"] if self.pages_have_methods else []
+        )
         # batch ≤ pending: the metadata estimate decides the join strategy
         # without a count job (conservative: a quota-capped batch can be far
-        # smaller than pending, but a wrong guess only costs a sort-merge)
-        if pending_est <= self.broadcast_batch_limit:
-            probe = F.broadcast(probe)
-        elif self.pages_bucketed:
-            # pages is CLUSTERED BY (url) SORTED BY (url): force the
-            # sort-merge strategy so ONLY the probe shuffles to the bucket
-            # layout; the pre-sorted bucket files merge in place
-            probe = probe.hint("merge")
-        pages_keyed = self.pages.withColumn(
-            "_payload_key", _payload_key()
-        ).select(
-            "url", "method", "_payload_key", "html",
-            F.col("text").alias("src_text"),
+        # smaller than pending, but a wrong guess only costs a sort-merge);
+        # above the broadcast limit a bucketed pages table (CLUSTERED BY url
+        # SORTED BY url) makes the sort-merge shuffle ONLY the probe
+        fetched = simulated_fetch(
+            self.pages.select(*pages_cols),
+            probe,
+            pages_have_methods=self.pages_have_methods,
+            broadcast=pending_est <= self.broadcast_batch_limit,
+            bucketed=self.pages_bucketed,
         )
         hits = (
-            pages_keyed.join(probe, on=_FETCH_KEYS, how="inner")
+            fetched
             .withColumn("parsed", parse_page_expr("html", "url"))
             .select(
                 "url",
