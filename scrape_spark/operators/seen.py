@@ -156,6 +156,42 @@ class SeenSet:
         merged.unpersist()
         return snap_id
 
+    def remove(self, urls: list[str] | DataFrame, url_col: str = "url") -> None:
+        """Delete keys (reference delete_page_by_url makes exists_in_db false
+        → the URL becomes re-discoverable). Blooms cannot unlearn, so removal
+        compacts to a fresh base + bloom rebuild — admin-grade cost, never on
+        the per-round path."""
+        if self.is_empty():
+            return
+        if isinstance(urls, DataFrame):
+            gone = urls.select(F.xxhash64(F.col(url_col)).alias("url_hash"))
+        else:
+            gone = self.spark.createDataFrame(
+                [(u,) for u in urls], "url string"
+            ).select(F.xxhash64("url").alias("url_hash"))
+        kept = self.read().join(gone, on="url_hash", how="left_anti").persist()
+        self.store.write(
+            self.name, kept, meta={"base": True, "event": "remove"},
+            partition_by=[_BUCKET],
+        )
+        blooms = kept.select(_BUCKET, "url_hash").groupBy(_BUCKET).applyInPandas(
+            _build_bloom_fn(self.m_bits), schema=BLOOM_SCHEMA
+        )
+        self.store.write(self.bloom_name, blooms, meta={"base": True, "event": "remove"})
+        kept.unpersist()
+
+    def truncate(self) -> None:
+        """Empty the seen set (reference clear_all_pages)."""
+        empty = self.spark.createDataFrame(
+            [], f"url string, url_hash long, {_BUCKET} int"
+        )
+        self.store.write(self.name, empty, meta={"base": True, "event": "truncate"})
+        self.store.write(
+            self.bloom_name,
+            self.spark.createDataFrame([], BLOOM_SCHEMA),
+            meta={"base": True, "event": "truncate"},
+        )
+
     # -- probe path ----------------------------------------------------------
     def filter_new(
         self, candidates: DataFrame, url_col: str = "url", exact_on_url: bool = False

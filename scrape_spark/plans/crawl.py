@@ -627,6 +627,160 @@ class CrawlJob:
                 if t is not None:
                     self.store.rollback(table, t)
 
+    # -- admin ops (T6/T7: reference models.py bulk state mutations) -----------------
+    # Subset mutations are O(touched) delta commits (Iceberg MERGE in prod);
+    # whole-table mutations are a base rewrite — exactly the cost class of the
+    # reference's full-table UPDATE/DELETE (models.py:195-204, 350-371).
+    # Admin writes drop the 'pending' counter from metadata (unknown without a
+    # count); the next run_round recounts once and re-establishes it.
+
+    def _carry_meta(self, event: str, **extra) -> dict:
+        m = self._meta()
+        out = {"event": event, **extra}
+        for k in ("next_seq", "n_rounds"):
+            if k in m:
+                out[k] = m[k]
+        return out
+
+    def _rows_for(self, urls: list[str]) -> DataFrame:
+        return self.frontier().where(F.col("url").isin(list(urls)))
+
+    def mark_processed(self, urls: list[str], error_message: str | None = None) -> None:
+        """mark_page_as_processed (models.py:156-171): processed=TRUE +
+        error_message := given value (including NULL overwrite)."""
+        delta = (
+            self._rows_for(urls)
+            .withColumn(
+                "status", F.lit("error" if error_message else "done")
+            )
+            .withColumn("error_message", F.lit(error_message).cast("string"))
+        )
+        self.store.write(
+            "frontier",
+            delta.select(*FRONTIER_COLS),
+            meta=self._carry_meta("admin_mark_processed"),
+        )
+
+    def reset_processed(self, urls: list[str] | None = None) -> None:
+        """reset_all_processed / mark_all_as_unprocessed (models.py:195-204,
+        363-371) and the per-url variant: processed=FALSE, everything else
+        (content hash, titles, errors) untouched — the rows re-enter the
+        pending frontier and will be re-crawled."""
+        src = self.frontier() if urls is None else self._rows_for(urls)
+        out = src.withColumn("status", F.lit("pending"))
+        meta = self._carry_meta("admin_reset_processed")
+        if urls is None:
+            meta["base"] = True
+        self.store.write("frontier", out.select(*FRONTIER_COLS), meta=meta)
+
+    def mark_all_processed(self) -> None:
+        """mark_all_as_processed (models.py:350-361): processed=TRUE for every
+        row; rows holding an error keep error status (the reference's
+        processed flag + error_message tuple maps onto the status taxonomy)."""
+        out = self.frontier().withColumn(
+            "status",
+            F.when(F.col("status") == "blocked", F.lit("blocked"))
+            .when(F.col("error_message").isNotNull(), F.lit("error"))
+            .otherwise(F.lit("done")),
+        )
+        meta = self._carry_meta("admin_mark_all_processed", base=True)
+        self.store.write("frontier", out.select(*FRONTIER_COLS), meta=meta)
+
+    def update_error_message(self, url: str, error_message: str | None) -> None:
+        """update_error_message (models.py:374-387): message only, status kept."""
+        delta = self._rows_for([url]).withColumn(
+            "error_message", F.lit(error_message).cast("string")
+        )
+        self.store.write(
+            "frontier",
+            delta.select(*FRONTIER_COLS),
+            meta=self._carry_meta("admin_update_error"),
+        )
+
+    def clear_errors(self) -> None:
+        """clear_error_messages (models.py:406-415): every error_message →
+        NULL (full-table UPDATE → base rewrite); status taxonomy kept."""
+        out = self.frontier().withColumn(
+            "error_message", F.lit(None).cast("string")
+        )
+        meta = self._carry_meta("admin_clear_errors", base=True)
+        self.store.write("frontier", out.select(*FRONTIER_COLS), meta=meta)
+
+    def update_content(self, url: str, content: str) -> None:
+        """update_page_content (models.py:256-278): content hash re-stamped
+        (the engine stores the hash, not the bytes — pages live in the lake)."""
+        import hashlib
+
+        sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+        delta = self._rows_for([url]).withColumn("content_hash", F.lit(sha))
+        self.store.write(
+            "frontier",
+            delta.select(*FRONTIER_COLS),
+            meta=self._carry_meta("admin_update_content"),
+        )
+
+    def delete_by_url(self, urls: list[str]) -> None:
+        """delete_page_by_url (models.py:237-253). Deletion also removes the
+        URL from the seen set (reference: a deleted row makes exists_in_db
+        false, so the URL can be re-discovered and re-crawled). Merge-on-read
+        has no tombstones here, so both tables compact to a new base — the
+        admin-grade cost of the rare op, not the per-round path."""
+        keep = self.frontier().where(~F.col("url").isin(list(urls)))
+        meta = self._carry_meta("admin_delete", base=True)
+        self.store.write("frontier", keep.select(*FRONTIER_COLS), meta=meta)
+        self.seen.remove(urls)
+
+    def truncate(self) -> None:
+        """clear_all_pages (models.py:281-292): empty frontier + seen set."""
+        empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        meta = self._carry_meta("admin_truncate", base=True)
+        meta["pending"] = 0
+        self.store.write("frontier", empty, meta=meta)
+        self.seen.truncate()
+
+    # -- point/bulk reads (models.py read surface) -----------------------------------
+    def page(self, url: str) -> dict | None:
+        """get_page_by_url (models.py:219-234; payload JSON-decoded by caller)."""
+        rows = self._rows_for([url]).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def page_by_seq(self, seq: int) -> dict | None:
+        """get_page_by_id (models.py:445-459): seq is the engine's id."""
+        rows = self.frontier().where(F.col("seq") == seq).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def all_urls(self) -> list[str]:
+        """get_all_urls (models.py:317-333)."""
+        return [r["url"] for r in self.frontier().select("url").collect()]
+
+    def processed_urls(self) -> list[str]:
+        return [
+            r["url"]
+            for r in self.frontier()
+            .where(F.col("status") != "pending")
+            .select("url")
+            .collect()
+        ]
+
+    def unprocessed_urls(self) -> list[str]:
+        return [
+            r["url"]
+            for r in self.frontier()
+            .where(F.col("status") == "pending")
+            .select("url")
+            .collect()
+        ]
+
+    def error_messages(self) -> list[tuple[str, str]]:
+        """get_error_messages (models.py:390-403)."""
+        return [
+            (r["url"], r["error_message"])
+            for r in self.frontier()
+            .where(F.col("error_message").isNotNull())
+            .select("url", "error_message")
+            .collect()
+        ]
+
     # -- reporting ------------------------------------------------------------------
     def status_counts(self) -> dict[str, int]:
         """A1 parity: one grouped agg instead of two COUNT scans (models.py:174-192)."""

@@ -81,6 +81,12 @@ class SnapshotStore:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic commit
 
+    def _abs(self, path: str) -> str:
+        """Manifest paths are root-relative so a store survives relocation
+        (copy/mount elsewhere); absolute entries from older stores still
+        resolve as-is."""
+        return path if os.path.isabs(path) else os.path.join(self.root, path)
+
     # -- writes ------------------------------------------------------------
     def write(
         self,
@@ -110,8 +116,9 @@ class SnapshotStore:
             orphans = [s for s in tbl["snapshots"] if s["id"] > tbl["current"]]
             tbl["snapshots"] = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
             for s in orphans:
-                shutil.rmtree(s["path"], ignore_errors=True)
-        path = os.path.join(self.root, name, f"snap_{snap_id:05d}")
+                shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
+        rel_path = os.path.join(name, f"snap_{snap_id:05d}")
+        path = os.path.join(self.root, rel_path)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -120,7 +127,7 @@ class SnapshotStore:
         tbl["snapshots"].append(
             {
                 "id": snap_id,
-                "path": path,
+                "path": rel_path,
                 "rows": rows,
                 "wall_time": time.time(),
                 "meta": meta or {},
@@ -147,7 +154,7 @@ class SnapshotStore:
             raise KeyError(f"no such table: {name}")
         sid = tbl["current"] if snapshot_id is None else snapshot_id
         snap = next(s for s in tbl["snapshots"] if s["id"] == sid)
-        return self.spark.read.parquet(snap["path"])
+        return self.spark.read.parquet(self._abs(snap["path"]))
 
     def read_chain(self, name: str) -> DataFrame:
         """Union of the snapshot chain up to current, starting at the last
@@ -165,7 +172,7 @@ class SnapshotStore:
         for i, s in enumerate(chain):
             if s["meta"].get("base"):
                 start = i
-        paths = [s["path"] for s in chain[start:]]
+        paths = [self._abs(s["path"]) for s in chain[start:]]
         # per-path reads unioned: a single multi-root read trips partition
         # discovery (CONFLICTING_DIRECTORY_STRUCTURES) on hive-partitioned
         # snapshot dirs with different roots
@@ -189,7 +196,7 @@ class SnapshotStore:
         for i, s in enumerate(chain):
             if s["meta"].get("base"):
                 start = i
-        return chain[start:]
+        return [{**s, "path": self._abs(s["path"])} for s in chain[start:]]
 
     def read_merged(
         self,
@@ -265,6 +272,6 @@ class SnapshotStore:
             if s["id"] in keep:
                 kept.append(s)
             else:
-                shutil.rmtree(s["path"], ignore_errors=True)
+                shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
         tbl["snapshots"] = kept
         self._save(manifest)

@@ -1,0 +1,174 @@
+"""T6/T7 admin ops — reference models.py bulk-mutation parity.
+
+Covers: mark_page_as_processed, reset_all_processed/mark_all_as_unprocessed,
+mark_all_as_processed, update_error_message, clear_error_messages,
+update_page_content, delete_page_by_url (incl. seen-set removal +
+re-discoverability), clear_all_pages (truncate), and the read surface
+(get_page_by_url/id, get_all_urls, processed/unprocessed urls,
+get_error_messages). Engine semantics asserted on real state, not SQL mocks.
+"""
+
+import hashlib
+import itertools
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.plans.crawl import CrawlJob
+from scrape_spark.plans.statestore import SnapshotStore
+from scrape_spark.sources.webgraph import generate_pages, robots_source_df, seed_urls
+
+N_HOSTS = 2
+PPH = 12
+K = 3
+
+_clone_counter = itertools.count()
+
+
+@pytest.fixture(scope="module")
+def base_state(spark, tmp_path_factory):
+    """Crawl ONCE; tests mutate disposable on-disk clones of the store."""
+    root = tmp_path_factory.mktemp("admin_base")
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    job = CrawlJob(
+        spark,
+        SnapshotStore(spark, str(root / "store")),
+        pages,
+        robots_source_df(spark, N_HOSTS, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+        bucket_capacity=1 << 12,
+    )
+    job.seed([*seed_urls(N_HOSTS), "http://nowhere.test/p/0"])
+    job.run()
+    yield root, pages
+    pages.unpersist()
+
+
+@pytest.fixture()
+def crawled(spark, base_state, tmp_path):
+    root, pages = base_state
+    clone = tmp_path / f"clone{next(_clone_counter)}"
+    shutil.copytree(root / "store", clone)
+    return CrawlJob(
+        spark,
+        SnapshotStore(spark, str(clone)),
+        pages,
+        robots_source_df(spark, N_HOSTS, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+        bucket_capacity=1 << 12,
+    )
+
+
+def test_reset_processed_all_then_recrawl_restores_state(crawled):
+    before = {
+        r["url"]: (r["status"], r["content_hash"])
+        for r in crawled.frontier().collect()
+    }
+    crawled.reset_processed()
+    counts = crawled.status_counts()
+    assert set(counts) == {"pending"}  # every row back to unprocessed
+    # content hashes survive the reset (reference UPDATE touches only the flag)
+    kept = {r["url"]: r["content_hash"] for r in crawled.frontier().collect()}
+    assert kept == {u: h for u, (_, h) in before.items()}
+    # the frontier re-drains to the same terminal state
+    crawled.run()
+    after = {
+        r["url"]: (r["status"], r["content_hash"])
+        for r in crawled.frontier().collect()
+    }
+    assert after == before
+
+
+def test_reset_processed_subset(crawled):
+    target = "http://host0.test/p/0"
+    crawled.reset_processed([target])
+    rows = {r["url"]: r["status"] for r in crawled.frontier().collect()}
+    assert rows[target] == "pending"
+    assert sum(1 for s in rows.values() if s == "pending") == 1
+
+
+def test_mark_processed_with_and_without_error(crawled):
+    t1, t2 = "http://host0.test/p/0", "http://host1.test/p/0"
+    crawled.reset_processed([t1, t2])
+    crawled.mark_processed([t1])
+    crawled.mark_processed([t2], error_message="manual skip")
+    rows = {r["url"]: r for r in crawled.frontier().collect()}
+    assert rows[t1]["status"] == "done" and rows[t1]["error_message"] is None
+    assert rows[t2]["status"] == "error" and rows[t2]["error_message"] == "manual skip"
+
+
+def test_mark_all_processed_preserves_error_taxonomy(crawled):
+    crawled.reset_processed()
+    crawled.mark_all_processed()
+    rows = crawled.frontier().collect()
+    assert all(r["status"] != "pending" for r in rows)
+    for r in rows:
+        if r["error_message"]:
+            assert r["status"] in ("error", "blocked")
+        else:
+            assert r["status"] == "done"
+
+
+def test_update_and_clear_error_messages(crawled):
+    url = "http://host0.test/p/0"
+    crawled.update_error_message(url, "flagged for review")
+    assert (url, "flagged for review") in crawled.error_messages()
+    crawled.clear_errors()
+    assert crawled.error_messages() == []
+
+
+def test_update_content_restamps_hash(crawled):
+    url = "http://host0.test/p/0"
+    crawled.update_content(url, "<html>replaced</html>")
+    expected = hashlib.sha256(b"<html>replaced</html>").hexdigest()
+    assert crawled.page(url)["content_hash"] == expected
+
+
+def test_delete_by_url_removes_and_allows_rediscovery(crawled):
+    url = "http://host0.test/p/0/1"  # a discovered child page
+    assert crawled.page(url) is not None
+    n_before = len(crawled.all_urls())
+    crawled.delete_by_url([url])
+    assert crawled.page(url) is None
+    assert len(crawled.all_urls()) == n_before - 1
+    # seen-set removal: the url is re-discoverable (exists_in_db now false)
+    cand = crawled.spark.createDataFrame([(url,)], "url string")
+    assert crawled.seen.filter_new(cand).count() == 1
+    # re-crawling the parent re-discovers and re-processes it with a fresh seq
+    crawled.reset_processed(["http://host0.test/p/0"])
+    crawled.run()
+    row = crawled.page(url)
+    assert row is not None and row["status"] == "done"
+    max_seq = crawled.frontier().agg(F.max("seq")).collect()[0][0]
+    assert row["seq"] == max_seq  # new AUTO_INCREMENT-equivalent id
+
+
+def test_truncate_empties_everything(crawled):
+    crawled.truncate()
+    assert crawled.all_urls() == []
+    assert crawled.statistics()["total"] == 0
+    cand = crawled.spark.createDataFrame([("http://host0.test/p/0",)], "url string")
+    assert crawled.seen.filter_new(cand).count() == 1
+    # a fresh seed + crawl over the same store works
+    crawled.seed(seed_urls(1))
+    crawled.run()
+    assert crawled.status_counts().get("pending", 0) == 0
+    assert crawled.statistics()["total"] > 1
+
+
+def test_read_surface(crawled):
+    urls = crawled.all_urls()
+    assert len(urls) == len(set(urls)) > 10
+    row = crawled.page("http://host0.test/p/0")
+    assert row["status"] == "done" and row["seq"] is not None
+    assert crawled.page_by_seq(row["seq"])["url"] == row["url"]
+    assert crawled.page("http://missing.test/") is None
+    processed = set(crawled.processed_urls())
+    unprocessed = set(crawled.unprocessed_urls())
+    assert processed | unprocessed == set(urls)
+    assert not (processed & unprocessed)
+    errs = dict(crawled.error_messages())
+    assert errs["http://nowhere.test/p/0"] == "404 Not Found"
