@@ -729,7 +729,23 @@ FROM events GROUP BY 1, 2"""
 # ---------------------------------------------------------------------------
 
 
-@_q("crawl_expand_round", None)
+@_q(
+    "crawl_expand_round",
+    # closed-form expected expansion of the seed round (docpages topology):
+    # seed pages are the host roots; kept links are children /p/0/j whose
+    # child_doc = j*n_hosts + h exists; the query-string duplicate collapses
+    # to child 1 (first-discovery), the self/external/up-path/no-href anchors
+    # are dropped or anti-joined away (docpages.doc_page_html)
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+c AS (SELECT h.range AS h, j.range AS j, j.range * 8 + h.range AS child_doc
+      FROM range(0, 8) h, range(1, 4) j, n
+      WHERE j.range * 8 + h.range < n.n_docs)
+SELECT 'http://docs' || CAST(h AS STRING) || '.test/p/0/' || CAST(j AS STRING) AS url,
+       'http://docs' || CAST(h AS STRING) || '.test/p/0' AS referrer,
+       CAST(row_number() OVER (PARTITION BY h ORDER BY j) - 1 AS INT) AS link_pos,
+       'Doc ' || CAST(child_doc AS STRING) AS anchor_text
+FROM c""",
+)
 def q_crawl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One frontier-expansion round as a single plan (SURVEY §7.2 min slice)."""
     from scrape_spark.functions.udfs import parse_page_expr
@@ -758,16 +774,41 @@ def q_crawl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.join(seeds, on="url", how="left_anti")
 
 
-@_q("lsh_ann_topk", None)
+def _lsh_oracle_sql(n_bits: int, n_tables: int) -> str:
+    from scrape_spark.operators.similarity import lsh_signature_duck_sql
+
+    c_sigs = ", ".join(
+        f"{lsh_signature_duck_sql('embedding', n_bits, t)} AS b{t}"
+        for t in range(n_tables)
+    )
+    collide = " OR ".join(f"c.b{t} = q.b{t}" for t in range(n_tables))
+    return f"""WITH c AS (SELECT vec_id, embedding, {c_sigs} FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {", ".join(f"b{t}" for t in range(n_tables))}
+      FROM c WHERE vec_id % 100 = 0),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id, q.qv, c.embedding
+         FROM c JOIN q ON ({collide}) WHERE q.query_id <> c.vec_id),
+s AS (SELECT query_id, vec_id, {_duck_cos('qv', 'embedding')} AS cosine FROM cand),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 10"""
+
+
+@_q("lsh_ann_topk", _lsh_oracle_sql(n_bits=6, n_tables=3))
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate ANN (recall vs brute force tested in pytest)."""
+    """Multi-table LSH ANN: bucket-join candidates, exact re-rank.
+
+    Oracle-checked: the hyperplane signatures compile to both Spark SQL and
+    DuckDB (same planes, same fold order — similarity.lsh_signature_duck_sql),
+    so the candidate sets and final rankings match exactly.
+    """
     from scrape_spark.operators.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries, k=10, n_bits=6)
+    out = lsh_topk(emb, queries, k=10, n_bits=6, n_tables=3)
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine"
     )

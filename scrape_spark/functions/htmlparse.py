@@ -164,6 +164,80 @@ class _PageParser(HTMLParser):
                 rec.texts.append(data)
 
 
+def _xml_localname(tag) -> str:
+    """ElementTree qualified tag → local name (bs4 lxml-xml names
+    default-namespace elements by their local name)."""
+    if isinstance(tag, str) and tag.startswith("{"):
+        return tag.rsplit("}", 1)[1]
+    return tag if isinstance(tag, str) else ""
+
+
+def _xml_anchor_records(xml: str) -> list[tuple] | None:
+    """P8: anchor records via a real XML parse (reference scraper.py:154-157
+    routes ``<?xml`` content to ``BeautifulSoup(…, features="xml")``).
+
+    XML semantics vs the HTML path: tag/attribute matching is CASE-SENSITIVE
+    (``<A HREF>`` is NOT an anchor), void-element quirks don't apply, and
+    namespace-qualified elements resolve by local name. Returns None when
+    the document is not well-formed — the reference's lxml backend recovers
+    partial trees there, which stdlib ElementTree cannot reproduce, so the
+    caller falls back to the tolerant HTML parse (documented divergence for
+    malformed XML only).
+    """
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return None
+    records: list[tuple] = []
+    for el in root.iter():
+        if _xml_localname(el.tag) != "a":
+            continue
+        href = el.attrib.get("href")
+        if href is None:
+            continue
+        chunks = list(el.itertext())
+        img_alt = img_title = None
+        for sub in el.iter():
+            if _xml_localname(sub.tag) != "img":
+                continue
+            if img_alt is None and "alt" in sub.attrib:
+                img_alt = (sub.attrib.get("alt") or "").strip()
+            if img_title is None and "title" in sub.attrib:
+                img_title = (sub.attrib.get("title") or "").strip()
+        records.append((href, chunks, img_alt, img_title))
+    return records
+
+
+def _links_from_records(
+    records: list[tuple], base_url: str
+) -> list[tuple[str, str, int]]:
+    """Shared link pipeline: urljoin → normalize → is_under_base → anchor
+    text assembly (link_extractor.py:14-39) — identical for the HTML and XML
+    parse paths."""
+    links: list[tuple[str, str, int]] = []
+    pos = 0
+    for href, chunks, img_alt, img_title in records:
+        full_url = normalize_url(urljoin(base_url, href))
+        if not is_under_base(full_url, base_url):
+            continue
+        # a.get_text(strip=True): descendant strings each stripped,
+        # empties dropped, joined with no separator.
+        anchor = "".join(s for s in (c.strip() for c in chunks) if s)
+        if img_alt is not None:
+            anchor += " " + img_alt
+        if img_title is not None:
+            anchor += " " + img_title
+        # collapse ALL whitespace via str.split() — Unicode-aware
+        # (link_extractor.py:35; zero-width chars asserted absent by
+        # tests/test_extract_links_img_alt_title.py:34-77).
+        anchor = " ".join(anchor.split())
+        links.append((full_url.strip(), anchor, pos))
+        pos += 1
+    return links
+
+
 def parse_page(html: str, base_url: str | None = None):
     """Single-pass parse → (text, title, links).
 
@@ -171,6 +245,12 @@ def parse_page(html: str, base_url: str | None = None):
     order (link_pos is the engine's deterministic in-page ordering key,
     SURVEY.md §7.4); the containment/normalization filters are only applied
     when ``base_url`` is given.
+
+    Reference routing parity: ``text`` and ``title`` ALWAYS come from the
+    HTML parser (scrape_page/extract_title use html.parser regardless of
+    content type — scraper.py:85-88, fetch_and_store_robots.py:35-37); only
+    LINK extraction routes ``<?xml``-prefixed content to an XML parse
+    (extract_and_save_links, scraper.py:154-157).
     """
     parser = _PageParser()
     try:
@@ -192,24 +272,15 @@ def parse_page(html: str, base_url: str | None = None):
 
     links: list[tuple[str, str, int]] = []
     if base_url is not None:
-        pos = 0
-        for rec in parser.anchors:
-            full_url = normalize_url(urljoin(base_url, rec.href))
-            if not is_under_base(full_url, base_url):
-                continue
-            # a.get_text(strip=True): descendant strings each stripped,
-            # empties dropped, joined with no separator.
-            anchor = "".join(s for s in (c.strip() for c in rec.texts) if s)
-            if rec.img_alt is not None:
-                anchor += " " + rec.img_alt
-            if rec.img_title is not None:
-                anchor += " " + rec.img_title
-            # collapse ALL whitespace via str.split() — Unicode-aware
-            # (link_extractor.py:35; zero-width chars asserted absent by
-            # tests/test_extract_links_img_alt_title.py:34-77).
-            anchor = " ".join(anchor.split())
-            links.append((full_url.strip(), anchor, pos))
-            pos += 1
+        records = None
+        if html and html.lstrip().startswith("<?xml"):
+            records = _xml_anchor_records(html)  # P8 XML routing
+        if records is None:
+            records = [
+                (rec.href, rec.texts, rec.img_alt, rec.img_title)
+                for rec in parser.anchors
+            ]
+        links = _links_from_records(records, base_url)
     return text, title, links
 
 

@@ -35,7 +35,7 @@ round writes no bloom bytes at all.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from scrape_spark.operators import bloom as bloom_kernel
@@ -56,11 +56,18 @@ class SeenSet:
         bits_per_key: int = bloom_kernel.DEFAULT_BITS_PER_KEY,
         bucket_capacity: int = 1 << 17,
         name: str = "seen",
+        url_key_chars: int | None = None,
     ) -> None:
         self.store = store
         self.spark = store.spark
         self.n_buckets = n_buckets
         self.bits_per_key = bits_per_key
+        # SURVEY §7.4 strict-parity mode: the reference's MySQL unique key is
+        # ``url(255)`` (schema/scraped_pages.sql:14) — two URLs sharing their
+        # first 255 chars collide there. url_key_chars=255 reproduces that;
+        # None (default) dedups on the full URL (the better behavior,
+        # divergence documented).
+        self.url_key_chars = url_key_chars
         # blooms are FIXED-SIZE per bucket (sized for bucket_capacity keys):
         # size n_buckets × bucket_capacity ≥ expected total URLs (10^10 →
         # 4096 buckets of 2.5M keys ≈ 5 MB each). Exceeding capacity only
@@ -71,6 +78,12 @@ class SeenSet:
         self.bloom_name = f"{name}_bloom"
 
     # -- helpers -----------------------------------------------------------
+    def _key_hash(self, url_col: str) -> Column:
+        key = F.col(url_col)
+        if self.url_key_chars is not None:
+            key = F.substring(key, 1, self.url_key_chars)
+        return F.xxhash64(key)
+
     def _with_bucket(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         return df.withColumn(_BUCKET, F.pmod(F.col(hash_col), F.lit(self.n_buckets)))
 
@@ -122,7 +135,7 @@ class SeenSet:
         new = (
             urls.select(
                 F.col(url_col).alias("url"),
-                F.xxhash64(F.col(url_col)).alias("url_hash"),
+                self._key_hash(url_col).alias("url_hash"),
             )
             .dropDuplicates(["url_hash"])
         )
@@ -164,11 +177,11 @@ class SeenSet:
         if self.is_empty():
             return
         if isinstance(urls, DataFrame):
-            gone = urls.select(F.xxhash64(F.col(url_col)).alias("url_hash"))
+            gone = urls.select(self._key_hash(url_col).alias("url_hash"))
         else:
             gone = self.spark.createDataFrame(
                 [(u,) for u in urls], "url string"
-            ).select(F.xxhash64("url").alias("url_hash"))
+            ).select(self._key_hash("url").alias("url_hash"))
         kept = self.read().join(gone, on="url_hash", how="left_anti").persist()
         self.store.write(
             self.name, kept, meta={"base": True, "event": "remove"},
@@ -208,7 +221,7 @@ class SeenSet:
             return candidates
 
         cand = self._with_bucket(
-            candidates.withColumn("url_hash", F.xxhash64(F.col(url_col)))
+            candidates.withColumn("url_hash", self._key_hash(url_col))
         )
         # NB: StructType.add MUTATES the df's cached schema object — build a
         # fresh StructType for the probe output schema instead

@@ -113,31 +113,74 @@ def cosine_topk(
 # -- LSH scale path -----------------------------------------------------------
 
 
-def _plane_component(bit: int, dim_idx: str) -> str:
+def _plane_seed(bit: int) -> int:
+    """Per-plane seed via a splitmix-style avalanche (driver-side Python, so
+    64-bit wraparound is fine), reduced mod the Mersenne prime. No RNG —
+    signatures are stable across runs/partitions (resume + oracle safety)."""
+    x = ((bit + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return x % HASH_P or 1
+
+
+def _plane_component(bit: int, one_based_dim: str) -> str:
     """Deterministic pseudo-random hyperplane component in {-1, +1}.
 
-    plane[bit][d] = sign derived from an affine hash of (bit, d) — no RNG, so
-    signatures are stable across runs/partitions (resume + oracle safety).
+    plane[bit][d] = low bit of one MINSTD step seeded per (bit, d):
+    ``((seed_bit * d + off) % P * 48271) % P % 2``. All intermediates fit in
+    a signed 64-bit BIGINT (seed < P ≈ 2.1e9, P * 48271 ≈ 1e14), so the
+    expression is safe under Spark's ANSI overflow checking and renders
+    identically in DuckDB. The affine family used before this had a period-4
+    sign pattern — every table saw the same two planes; the MINSTD step
+    decorrelates bits and tables.
     """
-    a = 1_103_515_245 + 12_345 * (bit + 1)
+    seed = _plane_seed(bit)
+    off = _plane_seed(bit + 1_000_003)
     return (
-        f"((CAST({a} AS BIGINT) * (CAST({dim_idx} AS BIGINT) + 1) "
-        f"+ {7919 * (bit + 1)}) % {HASH_P} % 2) * 2 - 1"
+        f"((({seed} * ({one_based_dim}) + {off}) % {HASH_P} * 48271) "
+        f"% {HASH_P} % 2) * 2 - 1"
     )
 
 
-def lsh_signature(vec_col: str, n_bits: int = 8):
-    """Sign-bit signature: bit b = [dot(vec, plane_b) > 0], packed to int."""
+def lsh_signature(vec_col: str, n_bits: int = 8, table: int = 0):
+    """Sign-bit signature: bit b = [dot(vec, plane_b) > 0], packed to int.
+
+    ``table`` selects an independent hyperplane family (global plane index
+    ``table * n_bits + b``), so multiple hash tables see independent bucket
+    partitions of the same corpus. Table 0 reproduces the single-table
+    signature exactly.
+    """
     terms = []
     for b in range(n_bits):
-        comp = _plane_component(b, "i")
+        comp = _plane_component(table * n_bits + b, "CAST(i AS BIGINT) + 1")
         dot = (
             f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, i) -> CAST(x AS DOUBLE) * ({comp})), "
+            f"(x, i) -> CAST(x AS DOUBLE) * CAST({comp} AS DOUBLE)), "
             f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
     return F.expr("(" + " + ".join(terms) + ")").cast("long")
+
+
+def lsh_signature_duck_sql(vec: str, n_bits: int = 8, table: int = 0) -> str:
+    """DuckDB rendering of ``lsh_signature`` — same planes, same fold order.
+
+    Mirrors the Spark expression exactly (double-cast before multiply,
+    sequential in-order sum, strict ``> 0`` sign test) so the LSH ANN path is
+    oracle-checkable end-to-end, like the textstats kernels.
+    """
+    terms = []
+    for b in range(n_bits):
+        comp = _plane_component(table * n_bits + b, "i")
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * CAST({comp} AS DOUBLE)))"
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
 
 
 def lsh_topk(
@@ -145,26 +188,38 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_bits: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket, exact re-rank inside.
+    """Approximate top-k: candidates share an LSH bucket in ANY of
+    ``n_tables`` hash tables; exact re-rank inside the candidate set.
 
-    Recall is tuned by ``n_bits`` (fewer bits → bigger buckets → higher
-    recall & cost). The bucket join shuffles only on the signature — at
-    10^10 vectors each task handles one bucket range, never the corpus.
+    Recall tuning: fewer ``n_bits`` → bigger buckets → higher recall & cost;
+    more ``n_tables`` → more independent chances for a true neighbor to
+    collide with its query (recall@k grows monotonically with n_tables at
+    fixed n_bits — asserted in tests/test_training_ops.py). Each table's
+    bucket join shuffles only on the signature — at 10^10 vectors a task
+    handles one bucket range, never the corpus; candidate pairs are deduped
+    across tables before scoring so each pair is scored once.
     """
-    c = corpus.withColumn("bucket", lsh_signature(vec_col, n_bits))
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("qv")
-        ).withColumn("bucket", lsh_signature("qv", n_bits))
-    )
-    cand = (
-        c.join(q, on="bucket", how="inner")
-        .where(F.col(query_id_col) != F.col(id_col))
-        .withColumn("cosine", cosine_expr("qv", vec_col))
+    cand = None
+    for t in range(n_tables):
+        c = corpus.select(id_col, vec_col).withColumn(
+            "bucket", lsh_signature(vec_col, n_bits, table=t)
+        )
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col), F.col(vec_col).alias("qv")
+            ).withColumn("bucket", lsh_signature("qv", n_bits, table=t))
+        )
+        pairs = c.join(q, on="bucket", how="inner").where(
+            F.col(query_id_col) != F.col(id_col)
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates([query_id_col, id_col]).withColumn(
+        "cosine", cosine_expr("qv", vec_col)
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)

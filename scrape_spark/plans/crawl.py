@@ -175,6 +175,7 @@ class CrawlJob:
         broadcast_batch_limit: int = 2_000_000,
         compact_every: int = 8,
         pages_bucketed: bool = False,
+        url_key_chars: int | None = None,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -192,8 +193,14 @@ class CrawlJob:
         self.zero_delay_cap = zero_delay_cap
         self.broadcast_batch_limit = broadcast_batch_limit
         self.compact_every = compact_every
+        # SURVEY §7.4 strict-parity mode: 255 reproduces the reference's
+        # MySQL ``url(255)`` unique-key truncation for dedup; None = full URL
+        self.url_key_chars = url_key_chars
         self.seen = SeenSet(
-            store, n_buckets=n_buckets, bucket_capacity=bucket_capacity
+            store,
+            n_buckets=n_buckets,
+            bucket_capacity=bucket_capacity,
+            url_key_chars=url_key_chars,
         )
 
     # -- setup -----------------------------------------------------------------
@@ -412,9 +419,22 @@ class CrawlJob:
                 "depth",
             )
         )
-        fresh = first_discovery(
-            edges, "url", ["parent_seq", "link_pos"], ["title", "referrer", "depth"]
-        )
+        if self.url_key_chars:
+            # MySQL url(255) prefix-key collisions: first INSERT wins, the
+            # stored row keeps the first full url (ON DUPLICATE KEY upsert
+            # never replaces the url column)
+            fresh = first_discovery(
+                edges.withColumn(
+                    "_ukey", F.substring("url", 1, self.url_key_chars)
+                ),
+                "_ukey",
+                ["parent_seq", "link_pos"],
+                ["url", "title", "referrer", "depth"],
+            ).drop("_ukey")
+        else:
+            fresh = first_discovery(
+                edges, "url", ["parent_seq", "link_pos"], ["title", "referrer", "depth"]
+            )
         new = self.seen.filter_new(fresh)
 
         delta, next_seq = self._round_delta(batch, blocked, hits, new, round_idx, meta0)

@@ -67,10 +67,11 @@ def page_html(
             # relative href — exercises urljoin resolution (F2)
             anchors.append(f'<a href="{leaf}/{j}">Child {j}</a>')
         elif idx == 1:
-            # img alt+title anchor text (F5 concat order: "" + Alt + Title)
+            # img alt+title anchor text (F5 concat order: "" + Alt + Title);
+            # self-closed so the XHTML page variant stays well-formed XML
             anchors.append(
                 f'<a href="{child_path}">'
-                f'<img src="i.jpg" alt="Alt{j}" title="Title{j}"></a>'
+                f'<img src="i.jpg" alt="Alt{j}" title="Title{j}"/></a>'
             )
         else:
             anchors.append(f'<a href="{child_path}">Child {j}</a>')
@@ -87,10 +88,27 @@ def page_html(
         f"w{(node_id * 2654435761 + i * 40503) % 99991}"
         for i in range(8 * filler_repeat)
     )
-    html = (
-        f"<html><head><title>Page {host} {path}</title></head><body>"
-        f"<h1>H {path}</h1><p>body {filler}</p>\n" + "\n".join(anchors) + "\n</body></html>"
+    body = (
+        f"<h1>H {path}</h1><p>body {filler}</p>\n" + "\n".join(anchors) + "\n"
     )
+    if node_id % 7 == 2:
+        # P8 routing fixture: every 7th-ish page is served as well-formed
+        # XHTML with an XML declaration — link extraction must route through
+        # the XML parser (reference scraper.py:154-157) and still produce
+        # the same link set; text/title stay on the HTML parser either way
+        html = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<html xmlns="http://www.w3.org/1999/xhtml">'
+            f"<head><title>Page {host} {path}</title></head><body>"
+            + body
+            + "</body></html>"
+        )
+    else:
+        html = (
+            f"<html><head><title>Page {host} {path}</title></head><body>"
+            + body
+            + "</body></html>"
+        )
     return url, html
 
 

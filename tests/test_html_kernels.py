@@ -230,3 +230,69 @@ def test_first_img_with_attr_wins():
     links = extract_links(html, "http://example.com")
     # first img with alt → A1; first img with title → T2
     assert links == [("http://example.com/p", "A1 T2")]
+
+
+# -- P8: XML parser routing (reference scraper.py:154-157) --------------------
+
+XHTML = """<?xml version="1.0" encoding="UTF-8"?>
+<html xmlns="http://www.w3.org/1999/xhtml"><head><title> XML Title </title></head>
+<body><p>hello</p>
+<a href="/p/0/1">Child 1</a>
+<a href="/p/0/2"><img src="i.jpg" alt="Alt2" title="Title2"/></a>
+<A HREF="/p/0/9">NotAnAnchorInXml</A>
+<a>NoHref</a>
+<a href="http://other.test/x">External</a>
+</body></html>"""
+
+
+def test_xml_routing_extracts_links_case_sensitively():
+    from scrape_spark.functions.htmlparse import extract_links
+
+    links = extract_links(XHTML, "http://h.test/p/0")
+    # the uppercase <A HREF> is NOT an anchor under the XML parser
+    assert links == [
+        ("http://h.test/p/0/1", "Child 1"),
+        ("http://h.test/p/0/2", "Alt2 Title2"),
+    ]
+
+
+def test_html_parser_would_have_matched_uppercase_anchor():
+    from scrape_spark.functions.htmlparse import extract_links
+
+    # same doc WITHOUT the <?xml marker → tolerant HTML parse, case-folded
+    html = XHTML.split("?>", 1)[1]
+    links = extract_links(html, "http://h.test/p/0")
+    assert ("http://h.test/p/0/9", "NotAnAnchorInXml") in links
+
+
+def test_xml_page_title_and_text_use_html_parser():
+    from scrape_spark.functions.htmlparse import parse_page
+
+    text, title, links = parse_page(XHTML, "http://h.test/p/0")
+    # reference: extract_title / get_text always run html.parser
+    # (scraper.py:85-88, fetch_and_store_robots.py:35-37)
+    assert title == "XML Title"
+    assert text.startswith("XML Titlehello")
+    assert "<?xml" not in text
+
+
+def test_malformed_xml_falls_back_to_tolerant_html_parse():
+    from scrape_spark.functions.htmlparse import extract_links
+
+    bad = '<?xml version="1.0"?><html><body><a href="/p/0/1">C1</a><img src="x">' \
+          "</body></html>"  # unclosed <img> → not well-formed XML
+    links = extract_links(bad, "http://h.test/p/0")
+    assert links == [("http://h.test/p/0/1", "C1")]
+
+
+def test_xml_namespaced_elements_resolve_by_local_name():
+    from scrape_spark.functions.htmlparse import extract_links
+
+    doc = (
+        '<?xml version="1.0"?>'
+        '<x:root xmlns:x="urn:x" xmlns="http://www.w3.org/1999/xhtml">'
+        '<a href="/p/0/3">ns</a></x:root>'
+    )
+    assert extract_links(doc, "http://h.test/p/0") == [
+        ("http://h.test/p/0/3", "ns")
+    ]
