@@ -197,6 +197,8 @@ def _parse_robots_pdf(pdf: pd.DataFrame, now: _dt.datetime | None = None) -> pd.
         now = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
     expires = now + _dt.timedelta(hours=TTL_HOURS)
     for host, agent, body in zip(pdf["host"], pdf["user_agent"], pdf["robots_txt"]):
+        if not isinstance(body, str):
+            body = None  # NaN from a negative-cache left join
         disallow, allow, delay = parse_robots_body(body, agent)
         out.append((host, agent, disallow, allow, delay, now, expires))
     return pd.DataFrame(
@@ -238,22 +240,28 @@ def refresh_robots(
     user_agent: str = "MyScraperBot",
     now: Column | None = None,
     now_dt: _dt.datetime | None = None,
+    negative_cache: bool = False,
 ) -> DataFrame:
     """Refresh rules for hosts that are missing or expired → new dim table.
 
     ``needed_hosts``: one column ``host`` (the batch's distinct hosts).
     ``robots_txt_source``: (host, robots_txt string) — the simulated network.
-    Hosts absent from the source keep no row (reference: fetch failure stores
-    nothing, fetch_and_store_robots skips DB on URLError,
-    robots_handler.py:42-44 → default allow downstream).
+    By default, hosts absent from the source keep no row (reference: fetch
+    failure stores nothing, fetch_and_store_robots skips DB on URLError,
+    robots_handler.py:42-44 → default allow downstream). With
+    ``negative_cache=True`` a failed fetch stores an EMPTY-rules row with the
+    normal TTL — the allow/deny/delay outcome is identical (no patterns →
+    allowed, delay 0), but the host is not re-fetched on every single page
+    until the TTL lapses (the reference re-fetches dead hosts' robots.txt per
+    page — wasted work the engine declines to reproduce at 10^10 scale).
 
     Upsert = anti-join old rows out, union parsed new rows (Iceberg MERGE in
     production, keyed (host, user_agent) — robots_handler.py:27-39).
     """
     stale = stale_hosts(robots, needed_hosts, user_agent, now)
-    fetched = stale.join(robots_txt_source, on="host", how="inner").withColumn(
-        "user_agent", F.lit(user_agent)
-    )
+    fetched = stale.join(
+        robots_txt_source, on="host", how="left" if negative_cache else "inner"
+    ).withColumn("user_agent", F.lit(user_agent))
     if now_dt is None:
         now_dt = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
     parsed = fetched.groupBy("host").applyInPandas(

@@ -18,14 +18,19 @@ a two-tier distributed design sized for a 10^10-URL frontier:
 2. **Exact checks** (correctness path):
 
    - rows the base bloom flags "maybe seen" — true duplicates plus the
-     bloom's ~1e-4 false positives — anti-join the full seen table on
-     ``url_hash`` (both sides also carry ``url`` for strict mode);
+     bloom's ~1e-4 false positives — are resolved with a semi-join +
+     anti-join pair in which the seen table is only ever SCANNED
+     (column-pruned to the key; the small maybe/present sides broadcast),
+     never shuffled;
    - rows the base bloom clears ("definitely not in the base") still
      anti-join the DELTA key set — the keys appended since the last
-     compaction, a bounded O(compact_every × round_new) side that the
-     planner can broadcast.
+     compaction, a bounded O(compact_every × round_new) broadcast side.
 
-   Dedup is therefore EXACT; blooms only shrink the expensive join.
+   Dedup is therefore EXACT; blooms only shrink the expensive checks.
+
+Below ``probe_broadcast_limit`` keys (known from snapshot metadata, zero
+jobs) the whole probe collapses to ONE broadcast anti-join — the same
+size-based strategy switch AQE applies to joins.
 
 Writes are O(new) per round: ``add`` appends one key delta (Iceberg append
 commit in production); blooms are rebuilt only at compaction, so a crawl
@@ -57,6 +62,7 @@ class SeenSet:
         bucket_capacity: int = 1 << 17,
         name: str = "seen",
         url_key_chars: int | None = None,
+        probe_broadcast_limit: int = 2_000_000,
     ) -> None:
         self.store = store
         self.spark = store.spark
@@ -68,6 +74,9 @@ class SeenSet:
         # None (default) dedups on the full URL (the better behavior,
         # divergence documented).
         self.url_key_chars = url_key_chars
+        # below this many seen keys, filter_new uses one broadcast anti-join
+        # instead of the bloom machinery (size known from snapshot metadata)
+        self.probe_broadcast_limit = probe_broadcast_limit
         # blooms are FIXED-SIZE per bucket (sized for bucket_capacity keys):
         # size n_buckets × bucket_capacity ≥ expected total URLs (10^10 →
         # 4096 buckets of 2.5M keys ≈ 5 MB each). Exceeding capacity only
@@ -118,6 +127,8 @@ class SeenSet:
         url_col: str = "url",
         compact_every: int = 16,
         meta: dict | None = None,
+        assume_unique: bool = False,
+        n_rows: int | None = None,
     ) -> int:
         """Append new (url, url_hash) keys as a delta snapshot.
 
@@ -132,13 +143,14 @@ class SeenSet:
         checkpoint rollback can rewind the seen set in lockstep with the
         frontier (CrawlJob.rollback_to_round).
         """
-        new = (
-            urls.select(
-                F.col(url_col).alias("url"),
-                self._key_hash(url_col).alias("url_hash"),
-            )
-            .dropDuplicates(["url_hash"])
+        new = urls.select(
+            F.col(url_col).alias("url"),
+            self._key_hash(url_col).alias("url_hash"),
         )
+        if not assume_unique:
+            new = new.dropDuplicates(["url_hash"])
+        # else: caller guarantees key-uniqueness (the crawl round's new rows
+        # went through first-discovery + filter_new) — skip the extra shuffle
         new = self._with_bucket(new)
         base_meta = dict(meta or {})
         if self.is_empty():
@@ -152,6 +164,9 @@ class SeenSet:
             snap_id = self.store.write(
                 self.name, new, meta={**base_meta, "delta": True},
                 partition_by=[_BUCKET],
+                coalesce=(
+                    self.store.partitions_for(n_rows) if n_rows is not None else None
+                ),
             )
             return snap_id
 
@@ -159,13 +174,22 @@ class SeenSet:
         # entirely on executors (groupBy-bucket build, store-table write);
         # nothing is collected and no local sidecar files exist
         merged = merged.persist()
+        total = 0 if self.is_empty() else self._total_rows()
         snap_id = self.store.write(
-            self.name, merged, meta=snap_meta, partition_by=[_BUCKET]
+            self.name, merged, meta=snap_meta, partition_by=[_BUCKET],
+            coalesce=(
+                self.store.partitions_for(total + (n_rows or 0))
+                if total >= 0 else None
+            ),
         )
         blooms = merged.select(_BUCKET, "url_hash").groupBy(_BUCKET).applyInPandas(
             _build_bloom_fn(self.m_bits), schema=BLOOM_SCHEMA
         )
-        self.store.write(self.bloom_name, blooms, meta={**base_meta, "base": True})
+        # ~24 blooms (~120 MB at the 10^10 sizing) per file
+        self.store.write(
+            self.bloom_name, blooms, meta={**base_meta, "base": True},
+            coalesce=max(1, self.n_buckets // 24),
+        )
         merged.unpersist()
         return snap_id
 
@@ -206,19 +230,65 @@ class SeenSet:
         )
 
     # -- probe path ----------------------------------------------------------
-    def filter_new(
-        self, candidates: DataFrame, url_col: str = "url", exact_on_url: bool = False
-    ) -> DataFrame:
-        """Rows of ``candidates`` whose URL is NOT in the seen set.
+    def _total_rows(self) -> int:
+        """Upper bound on seen keys from manifest row counts — zero jobs.
 
-        Plan shape (see module doc): bucket → cogroup bloom probe against the
-        base blooms → "maybe seen" rows anti-join the full seen table, while
-        "definitely new" rows anti-join only the (small) post-base delta
-        keys. With an empty seen set the input is returned unchanged (minus
-        helper columns).
+        Chain rows over-count only by cross-delta duplicates (none in normal
+        operation); -1 when any snapshot's count is unavailable.
+        """
+        total = 0
+        for p in self.store.chain_parts(self.name):
+            if p["rows"] < 0:
+                return -1
+            total += p["rows"]
+        return total
+
+    def filter_new(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        exact_on_url: bool = False,
+        broadcast_limit: int | None = None,
+    ) -> DataFrame:
+        """Rows of ``candidates`` whose URL is NOT in the seen set. Exact.
+
+        Size-adaptive plan (the seen-set row count is known from snapshot
+        metadata, zero Spark jobs — the same size-based strategy choice AQE
+        makes for joins):
+
+        - **small seen set** (≤ ``broadcast_limit`` keys): ONE broadcast
+          anti-join. No bloom probe, no repartition, no Python workers.
+        - **large seen set** (the 10^10 path): bucket-cogroup bloom probe
+          against the base blooms; "maybe seen" rows (dups + ~1e-4 FPs) are
+          checked exactly with a semi-join + anti-join pair in which the big
+          seen side is only ever SCANNED (column-pruned to the key, AQE
+          broadcasts the small sides) — the seen table never crosses an
+          exchange; "definitely new" rows check only the post-base delta
+          keys (bounded by compaction cadence).
+
+        With an empty seen set the input is returned unchanged.
         """
         if self.is_empty():
             return candidates
+        if broadcast_limit is None:
+            broadcast_limit = self.probe_broadcast_limit
+
+        key = url_col if exact_on_url else "url_hash"
+
+        def _keys(df: DataFrame) -> DataFrame:
+            return df.select(F.col("url").alias(url_col)) if exact_on_url else (
+                df.select("url_hash")
+            )
+
+        total = self._total_rows()
+        if 0 <= total <= broadcast_limit:
+            cand = candidates.withColumn("url_hash", self._key_hash(url_col))
+            out = cand.join(
+                F.broadcast(_keys(self.read())), on=key, how="left_anti"
+            )
+            return out.drop(
+                *(["url_hash"] if "url_hash" not in candidates.columns else [])
+            )
 
         cand = self._with_bucket(
             candidates.withColumn("url_hash", self._key_hash(url_col))
@@ -238,27 +308,27 @@ class SeenSet:
                 .cogroup(blooms.groupBy(_BUCKET))
                 .applyInPandas(_probe_fn, schema=schema)
             )
-        else:  # store predates bloom tables: everything goes to the exact join
+        else:  # store predates bloom tables: everything goes to the exact check
             probed = cand.withColumn("maybe_seen", F.lit(True))
 
         definitely_new = probed.where(~F.col("maybe_seen"))
         maybe_seen = probed.where(F.col("maybe_seen"))
 
-        seen = self.read()
-        key = url_col if exact_on_url else "url_hash"
+        # exact check without shuffling the seen table: PRESENT = seen ⋉ maybe
+        # (scan seen, AQE-broadcast the small maybe key set), then
+        # survivors = maybe ⋉̸ PRESENT (PRESENT is tiny → broadcast anti-join)
+        present = _keys(self.read()).join(
+            _keys(maybe_seen), on=key, how="left_semi"
+        )
+        survivors = maybe_seen.join(present, on=key, how="left_anti")
 
-        def _anti(left: DataFrame, right: DataFrame | None) -> DataFrame:
-            if right is None:
-                return left
-            r = right.select(F.col("url").alias(url_col)) if exact_on_url else (
-                right.select("url_hash")
-            )
-            return left.join(r, on=key, how="left_anti")
-
-        survivors = _anti(maybe_seen, seen)
         # base bloom says "not in base" — only the post-base deltas can still
         # contain the key (bounded by compaction cadence → broadcastable)
-        definitely_new = _anti(definitely_new, self._delta_keys())
+        deltas = self._delta_keys()
+        if deltas is not None:
+            definitely_new = definitely_new.join(
+                F.broadcast(_keys(deltas)), on=key, how="left_anti"
+            )
         return definitely_new.unionByName(survivors).drop(
             "maybe_seen", _BUCKET, *(["url_hash"] if "url_hash" not in candidates.columns else [])
         )

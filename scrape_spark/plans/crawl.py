@@ -254,6 +254,7 @@ class CrawlJob:
         self.store.write(
             "frontier",
             seeds,
+            coalesce=SnapshotStore.partitions_for(len(urls)),
             meta={
                 "event": "seed",
                 "base": True,
@@ -264,6 +265,15 @@ class CrawlJob:
             },
         )
         self.seen.add(seeds.select("url"), meta={"round": -1})
+        # establish the robots coverage invariant at seed time: every host
+        # present in the frontier has a (possibly negative-cached) rules row,
+        # so rounds only ever need to check NEWLY-discovered hosts
+        robots = self._robots()
+        seed_hosts = seeds.select("host")
+        if not stale_hosts(robots, seed_hosts, self.user_agent).isEmpty():
+            self._refresh_robots_write(robots, seed_hosts, round_idx=-1)
+        else:
+            self._bump_robots_watermark()
 
     # -- state helpers -----------------------------------------------------------
     def frontier(self) -> DataFrame:
@@ -278,6 +288,76 @@ class CrawlJob:
         from scrape_spark.operators.robots import ROBOTS_SCHEMA
 
         return self.spark.createDataFrame([], ROBOTS_SCHEMA)
+
+    # -- robots bookkeeping (P4/S5 at scale) ----------------------------------
+    # Invariant: the robots table covers every host present in the frontier
+    # (fetch failures are negative-cached with the same TTL — identical
+    # allow/deny outcome). Two watermarks in the robots snapshot meta make the
+    # steady-state round cost ZERO robots jobs:
+    #   min_expires   — earliest TTL in the table; before it, no row can be
+    #                   stale, so nothing needs re-fetching;
+    #   frontier_snap — last frontier snapshot whose hosts were checked; only
+    #                   frontier deltas AFTER it can introduce new hosts, so
+    #                   the check reads O(recent new rows), never the frontier.
+
+    def _bump_robots_watermark(self) -> None:
+        f_snap = self.store.current_snapshot("frontier")
+        if self.store.exists("robots") and f_snap is not None:
+            self.store.update_meta("robots", frontier_snap=f_snap["id"])
+
+    def _refresh_robots_write(
+        self, robots: DataFrame, hosts: DataFrame, round_idx: int
+    ) -> DataFrame:
+        refreshed = refresh_robots(
+            robots, hosts, self.robots_source, self.user_agent, negative_cache=True
+        )
+        self.store.write(
+            "robots",
+            refreshed,
+            meta={"event": "round", "round": round_idx},
+            coalesce=1,  # per-host dim table: small rows, one file
+        )
+        refreshed = self.store.read("robots")  # cut lineage
+        row = refreshed.agg(F.min("expires_at").alias("m")).collect()[0]
+        me = row["m"].isoformat() if row["m"] is not None else None
+        f_snap = self.store.current_snapshot("frontier")
+        self.store.update_meta(
+            "robots",
+            min_expires=me,
+            frontier_snap=f_snap["id"] if f_snap else -1,
+        )
+        return refreshed
+
+    def _robots_for_round(self, pending: DataFrame, round_idx: int) -> DataFrame:
+        """Rules table for the round — usually zero Spark jobs (see above)."""
+        robots = self._robots()
+        snap = self.store.current_snapshot("robots")
+        check = None
+        if snap is None:
+            check = pending.select("host")
+        else:
+            m = snap["meta"]
+            me, fs = m.get("min_expires"), m.get("frontier_snap")
+            now = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
+            if me is None or fs is None or now >= _dt.datetime.fromisoformat(me):
+                check = pending.select("host")  # TTL lapsed / legacy store
+            else:
+                newer = [
+                    p for p in self.store.chain_parts("frontier") if p["id"] > fs
+                ]
+                for p in newer:  # O(new rows since last check), tiny
+                    d = (
+                        self.spark.read.parquet(p["path"])
+                        .where(F.col("status") == "pending")
+                        .select("host")
+                    )
+                    check = d if check is None else check.unionByName(d)
+        if check is not None:
+            if not stale_hosts(robots, check, self.user_agent).isEmpty():
+                robots = self._refresh_robots_write(robots, check, round_idx)
+            else:
+                self._bump_robots_watermark()
+        return robots
 
     def _meta(self) -> dict:
         snap = self.store.current_snapshot("frontier")
@@ -329,17 +409,7 @@ class CrawlJob:
                 return None
 
         # --- robots refresh for stale/missing hosts only (P4/S5) ---
-        # skip the snapshot rewrite entirely when every pending host has valid
-        # rules (the common steady-state: TTL is 24h, rounds are minutes)
-        robots = self._robots()
-        if not stale_hosts(robots, pending.select("host"), self.user_agent).isEmpty():
-            robots = refresh_robots(
-                robots, pending.select("host"), self.robots_source, self.user_agent
-            )
-            self.store.write(
-                "robots", robots, meta={"event": "round", "round": round_idx}
-            )
-            robots = self.store.read("robots")  # cut lineage
+        robots = self._robots_for_round(pending, round_idx)
 
         # --- robots gate (D2/P3) + politeness (T3) ---
         gated = join_robots(pending, robots, self.user_agent)
@@ -474,11 +544,19 @@ class CrawlJob:
             "delta": True,
             "round_wall_sec": round(time.time() - t0, 3),
         }
-        self.store.write("frontier", delta, meta=metrics)
+        n_delta = n_done + n_err + n_blocked + n_new
+        self.store.write(
+            "frontier",
+            delta,
+            meta=metrics,
+            coalesce=SnapshotStore.partitions_for(n_delta),
+        )
         if n_new:
             self.seen.add(
                 delta.where(F.col("status") == "pending").select("url"),
                 meta={"round": round_idx},
+                assume_unique=True,
+                n_rows=n_new,
             )
         for df in (pending, batch, hits, delta):
             df.unpersist()
@@ -586,9 +664,11 @@ class CrawlJob:
         if self.store.chain_length("frontier") < self.compact_every:
             return
         merged = self.frontier()
+        total = sum(max(p["rows"], 0) for p in self.store.chain_parts("frontier"))
         self.store.write(
             "frontier",
             merged,
+            coalesce=SnapshotStore.partitions_for(total),
             meta={
                 "event": "compaction",
                 "base": True,

@@ -88,12 +88,23 @@ class SnapshotStore:
         return path if os.path.isabs(path) else os.path.join(self.root, path)
 
     # -- writes ------------------------------------------------------------
+    @staticmethod
+    def partitions_for(rows: int, rows_per_file: int = 250_000) -> int:
+        """Write-parallelism for a known row count: ~128 MB files, capped.
+
+        Small deltas must not inherit the session's 32 shuffle partitions —
+        a chain of snapshots each made of 32 near-empty files multiplies
+        every later scan's task count and file-listing cost.
+        """
+        return max(1, min(200, rows // rows_per_file + 1))
+
     def write(
         self,
         name: str,
         df: DataFrame,
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        coalesce: int | None = None,
     ) -> int:
         """Write ``df`` as the table's next snapshot; returns the snapshot id.
 
@@ -119,6 +130,8 @@ class SnapshotStore:
                 shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
         rel_path = os.path.join(name, f"snap_{snap_id:05d}")
         path = os.path.join(self.root, rel_path)
+        if coalesce is not None:
+            df = df.coalesce(coalesce)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -250,6 +263,16 @@ class SnapshotStore:
         """Snapshot chain with per-snapshot metadata (round metrics)."""
         tbl = self._load()["tables"].get(name)
         return list(tbl["snapshots"]) if tbl else []
+
+    def update_meta(self, name: str, **kv) -> None:
+        """Merge keys into the CURRENT snapshot's metadata (manifest-only,
+        atomic — no data write). Used for cheap watermarks, e.g. the robots
+        coverage checkpoint, where rewriting the table would be waste."""
+        manifest = self._load()
+        tbl = manifest["tables"][name]
+        snap = next(s for s in tbl["snapshots"] if s["id"] == tbl["current"])
+        snap["meta"].update(kv)
+        self._save(manifest)
 
     # -- admin -------------------------------------------------------------
     def rollback(self, name: str, snapshot_id: int) -> None:

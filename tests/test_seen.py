@@ -76,3 +76,23 @@ def test_bloom_prefilter_routes_most_rows_past_join(spark, tmp_path):
     assert seen.filter_new(fresh).count() == 1000
     dups = _urls(spark, [f"http://h.test/{i}" for i in range(1000)])
     assert seen.filter_new(dups).count() == 0
+
+
+def test_large_path_bloom_cogroup_matches_small_path(spark, tmp_path):
+    """Forcing the bloom/cogroup path (probe_broadcast_limit=0) must give
+    exactly the same survivors as the small broadcast path."""
+    small = _mk(spark, tmp_path)
+    small.add(_urls(spark, [f"http://h.test/p/{i}" for i in range(300)]))
+    small.add(_urls(spark, [f"http://h.test/q/{i}" for i in range(50)]))  # delta
+    cand = _urls(
+        spark,
+        [f"http://h.test/p/{i}" for i in range(250, 320)]
+        + [f"http://h.test/q/{i}" for i in range(40, 60)],
+    )
+    expect = {r["url"] for r in small.filter_new(cand).collect()}
+    small.probe_broadcast_limit = 0  # force bloom + scan-only exact checks
+    got = {r["url"] for r in small.filter_new(cand).collect()}
+    assert got == expect
+    assert got == {f"http://h.test/p/{i}" for i in range(300, 320)} | {
+        f"http://h.test/q/{i}" for i in range(50, 60)
+    }
