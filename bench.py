@@ -356,12 +356,21 @@ def scaling_bench(
 
 
 def scaling_one(cores: int, work_dir: str, n_hosts: int, pages_per_host: int, filler: int) -> None:
-    """One timed rep at one level (invoked as a subprocess under taskset)."""
+    """One timed rep at one level (invoked as a subprocess under taskset).
+
+    A FULL-SIZE untimed warm-up pass precedes the timed rep: fresh-process
+    costs (JIT, Arrow worker spin-up, shuffle-service init, first-touch page
+    faults) are identical absolute overheads at both levels, so charging
+    them to the timed region biases the small level's ratio. The timed rep
+    measures the steady-state engine — the quantity the north rule's
+    N→4N-executor criterion is about — while process-per-rep alternation
+    keeps the host-state sampling unbiased between levels.
+    """
     spark = _spark(f"local[{cores}]", cores)
     try:
         pages = _gen_pages_bucketed(spark, work_dir, n_hosts, pages_per_host, filler)
         _warm_page_cache(work_dir)
-        expand_round_bench(spark, pages.limit(2000), n_hosts, broadcast_probe=False)
+        expand_round_bench(spark, pages, n_hosts, broadcast_probe=False)  # warm-up
         wall, urls = expand_round_bench(spark, pages, n_hosts, broadcast_probe=False)
         rec = {
             "cores": cores,
