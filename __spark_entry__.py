@@ -814,7 +814,34 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_features", None)
+# hex-digit value of char i (1-based) of a sha256 hex string, DuckDB-side
+def _duck_hexdig(sha: str, i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr({sha}, {i}, 1)) - 1)"
+
+
+def _duck_hexbyte(sha: str, byte_idx: int) -> str:
+    """byte value h[byte_idx] of the digest (0-based byte → hex chars)."""
+    i = byte_idx * 2 + 1
+    return f"(16 * {_duck_hexdig(sha, i)} + {_duck_hexdig(sha, i + 1)})"
+
+
+@_q(
+    "multimodal_features",
+    # the decode STUB is a pure formula over sha256(payload)
+    # (multimodal._fake_decode) — so the whole plumbing is oracle-checkable;
+    # a real deployment swaps only the decode kernel
+    f"""WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha,
+                   octet_length(encode(text)) AS n_bytes FROM documents),
+f AS (SELECT media_id, 'image' AS media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+             sha AS content_sha,
+             CAST(64 + {_duck_hexbyte('sha', 0)} % 192 AS INT) AS width,
+             CAST(64 + {_duck_hexbyte('sha', 1)} % 192 AS INT) AS height,
+             CAST(0 AS BIGINT) AS duration_ms
+      FROM m)
+SELECT *, CAST(floor(least(1.0, 224.0 / greatest(width, height)) * 10000) AS BIGINT)
+       AS resize_scale_q4
+FROM f""",
+)
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: decode-stub feature extraction + resize plan."""
     from scrape_spark.functions.multimodal import (
@@ -824,7 +851,17 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = media_from_documents(_docs(spark, sf_dir))
-    return resize_plan(extract_features(media))
+    out = resize_plan(extract_features(media))
+    # floor-scaled like doc_quality: double→decimal round() half-up differs
+    # between engines at representation boundaries; floor(x*1e4) is exact
+    return out.select(
+        "media_id", "media_type", "n_bytes", "content_sha",
+        "width", "height", "duration_ms",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(224.0) / F.greatest("width", "height"))
+            * 10000
+        ).cast("long").alias("resize_scale_q4"),
+    )
 
 
 @_q("extracted_text_invariant", None)
