@@ -77,3 +77,69 @@ def fetch_metrics_stream(
 def frontier_file_stream(spark, frontier_dir: str, schema: str) -> DataFrame:
     """Tail a frontier append directory as a file stream (live enqueue feed)."""
     return spark.readStream.schema(schema).parquet(frontier_dir)
+
+
+def politeness_slot_stream(
+    candidates: DataFrame,
+    crawl_delays: dict[str, int] | None = None,
+    default_delay: int = 1,
+    time_col: str = "enqueued_at",
+) -> DataFrame:
+    """Stateful per-host fetch-slot assignment over a candidate URL stream.
+
+    The custom stateful operator of SURVEY §2.8: the reference's
+    ``time.sleep(crawl_delay)``-before-every-fetch loop (scraper.py:28-36)
+    becomes per-host **state** carried across micro-batches with
+    ``applyInPandasWithState`` — each host's state is its last granted slot;
+    a new candidate gets ``max(event_time, last_slot + delay)``, so per-host
+    spacing ≥ crawl_delay holds across the entire stream lifetime (not just
+    within one micro-batch), while hosts proceed in parallel.
+
+    ``crawl_delays``: host → seconds (the robots dim collected once by the
+    caller; small). State per host is one long — bounded by host count, the
+    same cardinality the robots cache already carries.
+
+    Input: streaming (url, ``time_col`` timestamp, …). Output: input columns
+    + ``host`` + ``fetch_slot`` timestamp.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    delays = dict(crawl_delays or {})
+    with_host = candidates.withColumn("host", url_host("url"))
+    out_schema = StructType(
+        list(with_host.schema.fields) + [StructField("fetch_slot", TimestampType())]
+    )
+    state_schema = StructType([StructField("last_slot_epoch", LongType())])
+
+    def assign(key, pdfs, state):
+        host = key[0]
+        delay = int(delays.get(host, default_delay))
+        last = state.get[0] if state.exists else None
+        parts = [p for p in pdfs if not p.empty]
+        if not parts:
+            return
+        batch = pd.concat(parts).sort_values([time_col, "url"])
+        slots = []
+        for t in batch[time_col]:
+            epoch = int(pd.Timestamp(t).timestamp())
+            nxt = epoch if last is None else max(epoch, last + delay)
+            slots.append(nxt)
+            last = nxt
+        state.update((int(last),))
+        batch = batch.assign(fetch_slot=pd.to_datetime(slots, unit="s"))
+        yield batch
+
+    return with_host.groupBy("host").applyInPandasWithState(
+        assign,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -65,3 +65,59 @@ def test_streaming_fetch_metrics_windows(spark, tmp_path):
     }
     assert got[("h1.test", 0)] == (2, 1, 100)
     assert got[("h2.test", 1)] == (1, 0, 50)
+
+
+def test_stateful_politeness_slots_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-host slot spacing ≥ crawl_delay holds
+    ACROSS micro-batches (state carries), hosts independent."""
+    import pyspark.sql.functions as F
+
+    from scrape_spark.streaming.frontier_stream import politeness_slot_stream
+
+    src_dir = str(tmp_path / "cand")
+    schema = "url string, enqueued_at timestamp"
+    batch1 = [
+        ("http://slow.test/a", T0),
+        ("http://slow.test/b", T0),  # same arrival → must space out by delay
+        ("http://fast.test/a", T0),
+    ]
+    batch2 = [
+        ("http://slow.test/c", T0 + dt.timedelta(seconds=1)),  # arrives before
+        # slow.test's last granted slot + delay → must be pushed later
+        ("http://fast.test/b", T0 + dt.timedelta(seconds=1)),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(src_dir)
+    )
+    out = politeness_slot_stream(
+        stream, crawl_delays={"slow.test": 5}, default_delay=0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slots")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT host, url, fetch_slot FROM slots").collect()
+    assert len(rows) == 5
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["fetch_slot"])
+    for slots in by_host.values():
+        slots.sort()
+    # slow.test: delay 5 → spacing ≥ 5s even across the batch boundary
+    slow = by_host["slow.test"]
+    assert len(slow) == 3
+    for a, b in zip(slow, slow[1:]):
+        assert (b - a).total_seconds() >= 5, (a, b)
+    # fast.test: delay 0 → slots equal event times
+    fast = by_host["fast.test"]
+    assert [s.second for s in sorted(fast)] == [0, 1]
