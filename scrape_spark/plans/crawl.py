@@ -333,14 +333,15 @@ class CrawlJob:
         robots = self._robots()
         snap = self.store.current_snapshot("robots")
         check = None
+        full_check = False
         if snap is None:
-            check = pending.select("host")
+            check, full_check = pending.select("host"), True
         else:
             m = snap["meta"]
             me, fs = m.get("min_expires"), m.get("frontier_snap")
             now = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
             if me is None or fs is None or now >= _dt.datetime.fromisoformat(me):
-                check = pending.select("host")  # TTL lapsed / legacy store
+                check, full_check = pending.select("host"), True  # TTL lapsed
             else:
                 newer = [
                     p for p in self.store.chain_parts("frontier") if p["id"] > fs
@@ -357,6 +358,22 @@ class CrawlJob:
                 robots = self._refresh_robots_write(robots, check, round_idx)
             else:
                 self._bump_robots_watermark()
+                if full_check:
+                    # TTL lapsed but every PENDING host still has valid rows
+                    # (the expired ones left the frontier): advance
+                    # min_expires over the still-valid rows, else every
+                    # subsequent round repeats the full pending-host scan
+                    from scrape_spark.operators.robots import valid_rules
+
+                    row = (
+                        valid_rules(robots)
+                        .agg(F.min("expires_at").alias("m"))
+                        .collect()[0]
+                    )
+                    if row["m"] is not None:
+                        self.store.update_meta(
+                            "robots", min_expires=row["m"].isoformat()
+                        )
         return robots
 
     def _meta(self) -> dict:
