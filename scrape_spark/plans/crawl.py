@@ -525,25 +525,48 @@ class CrawlJob:
         new = self.seen.filter_new(fresh)
 
         delta, next_seq = self._round_delta(batch, blocked, hits, new, round_idx, meta0)
-        delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # --- metrics (A1/A2/A4 parity + engine extensions): ONE fused agg over
-        # the cached O(batch+new) round delta instead of four count jobs ---
+        # --- metrics (A1/A2/A4 parity + engine extensions) ride ON the write
+        # job via observe(): the round delta is computed ONCE — no separate
+        # agg action, no delta cache. The snapshot commits with provisional
+        # counters and the metrics patch the manifest right after (crash
+        # between the two → resume falls back to the recount paths).
+        from pyspark.sql import Observation
+
         is_done = F.col("status") == "done"
-        row = delta.agg(
+        obs = Observation()
+        delta = delta.observe(
+            obs,
             F.sum(is_done.cast("int")).alias("fetched"),
             F.sum((F.col("status") == "error").cast("int")).alias("errors"),
             F.sum((F.col("status") == "blocked").cast("int")).alias("blocked"),
             F.sum((F.col("status") == "pending").cast("int")).alias("new"),
             F.sum((is_done & ~F.col("text_match")).cast("int")).alias("mism"),
-        ).collect()[0]
+        )
+        prev_snap_id = self.store.current_snapshot("frontier")["id"]
+        self.store.write(
+            "frontier",
+            delta,
+            meta={"event": "round", "round": round_idx, "delta": True,
+                  "n_rounds": round_idx + 1},
+            # file sizing: the exact row count is only known after the write,
+            # so size from the previous round's delta (crawl growth is
+            # smooth); first round falls back to the pending bound
+            coalesce=SnapshotStore.partitions_for(
+                meta0["scheduled"] + meta0["blocked"] + meta0["new_urls"]
+                if "scheduled" in meta0
+                else pending_est * 4
+            ),
+        )
+        row = obs.get
         n_done, n_err = int(row["fetched"] or 0), int(row["errors"] or 0)
         n_blocked, n_new = int(row["blocked"] or 0), int(row["new"] or 0)
         if n_done + n_err + n_blocked + n_new == 0:
             # pending rows exist but nothing is schedulable (e.g. every host's
             # crawl_delay exceeds round_seconds → quota 0): a zero-progress
-            # round must terminate the drive loop, not append empty deltas
-            for df in (pending, batch, hits, delta):
+            # round must terminate the drive loop; discard the empty snapshot
+            self.store.rollback("frontier", prev_snap_id)
+            for df in (pending, batch, hits):
                 df.unpersist()
             return None
         metrics = {
@@ -561,21 +584,19 @@ class CrawlJob:
             "delta": True,
             "round_wall_sec": round(time.time() - t0, 3),
         }
-        n_delta = n_done + n_err + n_blocked + n_new
-        self.store.write(
-            "frontier",
-            delta,
-            meta=metrics,
-            coalesce=SnapshotStore.partitions_for(n_delta),
-        )
+        self.store.update_meta("frontier", **metrics)
         if n_new:
+            # read the new rows back from the just-committed snapshot
+            # (O(new) scan) instead of recomputing the round pipeline
             self.seen.add(
-                delta.where(F.col("status") == "pending").select("url"),
+                self.store.read("frontier")
+                .where(F.col("status") == "pending")
+                .select("url"),
                 meta={"round": round_idx},
                 assume_unique=True,
                 n_rows=n_new,
             )
-        for df in (pending, batch, hits, delta):
+        for df in (pending, batch, hits):
             df.unpersist()
         self._maybe_compact(metrics)
         return metrics
