@@ -774,6 +774,56 @@ def q_crawl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.join(seeds, on="url", how="left_anti")
 
 
+# -- training-data: IVF ANN top-k (deterministic stride centroids) -----------
+_IVF_STRIDE, _IVF_NPROBE = 50, 4
+
+
+@_q(
+    "ivf_ann_topk",
+    f"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0),
+ac0 AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+               {_duck_cos('e.embedding', 'c.cv')} AS ccos
+        FROM embeddings e, cent c),
+ac AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY ccos DESC, centroid_id) AS rn
+       FROM ac0),
+assigned AS (SELECT vec_id, embedding, centroid_id FROM ac WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0),
+pc0 AS (SELECT q.query_id, q.qv, c.centroid_id,
+               {_duck_cos('q.qv', 'c.cv')} AS qcos
+        FROM q, cent c),
+pc AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY qcos DESC, centroid_id) AS pr
+       FROM pc0),
+cand AS (SELECT p.query_id, a.vec_id,
+                {_duck_cos('p.qv', 'a.embedding')} AS cosine
+         FROM assigned a JOIN (SELECT * FROM pc WHERE pr <= {_IVF_NPROBE}) p
+           USING (centroid_id)
+         WHERE p.query_id <> a.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM cand)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 10""",
+)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: stride-deterministic coarse quantizer, nprobe inverted lists."""
+    from scrape_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(
+        emb, queries, k=10, centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
 def _lsh_oracle_sql(n_bits: int, n_tables: int) -> str:
     from scrape_spark.operators.similarity import lsh_signature_duck_sql
 

@@ -165,6 +165,82 @@ def lsh_signature(vec_col: str, n_bits: int = 8, table: int = 0):
     return F.expr("(" + " + ".join(terms) + ")").cast("long")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_stride: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize → probe nearest lists.
+
+    The coarse quantizer is DETERMINISTIC (no RNG, resumable, oracle-safe):
+    centroids are the corpus rows with ``id % centroid_stride == 0``. Every
+    vector is assigned to its highest-cosine centroid (one map-side pass —
+    the centroid set is small and broadcast); a query probes its ``nprobe``
+    nearest centroids and exact-re-ranks only those inverted lists.
+
+    Scale shape: assignment is a broadcast join (corpus scanned once, never
+    shuffled on vectors); the candidate join shuffles on ``centroid_id``
+    (list-local tasks). Cost ≈ |corpus|·k_centroids map-side +
+    |corpus|·nprobe/k_centroids per query — at 10^10 vectors a query never
+    touches the full corpus. Recall is tuned by ``nprobe`` (monotone —
+    asserted in tests); ``lsh_topk`` is the alternative scale path,
+    ``cosine_topk`` the exact oracle.
+    """
+    cent = F.broadcast(
+        corpus.where(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
+    )
+    # assign each vector to its nearest centroid (ties → smallest centroid id)
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .join(cent, how="cross")
+        .withColumn("_ccos", cosine_expr(vec_col, "cv"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", vec_col),
+                F.struct(F.col("_ccos"), -F.col("centroid_id")),
+            ).alias("_a")
+        )
+        .select(
+            id_col,
+            F.col("_a.centroid_id").alias("centroid_id"),
+            F.col(f"_a.{vec_col}").alias(vec_col),
+        )
+    )
+    # per-query nprobe nearest centroids
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_qcos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(cent, how="cross")
+        .withColumn("_qcos", cosine_expr("qv", "cv"))
+        .withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= nprobe)
+        .select(query_id_col, "qv", "centroid_id")
+    )
+    cand = (
+        assigned.join(probes, on="centroid_id", how="inner")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cosine", cosine_expr("qv", vec_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
 def lsh_signature_duck_sql(vec: str, n_bits: int = 8, table: int = 0) -> str:
     """DuckDB rendering of ``lsh_signature`` — same planes, same fold order.
 

@@ -273,3 +273,32 @@ def test_lsh_recall_monotone_in_n_tables(emb):
     # random 16-d data, 3-bit tables: 6 repetitions should recover most
     # true neighbors (expected ≈ 1 - (1 - (1-θ/π)^3)^6)
     assert r6 >= 0.7, r6
+
+
+def test_ivf_recall_monotone_in_nprobe(emb):
+    """IVF scale path: recall@k grows with probed inverted lists; at
+    nprobe == n_centroids it equals the exact result."""
+    from scrape_spark.operators.similarity import cosine_topk, ivf_topk
+
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                df, queries, k=5, centroid_stride=8, nprobe=nprobe
+            ).collect()  # 40 vecs / stride 8 → 5 centroids
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r2, r5 = recall(1), recall(2), recall(5)
+    assert r1 <= r2 <= r5, (r1, r2, r5)
+    assert r5 == 1.0  # probing every list == brute force
+    assert r1 > 0.2
