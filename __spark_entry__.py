@@ -43,7 +43,7 @@ SELECT
   doc_id % 20 AS host_id,
   CASE doc_id % 5 WHEN 0 THEN 'done' WHEN 4 THEN 'error' ELSE 'pending' END AS status,
   CASE WHEN doc_id % 5 = 4 THEN '404 Not Found' END AS error_message,
-  CAST(CASE (doc_id % 20) % 4 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 0 END AS INT) AS crawl_delay,
+  CAST(CASE (doc_id % 20) % 4 WHEN 0 THEN 120 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 0 END AS INT) AS crawl_delay,
   text,
   n_chars
 FROM documents"""
@@ -66,13 +66,17 @@ SELECT
   CASE host_id % 4 WHEN 0 THEN '/doc/1' || chr(10) || '/doc/3'
                    WHEN 2 THEN '/doc/' ELSE '' END AS disallow,
   '' AS allow,
-  CAST(CASE host_id % 4 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 0 END AS INT) AS crawl_delay
+  CAST(CASE host_id % 4 WHEN 0 THEN 120 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 0 END AS INT) AS crawl_delay
 FROM (SELECT DISTINCT doc_id % 20 AS host_id FROM documents)
 WHERE host_id % 4 <> 3"""
 
-# per-round per-host quota (politeness T3): floor(round_s/delay), cap 10 at 0
+# per-round per-host quota (politeness T3): floor(round_s/delay), cap 10 at 0.
+# Slow hosts (delay > round_seconds) get the liveness quota — in round 0 (this
+# fixture's round) that is ceil(60/delay) = 1, never 0 (politeness.py module
+# doc #1: scheduled exactly in rounds containing a multiple of their delay).
 QUOTA_SQL = (
     "CASE WHEN crawl_delay <= 0 THEN 10 "
+    "WHEN crawl_delay > 60 THEN 1 "
     "ELSE CAST(floor(CAST(60 AS DOUBLE) / crawl_delay) AS INT) END"
 )
 
@@ -914,7 +918,12 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("extracted_text_invariant", None)
+@_q(
+    "extracted_text_invariant",
+    # The invariant demands an EMPTY result: the DuckDB side of "no url whose
+    # extracted text diverges" is the empty relation with the same schema.
+    "SELECT CAST(NULL AS VARCHAR) AS url WHERE FALSE",
+)
 def q_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identical text extraction check over synthesized pages (input_hint).
 

@@ -12,6 +12,18 @@ proceed in parallel:
    delay is 0). A mega-host holding 10% of a 10^10-URL frontier is thereby
    capped to a bounded batch regardless of its frontier share.
 
+   Hosts with ``crawl_delay > round_seconds`` (e.g. ``Crawl-delay: 120``
+   against a 60 s round) must still be crawled — the reference simply sleeps
+   longer before fetching them (scraper.py:34-36). Such a host is scheduled
+   exactly in the rounds containing a multiple of its delay on the virtual
+   clock: quota(r) = ``ceil((r+1)·rs / d) − ceil(r·rs / d)`` ∈ {0, 1}, and
+   the fetch slot is pinned to that multiple (``k·d``, k = ceil(r·rs/d)), so
+   consecutive fetches of the host are spaced EXACTLY ``d`` apart across
+   round boundaries — the politeness contract holds globally, not just
+   within a round. (A flat ``greatest(1, floor(...))`` clamp would fetch
+   every ``rs`` seconds — too fast.) Round 0 always contains k = 0, so the
+   first-round quota equals ``greatest(1, floor(rs/d))``.
+
 2. **Salted two-stage top-k** (no single task ever ranks a mega-host's full
    frontier): stage 1 ranks within ``(host, salt)`` where
    ``salt = pmod(url_hash, n_salts)`` and keeps k per salt; stage 2 ranks the
@@ -39,11 +51,25 @@ def host_quota_expr(
     crawl_delay: Column,
     round_seconds: int = DEFAULT_ROUND_SECONDS,
     zero_delay_cap: int = DEFAULT_HOST_CAP,
+    round_idx: int = 0,
 ) -> Column:
-    """Per-round per-host URL quota: floor(round_seconds/delay), cap if delay=0."""
+    """Per-round per-host URL quota.
+
+    - delay ≤ 0 (or NULL): ``zero_delay_cap`` (bounds any single round).
+    - 0 < delay ≤ round_seconds: ``floor(round_seconds/delay)``.
+    - delay > round_seconds (liveness — see module doc #1): the number of
+      multiples of ``delay`` falling in this round's virtual-clock window
+      ``[r·rs, (r+1)·rs)`` — 0 or 1; never 0 forever (the host aligns within
+      ``ceil(delay/rs)`` rounds, and always in round 0).
+    """
+    d = F.coalesce(crawl_delay, F.lit(0)).cast("long")
+    rs = F.lit(int(round_seconds)).cast("long")
+    r = F.lit(int(round_idx)).cast("long")
+    aligned = F.ceil((r + 1) * rs / d) - F.ceil(r * rs / d)
     return (
-        F.when(F.coalesce(crawl_delay, F.lit(0)) <= 0, F.lit(zero_delay_cap))
-        .otherwise(F.floor(F.lit(round_seconds) / crawl_delay))
+        F.when(d <= 0, F.lit(zero_delay_cap))
+        .when(d <= rs, F.floor(rs / d))
+        .otherwise(aligned)
         .cast("int")
     )
 
@@ -90,6 +116,8 @@ def assign_fetch_slots(
     rank_col: str = "host_rank",
     delay_col: str = "crawl_delay",
     slot_col: str = "fetch_slot",
+    round_seconds: int = DEFAULT_ROUND_SECONDS,
+    round_idx: int = 0,
 ) -> DataFrame:
     """Virtual per-host fetch timestamps spaced by crawl_delay.
 
@@ -97,8 +125,19 @@ def assign_fetch_slots(
     with consecutive gaps exactly crawl_delay (the reference achieves the
     same spacing by sleeping before each fetch, scraper.py:34-36, but
     globally serialized).
+
+    For ``crawl_delay > round_seconds`` the slot is pinned to the delay grid
+    on the virtual clock — ``k·d`` with ``k = ceil(r·rs/d)``, the multiple
+    that made this round's quota 1 (module doc #1) — so consecutive fetches
+    of a slow host are exactly ``d`` apart ACROSS rounds, not ``rs`` apart.
+    In round 0 both formulas give ``round_start`` (k = 0).
     """
-    offset = (F.col(rank_col) - 1) * F.coalesce(F.col(delay_col), F.lit(0))
+    d = F.coalesce(F.col(delay_col), F.lit(0)).cast("long")
+    rs = F.lit(int(round_seconds)).cast("long")
+    r = F.lit(int(round_idx)).cast("long")
+    within = (F.col(rank_col) - 1).cast("long") * d
+    on_grid = F.ceil(r * rs / d).cast("long") * d - r * rs
+    offset = F.when(d > rs, on_grid).otherwise(within)
     return batch.withColumn(
         slot_col,
         F.timestamp_seconds(F.unix_timestamp(round_start) + offset.cast("long")),

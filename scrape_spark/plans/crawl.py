@@ -434,16 +434,22 @@ class CrawlJob:
         allowed = gated.where(~F.col("robots_denied")).withColumn(
             "quota",
             host_quota_expr(
-                F.col("crawl_delay"), self.round_seconds, self.zero_delay_cap
+                F.col("crawl_delay"),
+                self.round_seconds,
+                self.zero_delay_cap,
+                round_idx=round_idx,
             ),
         )
         batch = per_host_take(allowed, "quota", order_cols=["seq"])
         round_start = F.lit(
             VIRTUAL_EPOCH + _dt.timedelta(seconds=round_idx * self.round_seconds)
         )
-        batch = assign_fetch_slots(batch, round_start).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        batch = assign_fetch_slots(
+            batch,
+            round_start,
+            round_seconds=self.round_seconds,
+            round_idx=round_idx,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
         # --- simulated fetch: batch ⋈ pages on (url, method, payload) (S2/S3),
         #     without ever shuffling the pages side ---
@@ -562,13 +568,47 @@ class CrawlJob:
         n_done, n_err = int(row["fetched"] or 0), int(row["errors"] or 0)
         n_blocked, n_new = int(row["blocked"] or 0), int(row["new"] or 0)
         if n_done + n_err + n_blocked + n_new == 0:
-            # pending rows exist but nothing is schedulable (e.g. every host's
-            # crawl_delay exceeds round_seconds → quota 0): a zero-progress
-            # round must terminate the drive loop; discard the empty snapshot
+            # Zero progress with pending rows: every schedulable host has
+            # crawl_delay > round_seconds and none aligned to its delay grid
+            # this round (host_quota_expr liveness branch). The reference
+            # crawls such hosts after sleeping (scraper.py:34-36) — so do we:
+            # discard the empty snapshot and JUMP the round clock forward to
+            # the first round in which some pending host aligns, instead of
+            # terminating with work still in the frontier.
             self.store.rollback("frontier", prev_snap_id)
+            rs = self.round_seconds
+            nxt = (
+                allowed.where(F.col("crawl_delay") > rs)
+                .agg(
+                    F.min(
+                        F.floor(
+                            F.ceil(
+                                F.lit((round_idx + 1) * rs) / F.col("crawl_delay")
+                            )
+                            * F.col("crawl_delay")
+                            / F.lit(rs)
+                        )
+                    ).alias("nxt")
+                )
+                .collect()[0]["nxt"]
+            )
             for df in (pending, batch, hits):
                 df.unpersist()
-            return None
+            if nxt is None:
+                return None  # no schedulable pending host at all — drained
+            self.store.update_meta("frontier", n_rounds=int(nxt))
+            return {
+                "event": "skip",
+                "round": round_idx,
+                "skipped_to": int(nxt),
+                "scheduled": 0,
+                "blocked": 0,
+                "fetched": 0,
+                "fetch_errors": 0,
+                "new_urls": 0,
+                "pending": pending_est,
+                "round_wall_sec": round(time.time() - t0, 3),
+            }
         metrics = {
             "event": "round",
             "round": round_idx,
