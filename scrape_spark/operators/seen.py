@@ -26,7 +26,14 @@ a two-tier distributed design sized for a 10^10-URL frontier:
      anti-join the DELTA key set — the keys appended since the last
      compaction, a bounded O(compact_every × round_new) broadcast side.
 
-   Dedup is therefore EXACT; blooms only shrink the expensive checks.
+   Both exact checks (and the small-set broadcast fast path) resolve on the
+   URL TEXT itself (the reference's unique key, scraped_pages.sql:14), not
+   on ``xxhash64(url)`` — a 64-bit birthday collision (≈3 expected at 10^10
+   keys) therefore cannot silently drop a genuinely-new URL. The hash is
+   used ONLY where collisions are harmless: bloom membership and bucket
+   assignment (a collision there is just one extra exact check).
+
+   Dedup is therefore EXACT on the URL; blooms only shrink the checks.
 
 Below ``probe_broadcast_limit`` keys (known from snapshot metadata, zero
 jobs) the whole probe collapses to ONE broadcast anti-join — the same
@@ -87,11 +94,16 @@ class SeenSet:
         self.bloom_name = f"{name}_bloom"
 
     # -- helpers -----------------------------------------------------------
-    def _key_hash(self, url_col: str) -> Column:
+    def _key_text(self, url_col: str = "url") -> Column:
+        """The dedup key: the URL text (truncated in strict url(255) mode)."""
         key = F.col(url_col)
         if self.url_key_chars is not None:
             key = F.substring(key, 1, self.url_key_chars)
-        return F.xxhash64(key)
+        return key
+
+    def _key_hash(self, url_col: str) -> Column:
+        """Bloom/bucket hash of the key — NEVER used for exact resolution."""
+        return F.xxhash64(self._key_text(url_col))
 
     def _with_bucket(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         return df.withColumn(_BUCKET, F.pmod(F.col(hash_col), F.lit(self.n_buckets)))
@@ -148,7 +160,11 @@ class SeenSet:
             self._key_hash(url_col).alias("url_hash"),
         )
         if not assume_unique:
-            new = new.dropDuplicates(["url_hash"])
+            # dedup on the KEY TEXT (not the hash — a 64-bit collision
+            # between two distinct new URLs must not drop one of them)
+            new = new.withColumn("_k", self._key_text("url")).dropDuplicates(
+                ["_k"]
+            ).drop("_k")
         # else: caller guarantees key-uniqueness (the crawl round's new rows
         # went through first-discovery + filter_new) — skip the extra shuffle
         new = self._with_bucket(new)
@@ -157,7 +173,9 @@ class SeenSet:
             merged, snap_meta = new, {**base_meta, "base": True}
         elif self.store.chain_length(self.name) >= compact_every:
             merged = (
-                self.read().unionByName(new).dropDuplicates(["url_hash"])
+                self.read().unionByName(new)
+                .withColumn("_k", self._key_text("url"))
+                .dropDuplicates(["_k"]).drop("_k")
             )
             snap_meta = {**base_meta, "base": True, "compaction": True}
         else:
@@ -201,12 +219,18 @@ class SeenSet:
         if self.is_empty():
             return
         if isinstance(urls, DataFrame):
-            gone = urls.select(self._key_hash(url_col).alias("url_hash"))
+            gone = urls.select(self._key_text(url_col).alias("_seen_key"))
         else:
             gone = self.spark.createDataFrame(
                 [(u,) for u in urls], "url string"
-            ).select(self._key_hash("url").alias("url_hash"))
-        kept = self.read().join(gone, on="url_hash", how="left_anti").persist()
+            ).select(self._key_text("url").alias("_seen_key"))
+        kept = (
+            self.read()
+            .withColumn("_seen_key", self._key_text("url"))
+            .join(F.broadcast(gone), on="_seen_key", how="left_anti")
+            .drop("_seen_key")
+            .persist()
+        )
         self.store.write(
             self.name, kept, meta={"base": True, "event": "remove"},
             partition_by=[_BUCKET],
@@ -247,10 +271,16 @@ class SeenSet:
         self,
         candidates: DataFrame,
         url_col: str = "url",
-        exact_on_url: bool = False,
+        exact_on_url: bool = True,
         broadcast_limit: int | None = None,
     ) -> DataFrame:
         """Rows of ``candidates`` whose URL is NOT in the seen set. Exact.
+
+        Exactness ALWAYS resolves on the URL text (``_key_text``) — the
+        reference's unique key — never on ``xxhash64``; ``exact_on_url`` is
+        retained for API compatibility and ignored (it is always true now).
+        The hash appears only inside the bloom probe and bucket assignment,
+        where a collision costs one extra exact check, never a dropped URL.
 
         Size-adaptive plan (the seen-set row count is known from snapshot
         metadata, zero Spark jobs — the same size-based strategy choice AQE
@@ -268,30 +298,33 @@ class SeenSet:
 
         With an empty seen set the input is returned unchanged.
         """
+        del exact_on_url  # always exact on URL text; kept for API compat
         if self.is_empty():
             return candidates
         if broadcast_limit is None:
             broadcast_limit = self.probe_broadcast_limit
 
-        key = url_col if exact_on_url else "url_hash"
+        KEY = "_seen_key"
 
-        def _keys(df: DataFrame) -> DataFrame:
-            return df.select(F.col("url").alias(url_col)) if exact_on_url else (
-                df.select("url_hash")
-            )
+        def _keys(df: DataFrame, col: str = "url") -> DataFrame:
+            """Key frame (one column ``_seen_key``) for exact resolution."""
+            return df.select(self._key_text(col).alias(KEY))
+
+        added = [KEY]
 
         total = self._total_rows()
         if 0 <= total <= broadcast_limit:
-            cand = candidates.withColumn("url_hash", self._key_hash(url_col))
-            out = cand.join(
-                F.broadcast(_keys(self.read())), on=key, how="left_anti"
-            )
-            return out.drop(
-                *(["url_hash"] if "url_hash" not in candidates.columns else [])
-            )
+            cand = candidates.withColumn(KEY, self._key_text(url_col))
+            return cand.join(
+                F.broadcast(_keys(self.read())), on=KEY, how="left_anti"
+            ).drop(*added)
 
+        if "url_hash" not in candidates.columns:
+            added.append("url_hash")
         cand = self._with_bucket(
-            candidates.withColumn("url_hash", self._key_hash(url_col))
+            candidates.withColumn(KEY, self._key_text(url_col)).withColumn(
+                "url_hash", self._key_hash(url_col)
+            )
         )
         # NB: StructType.add MUTATES the df's cached schema object — build a
         # fresh StructType for the probe output schema instead
@@ -316,21 +349,23 @@ class SeenSet:
 
         # exact check without shuffling the seen table: PRESENT = seen ⋉ maybe
         # (scan seen, AQE-broadcast the small maybe key set), then
-        # survivors = maybe ⋉̸ PRESENT (PRESENT is tiny → broadcast anti-join)
+        # survivors = maybe ⋉̸ PRESENT (PRESENT is tiny → broadcast anti-join).
+        # Both joins key on the URL TEXT, so a hash collision between a new
+        # URL and a seen one cannot drop the new URL.
         present = _keys(self.read()).join(
-            _keys(maybe_seen), on=key, how="left_semi"
+            maybe_seen.select(KEY), on=KEY, how="left_semi"
         )
-        survivors = maybe_seen.join(present, on=key, how="left_anti")
+        survivors = maybe_seen.join(present, on=KEY, how="left_anti")
 
         # base bloom says "not in base" — only the post-base deltas can still
         # contain the key (bounded by compaction cadence → broadcastable)
         deltas = self._delta_keys()
         if deltas is not None:
             definitely_new = definitely_new.join(
-                F.broadcast(_keys(deltas)), on=key, how="left_anti"
+                F.broadcast(_keys(deltas)), on=KEY, how="left_anti"
             )
         return definitely_new.unionByName(survivors).drop(
-            "maybe_seen", _BUCKET, *(["url_hash"] if "url_hash" not in candidates.columns else [])
+            "maybe_seen", _BUCKET, *added
         )
 
 

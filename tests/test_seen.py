@@ -67,6 +67,40 @@ def test_exact_on_url_mode(spark, tmp_path):
     assert {r["url"] for r in out.collect()} == {"http://h.test/b"}
 
 
+def test_hash_collision_does_not_drop_new_url(spark, tmp_path):
+    """Force a 64-bit hash collision (constant _key_hash): the colliding NEW
+    URL must survive filter_new on BOTH plan paths, because exactness
+    resolves on the URL text, never the hash (VERDICT r2 item 2)."""
+    seen = _mk(spark, tmp_path)
+    seen._key_hash = lambda url_col: F.lit(7).cast("long")  # everything collides
+    seen.add(_urls(spark, ["http://h.test/seen"]))
+    cand = _urls(spark, ["http://h.test/seen", "http://h.test/new"])
+    # small/broadcast path
+    assert {r["url"] for r in seen.filter_new(cand).collect()} == {
+        "http://h.test/new"
+    }
+    # forced bloom/cogroup path: the bloom flags the colliding new URL as
+    # "maybe seen"; the text-keyed exact check must rescue it
+    seen.probe_broadcast_limit = 0
+    assert {r["url"] for r in seen.filter_new(cand).collect()} == {
+        "http://h.test/new"
+    }
+
+
+def test_hash_collision_does_not_merge_rows_in_add(spark, tmp_path):
+    """Two DISTINCT urls with colliding hashes must both be stored: add() and
+    compaction dedup on the key text, not the hash."""
+    seen = _mk(spark, tmp_path)
+    seen._key_hash = lambda url_col: F.lit(7).cast("long")
+    seen.add(_urls(spark, ["http://h.test/a", "http://h.test/b"]))
+    assert seen.read().count() == 2
+    # drive a compaction (chain_length >= compact_every) and recheck
+    seen.add(_urls(spark, ["http://h.test/c"]), compact_every=1)
+    assert {r["url"] for r in seen.read().collect()} == {
+        "http://h.test/a", "http://h.test/b", "http://h.test/c"
+    }
+
+
 def test_bloom_prefilter_routes_most_rows_past_join(spark, tmp_path):
     """Sanity: fresh urls are 'definitely new' (bloom), dups are 'maybe'."""
     seen = _mk(spark, tmp_path)
