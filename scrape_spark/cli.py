@@ -90,7 +90,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # seed the explicit row (idempotent if already present: the seen set
         # anti-joins it away on an existing store)
         if not job.store.exists("frontier"):
-            job.seed([(args.url, args.method, args.payload)])
+            job.seed([(args.url, args.method, args.payload, args.referrer)])
         else:
             extra = job.seen.filter_new(
                 spark.createDataFrame([(args.url,)], "url string")

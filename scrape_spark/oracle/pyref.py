@@ -89,14 +89,17 @@ class ReferenceCrawler:
             method=method, payload=payload,
         )
 
-    def seed(self, urls: list[str | tuple[str, str, str | None]]) -> None:
+    def seed(self, urls: list) -> None:
+        """Seeds: url str, (url, method, payload), or the CLI's
+        (url, method, payload, referrer) — scraper.py:249-257."""
         for i, u in enumerate(urls):
             if isinstance(u, str):
-                url, method, payload = u, "GET", None
+                url, method, payload, referrer = u, "GET", None, None
             else:
                 url, method, payload = u[0], (u[1] or "GET").upper(), u[2]
-            self._insert(url, None, None, depth=0, parent_seq=-1, link_pos=i,
-                         method=method, payload=payload)
+                referrer = u[3] if len(u) > 3 else None
+            self._insert(url, referrer, None, depth=0, parent_seq=-1,
+                         link_pos=i, method=method, payload=payload)
 
     def _dequeue(self) -> OracleRow | None:
         for row in self.table.values():  # dict preserves insertion (id) order

@@ -96,13 +96,20 @@ _RESULT_COLS = [
 
 # fetch identity (S2/S3): a POST page is keyed by its payload too — same url
 # with a different body is a DIFFERENT fetch (reference fetch_post_content,
-# scraper.py:119-149, posts row["payload"] and stores the response per row)
+# scraper.py:119-149, posts row["payload"] and stores the response per row).
+# For GET the payload is IGNORED (reference scrape_page never reads it), so
+# the key is method-aware: a GET row that happens to carry a payload must
+# still key as '' or its fetch hit would miss the outcome join and the row
+# would be marked error while its links entered the frontier.
 _FETCH_KEYS = ["url", "method", "_payload_key"]
 
 
-def _payload_key(col: Column | str = "payload") -> Column:
+def _payload_key(
+    col: Column | str = "payload", method_col: Column | str = "method"
+) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c, F.lit(""))
+    m = F.col(method_col) if isinstance(method_col, str) else method_col
+    return F.when(m == "GET", F.lit("")).otherwise(F.coalesce(c, F.lit("")))
 
 
 def simulated_fetch(
@@ -204,29 +211,38 @@ class CrawlJob:
         )
 
     # -- setup -----------------------------------------------------------------
-    def seed(self, urls: list[str | tuple[str, str, str | None]]) -> None:
+    def seed(self, urls: list) -> None:
         """Initialize frontier + seen set from a seed list (S10).
 
-        Each seed is a url string (GET) or a ``(url, method, payload)`` tuple
-        (S3: the reference CLI's ``--method/--payload``, scraper.py:222-231).
+        Each seed is a url string (GET), a ``(url, method, payload)`` tuple
+        (S3: the reference CLI's ``--method/--payload``, scraper.py:222-231),
+        or a ``(url, method, payload, referrer)`` tuple — the reference CLI
+        stamps ``--referrer`` onto the seeded row (scraper.py:249-257).
         """
         rows = []
         for i, u in enumerate(urls):
             if isinstance(u, str):
-                rows.append((u, "GET", None, i))
-            else:
+                rows.append((u, "GET", None, None, i))
+            elif len(u) == 3:
                 url, method, payload = u
-                rows.append((url, (method or "GET").upper(), payload, i))
+                rows.append((url, (method or "GET").upper(), payload, None, i))
+            else:
+                url, method, payload, referrer = u
+                rows.append(
+                    (url, (method or "GET").upper(), payload, referrer, i)
+                )
         seeds = (
             self.spark.createDataFrame(
-                rows, "url string, method string, payload string, _ord int"
+                rows,
+                "url string, method string, payload string, "
+                "referrer string, _ord int",
             )
             .select(
                 "url",
                 url_hash("url").alias("url_hash"),
                 url_host("url").alias("host"),
                 url_path("url").alias("path"),
-                F.lit(None).cast("string").alias("referrer"),
+                "referrer",
                 F.lit(None).cast("string").alias("title"),
                 F.lit(0).alias("depth"),
                 F.lit(-1).cast("long").alias("parent_seq"),

@@ -61,6 +61,22 @@ def test_cli_post_url_seed(spark, tmp_path, capsys):
     assert "processed this run: 1" in out
 
 
+def test_cli_referrer_stamped_on_fresh_store(spark, tmp_path, capsys):
+    """--referrer reaches the seeded row on a FRESH store (reference
+    scraper.py:249-257 stamps the referrer on the CLI row)."""
+    _run(
+        spark, tmp_path,
+        "--url", "http://host0.test/p/0",
+        "--referrer", "http://elsewhere.test/src",
+        capsys=capsys,
+    )
+    from scrape_spark.plans.statestore import SnapshotStore
+
+    frontier = SnapshotStore(spark, str(tmp_path / "store")).read_chain("frontier")
+    seeded = frontier.where(frontier.url == "http://host0.test/p/0").collect()
+    assert seeded and seeded[0]["referrer"] == "http://elsewhere.test/src"
+
+
 def test_cli_second_url_appends_to_existing_store(spark, tmp_path, capsys):
     _run(spark, tmp_path, "--url", "http://host0.test/p/0", capsys=capsys)
     out = _run(spark, tmp_path, "--url", "http://host1.test/p/0", capsys=capsys)

@@ -152,3 +152,31 @@ def test_all_get_web_post_seed_is_fetch_error(spark, tmp_path):
     assert rows["http://host0.test/p/0"]["status"] == "error"
     assert rows["http://host0.test/p/0/1"]["status"] == "done"
     pages.unpersist()
+
+
+def test_get_seed_with_payload_is_done_and_consistent(spark, tmp_path):
+    """A GET seed that carries a payload must fetch like any GET (the
+    reference's scrape_page never reads the payload): the row ends 'done'
+    and its links enter the frontier — previously the fetch hit missed the
+    payload-keyed outcome join, marking the row 'error' while its links were
+    still enqueued (inconsistent state)."""
+    pages = generate_pages(spark, 1, 5, K, mega_host=None).persist()
+    job = CrawlJob(
+        spark,
+        SnapshotStore(spark, str(tmp_path / "gp")),
+        pages,
+        robots_source_df(spark, 1, mega_host=None),
+        n_buckets=4,
+        bucket_capacity=1 << 12,
+    )
+    job.seed([("http://host0.test/p/0", "GET", '{"ignored": true}')])
+    job.run()
+    rows = {r["url"]: r for r in job.frontier().collect()}
+    root = rows["http://host0.test/p/0"]
+    assert root["status"] == "done" and root["error_message"] is None
+    assert root["payload"] == '{"ignored": true}'  # stored as given
+    # links from the fetched page were discovered (state is consistent)
+    children = [u for u in rows if u != "http://host0.test/p/0"]
+    assert children and all(rows[u]["referrer"] == "http://host0.test/p/0"
+                            or rows[u]["depth"] > 1 for u in children)
+    pages.unpersist()
