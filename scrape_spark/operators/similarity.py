@@ -165,69 +165,145 @@ def lsh_signature(vec_col: str, n_bits: int = 8, table: int = 0):
     return F.expr("(" + " + ".join(terms) + ")").cast("long")
 
 
+def _argmax_centroid_expr(vec_col: str):
+    """Map-side nearest-centroid: fold over the broadcast ``_cents`` array.
+
+    ``_cents`` is ``array<struct<centroid_id, cv, cnorm>>`` attached to every
+    corpus row by a broadcast of a single collected row; the fold picks the
+    highest-cosine centroid with ties broken toward the smallest id — the
+    exact semantics of ``row_number() OVER (ORDER BY ccos DESC, centroid_id)``
+    in the DuckDB oracle. The comparison is order-independent, so the
+    (nondeterministic) ``collect_list`` element order cannot change the
+    result. Everything is a JVM higher-order-function expression: no Python,
+    no groupBy, no Exchange on the corpus side.
+    """
+    ccos = (
+        f"aggregate(zip_with({vec_col}, c.cv, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc2, v) -> acc2 + v) / (_vnorm * c.cnorm)"
+    )
+    return F.expr(
+        f"""aggregate(
+  transform(_cents, c -> named_struct('cid', c.centroid_id, 'ccos', {ccos})),
+  named_struct('bid', CAST(-1 AS BIGINT), 'bcos', CAST(-2.0 AS DOUBLE)),
+  (acc, s) -> CASE
+      WHEN s.ccos > acc.bcos OR (s.ccos = acc.bcos AND s.cid < acc.bid)
+      THEN named_struct('bid', s.cid, 'bcos', s.ccos)
+      ELSE acc END,
+  acc -> acc.bid)"""
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroid_stride: int | None = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: ``(centroids, assigned)``.
+
+    The coarse quantizer is DETERMINISTIC (no RNG, resumable, oracle-safe):
+    centroids are the corpus rows with ``id % centroid_stride == 0``. Pass
+    ``centroid_stride=None`` to derive it as ``isqrt(|corpus|)`` — the
+    classic IVF balance point (k_centroids ≈ sqrt(n), list length ≈
+    sqrt(n)); a fixed stride only stays balanced if it grows with the
+    corpus. An empty centroid set (no id divisible by the stride) raises
+    instead of silently returning zero candidates.
+
+    Every vector is assigned to its highest-cosine centroid by a map-side
+    fold over the broadcast centroid array (``_argmax_centroid_expr``) —
+    one corpus scan, no groupBy, no Exchange. In production the ``assigned``
+    frame is the inverted-list index: write it out partitioned by
+    ``centroid_id`` once and amortize the build over every query batch
+    (``ivf_topk(..., assigned=index_df)``).
+    """
+    if centroid_stride is None:
+        import math
+
+        centroid_stride = max(1, math.isqrt(corpus.count()))
+    cent = corpus.where(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(vec_col).alias("cnorm"),
+    )
+    if cent.isEmpty():
+        raise ValueError(
+            f"ivf_assign: no corpus id divisible by centroid_stride="
+            f"{centroid_stride}; every inverted list would be empty. "
+            "Pass centroid_stride=None to derive it from the corpus size."
+        )
+    # single-row array<struct> of all centroids, broadcast onto every corpus
+    # row; the tiny Exchange SinglePartition here moves centroids only.
+    # coalesce() makes the key non-nullable so the candidate join does not
+    # push an isnotnull(<fold>) copy of the expression back into the plan.
+    cent_arr = cent.agg(
+        F.collect_list(F.struct("centroid_id", "cv", "cnorm")).alias("_cents")
+    )
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_vnorm", _norm(vec_col))
+        .join(F.broadcast(cent_arr))
+        .withColumn(
+            "centroid_id",
+            F.coalesce(_argmax_centroid_expr(vec_col), F.lit(-1).cast("long")),
+        )
+        .select(id_col, vec_col, "centroid_id")
+    )
+    return cent, assigned
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = 50,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantize → probe nearest lists.
 
-    The coarse quantizer is DETERMINISTIC (no RNG, resumable, oracle-safe):
-    centroids are the corpus rows with ``id % centroid_stride == 0``. Every
-    vector is assigned to its highest-cosine centroid (one map-side pass —
-    the centroid set is small and broadcast); a query probes its ``nprobe``
-    nearest centroids and exact-re-ranks only those inverted lists.
+    A query probes its ``nprobe`` nearest centroids and exact-re-ranks only
+    those inverted lists, with the (|queries|·nprobe)-row probe table
+    broadcast into the candidate join. Pass ``index=ivf_assign(...)``
+    (optionally persisted/written-back) to reuse a built index across query
+    batches — the production path; otherwise the index plan is built inline
+    from ``corpus``.
 
-    Scale shape: assignment is a broadcast join (corpus scanned once, never
-    shuffled on vectors); the candidate join shuffles on ``centroid_id``
-    (list-local tasks). Cost ≈ |corpus|·k_centroids map-side +
-    |corpus|·nprobe/k_centroids per query — at 10^10 vectors a query never
-    touches the full corpus. Recall is tuned by ``nprobe`` (monotone —
-    asserted in tests); ``lsh_topk`` is the alternative scale path,
-    ``cosine_topk`` the exact oracle.
+    Scale shape: the corpus is scanned ONCE and never hash-shuffled — not
+    for assignment (broadcast fold, no groupBy) and not for the candidate
+    join (probes broadcast). The only hash shuffle in the whole plan is the
+    final per-query top-k window over the candidate subset
+    (≈ |queries|·nprobe·n/k_centroids rows), which is inherent to ranking —
+    asserted on the formatted physical plan in tests. (In the inline-index
+    path Catalyst's constraint propagation re-infers the vacuously-true
+    ``centroid_id % stride = 0`` filter into the candidate join, costing one
+    extra evaluation of the assignment fold; a materialized ``index`` reads
+    ``centroid_id`` as a plain column and avoids it.) Cost ≈
+    |corpus|·k_centroids map-side multiply-adds + list-local re-ranking.
+    Recall is tuned by ``nprobe`` (monotone — asserted in tests);
+    ``lsh_topk`` is the alternative scale path, ``cosine_topk`` the exact
+    oracle.
     """
-    cent = F.broadcast(
-        corpus.where(F.col(id_col) % centroid_stride == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-        )
+    cent, assigned = index if index is not None else ivf_assign(
+        corpus, centroid_stride, id_col, vec_col
     )
-    # assign each vector to its nearest centroid (ties → smallest centroid id)
-    assigned = (
-        corpus.select(id_col, vec_col)
-        .join(cent, how="cross")
-        .withColumn("_ccos", cosine_expr(vec_col, "cv"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.struct("centroid_id", vec_col),
-                F.struct(F.col("_ccos"), -F.col("centroid_id")),
-            ).alias("_a")
-        )
-        .select(
-            id_col,
-            F.col("_a.centroid_id").alias("centroid_id"),
-            F.col(f"_a.{vec_col}").alias(vec_col),
-        )
-    )
-    # per-query nprobe nearest centroids
+    # per-query nprobe nearest centroids (queries are few by contract)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"))
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("_qcos").desc(), F.col("centroid_id")
     )
     probes = (
-        q.join(cent, how="cross")
+        q.join(F.broadcast(cent.select("centroid_id", "cv")), how="cross")
         .withColumn("_qcos", cosine_expr("qv", "cv"))
         .withColumn("_pr", F.row_number().over(wq))
         .where(F.col("_pr") <= nprobe)
         .select(query_id_col, "qv", "centroid_id")
     )
     cand = (
-        assigned.join(probes, on="centroid_id", how="inner")
+        assigned.join(F.broadcast(probes), on="centroid_id", how="inner")
         .where(F.col(query_id_col) != F.col(id_col))
         .withColumn("cosine", cosine_expr("qv", vec_col))
     )

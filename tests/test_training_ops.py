@@ -302,3 +302,90 @@ def test_ivf_recall_monotone_in_nprobe(emb):
     assert r1 <= r2 <= r5, (r1, r2, r5)
     assert r5 == 1.0  # probing every list == brute force
     assert r1 > 0.2
+
+
+def test_ivf_plan_never_hash_shuffles_corpus(emb):
+    """The IVF plan's ONLY hash exchange is the final per-query top-k window
+    over candidates; assignment is a broadcast fold (no groupBy) and the
+    candidate join broadcasts the probe table. The one allowed
+    Exchange SinglePartition moves the tiny centroid array."""
+    import contextlib
+    import io
+
+    from scrape_spark.operators.similarity import ivf_topk
+
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(df, queries, k=5, centroid_stride=8, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    # every hash exchange partitions on query_id (probe window + final
+    # top-k window — both over query-proportional row sets), never on a
+    # corpus column (vec_id / centroid_id / embedding)
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(k == "query_id" for k in keys), (keys, plan)
+    # assignment is the broadcast fold: no HashAggregate/groupBy touches the
+    # corpus between its scan and the candidate join
+    assert "max_by" not in plan, plan
+
+
+def test_ivf_empty_centroids_raises(emb):
+    from scrape_spark.operators.similarity import ivf_topk
+
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shifted = df.withColumn("vec_id", F.col("vec_id") + 1)  # ids 1..40
+    with pytest.raises(ValueError, match="centroid_stride"):
+        ivf_topk(shifted, queries, k=5, centroid_stride=97, nprobe=2)
+
+
+def test_ivf_derived_stride_is_sqrt_n(emb):
+    """centroid_stride=None derives isqrt(n) (40 → 6): centroids 0,6,..,36;
+    nprobe covering all 7 lists reproduces the exact result."""
+    from scrape_spark.operators.similarity import cosine_topk, ivf_topk
+
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            df, queries, k=5, centroid_stride=None, nprobe=7
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_index_reuse_matches_inline(emb):
+    """ivf_topk(index=ivf_assign(...)) — the production build-once path —
+    returns the same result as the inline-index plan, including from a
+    materialized (written + re-read) index."""
+    from scrape_spark.operators.similarity import ivf_assign, ivf_topk
+
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(df, queries, k=5, centroid_stride=8, nprobe=2).collect()
+    }
+    index = ivf_assign(df, centroid_stride=8)
+    reused = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(df, queries, k=5, nprobe=2, index=index).collect()
+    }
+    assert reused == inline
