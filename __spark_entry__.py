@@ -329,6 +329,53 @@ def q_first_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §7.4 strict mode: MySQL url(255) prefix-key dedup ------------------------
+# URLs are >255 chars ('http://hostN.test/' + 250 x's + '/partkey'): the
+# 255-char key cuts inside the x-run, so all URLs of a host collide on one
+# key and first-INSERT-wins keeps the first-discovered full url — the
+# reference's unique-key truncation (schema/scraped_pages.sql:14) that the
+# engine reproduces with CrawlJob(url_key_chars=255) (plans/crawl.py:531).
+_LONG_URL_SQL = (
+    "'http://host' || CAST(l_partkey % 50 AS STRING) || '.test/' || "
+    "repeat('x', 250) || '/' || CAST(l_partkey AS STRING)"
+)
+
+
+@_q(
+    "strict_url255_dedup",
+    f"""WITH e AS (
+  SELECT {_LONG_URL_SQL} AS url, l_orderkey AS parent_seq,
+         CAST(l_linenumber AS BIGINT) AS link_pos,
+         'o' || CAST(l_orderkey AS STRING) AS referrer,
+         l_suppkey % 4 AS depth
+  FROM lineitem)
+SELECT substring(url, 1, 255) AS url_key, url,
+       parent_seq, link_pos, referrer, depth
+FROM e
+QUALIFY row_number() OVER (PARTITION BY substring(url, 1, 255)
+                           ORDER BY parent_seq, link_pos) = 1""",
+)
+def q_strict_url255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.operators.ordering import first_discovery
+
+    _view(spark, sf_dir, "lineitem")
+    edges = spark.sql(
+        f"""SELECT {_LONG_URL_SQL} AS url, l_orderkey AS parent_seq,
+  CAST(l_linenumber AS BIGINT) AS link_pos,
+  'o' || CAST(l_orderkey AS STRING) AS referrer,
+  l_suppkey % 4 AS depth
+FROM lineitem"""
+    )
+    return first_discovery(
+        edges.withColumn("_ukey", F.substring("url", 1, 255)),
+        "_ukey",
+        ["parent_seq", "link_pos"],
+        ["url", "referrer", "depth"],
+    ).withColumnRenamed("_ukey", "url_key").select(
+        "url_key", "url", "parent_seq", "link_pos", "referrer", "depth"
+    )
+
+
 # -- §7.4: deterministic global crawl sequence (AUTO_INCREMENT replacement) --
 @_q(
     "crawl_order_seq",
