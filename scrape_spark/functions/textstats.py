@@ -202,28 +202,55 @@ def occurrences_sql(text: str, needle: str) -> str:
     return f"((length({text}) - length(replace({text}, '{lit}', ''))) / {nlen})"
 
 
-# marker stopwords per language for the n-gram/stopword lang-ID heuristic.
+# Marker stopwords per language for the stopword lang-ID heuristic. Dict
+# order is the tie-break priority (first language with a maximal score wins;
+# keep the original en/de/fr order first for stable predictions). Markers
+# containing non-ASCII (CJK) are counted as raw substrings — those scripts
+# don't delimit words with spaces — while ASCII markers are whole-word
+# matches via space padding.
 LANG_MARKERS = {
-    "en": ["the", "a"],
-    "de": ["der", "und"],
-    "fr": ["le", "et"],
+    "en": ["the", "a", "and", "of", "is"],
+    "de": ["der", "und", "die", "das", "nicht"],
+    "fr": ["le", "et", "les", "une", "est"],
+    "es": ["el", "que", "los", "una", "para"],
+    "it": ["il", "che", "per", "gli", "sono"],
+    "pt": ["o", "que", "uma", "para", "não"],
+    "nl": ["de", "het", "een", "niet", "aan"],
+    "zh": ["的", "是", "了", "在", "和"],
 }
 
 
 def lang_score_sql(text: str, lang: str) -> str:
     padded = f"(' ' || {text} || ' ')"
-    terms = [occurrences_sql(padded, f" {m} ") for m in LANG_MARKERS[lang]]
+    terms = [
+        occurrences_sql(text, m)
+        if all(ord(ch) > 127 for ch in m)
+        else occurrences_sql(padded, f" {m} ")
+        for m in LANG_MARKERS[lang]
+    ]
     return "(" + " + ".join(terms) + ")"
 
 
 def lang_pred_sql(text: str) -> str:
-    """argmax over LANG_MARKERS scores; 'und' (undetermined) when all zero."""
-    scores = {lg: lang_score_sql(text, lg) for lg in LANG_MARKERS}
-    en, de, fr = scores["en"], scores["de"], scores["fr"]
+    """argmax over LANG_MARKERS scores; 'und' (undetermined) when all zero.
+
+    Generic over the marker table: generated as one CASE chain (first
+    language whose score >= every later language's score wins — dict order
+    breaks ties), rendered identically in Spark SQL and DuckDB.
+    """
+    langs = list(LANG_MARKERS)
+    scores = {lg: lang_score_sql(text, lg) for lg in langs}
+    all_zero = " AND ".join(f"{scores[lg]} = 0" for lg in langs)
+    branches = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{scores[lg]} >= {scores[other]}" for other in langs[i + 1 :]
+        )
+        branches.append(f"WHEN {conds} THEN '{lg}'")
     return (
-        f"CASE WHEN {en} = 0 AND {de} = 0 AND {fr} = 0 THEN 'und' "
-        f"WHEN {en} >= {de} AND {en} >= {fr} THEN 'en' "
-        f"WHEN {de} >= {fr} THEN 'de' ELSE 'fr' END"
+        f"CASE WHEN {all_zero} THEN 'und' "
+        + " ".join(branches)
+        + f" ELSE '{langs[-1]}' END"
     )
 
 

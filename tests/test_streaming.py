@@ -121,3 +121,91 @@ def test_stateful_politeness_slots_across_microbatches(spark, tmp_path):
     # fast.test: delay 0 → slots equal event times
     fast = by_host["fast.test"]
     assert [s.second for s in sorted(fast)] == [0, 1]
+
+
+def test_rate_source_e2e_dedup_then_politeness(spark, tmp_path):
+    """Live e2e of SURVEY §2.8: an unbounded rate-micro-batch source feeds
+    link discovery → watermarked streaming dedup → parquet frontier dir,
+    while a second query tails that dir (frontier_file_stream) through the
+    stateful politeness scheduler into a memory sink — the two-stage shape a
+    real deployment runs (durable frontier between the stages). Asserts the
+    cross-stage invariants: the sink never sees a duplicate URL, and
+    per-host fetch slots stay >= crawl_delay apart across micro-batches."""
+    import time
+
+    from scrape_spark.streaming.frontier_stream import (
+        frontier_file_stream,
+        politeness_slot_stream,
+    )
+
+    frontier_dir = str(tmp_path / "frontier")
+    # deterministic unbounded source: 20 rows/batch, event time advances 1s
+    # per batch; url cycles every 30 values → in-watermark duplicates
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 20)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 1_750_000_000_000)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    links = rate.selectExpr(
+        "concat('http://host', value % 3, '.test/p/', value % 10) AS url",
+        "'seed' AS referrer",
+        "CAST(value AS INT) AS link_pos",
+        "timestamp AS discovered_at",
+    )
+    q1 = (
+        dedup_link_stream(links, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", frontier_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p and p["batchId"] >= 4:
+                break
+            time.sleep(0.5)
+    finally:
+        q1.stop()
+    q1.awaitTermination(60)
+
+    schema = (
+        "url string, referrer string, link_pos int, "
+        "discovered_at timestamp, url_hash long"
+    )
+    tail = frontier_file_stream(spark, frontier_dir, schema)
+    out = politeness_slot_stream(
+        tail,
+        crawl_delays={"host0.test": 3, "host1.test": 1},
+        default_delay=0,
+        time_col="discovered_at",
+    )
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName("rate_e2e_slots")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT host, url, fetch_slot FROM rate_e2e_slots").collect()
+    assert rows, "politeness stage emitted nothing"
+    # stage-1 invariant survives the stage boundary: every URL exactly once
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))
+    assert len(set(urls)) <= 30  # the source's full URL universe
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["fetch_slot"])
+    assert set(by_host) <= {"host0.test", "host1.test", "host2.test"}
+    for host, delay in (("host0.test", 3), ("host1.test", 1)):
+        slots = sorted(by_host[host])
+        for a, b in zip(slots, slots[1:]):
+            assert (b - a).total_seconds() >= delay, (host, a, b)

@@ -389,3 +389,55 @@ def test_ivf_index_reuse_matches_inline(emb):
         for r in ivf_topk(df, queries, k=5, nprobe=2, index=index).collect()
     }
     assert reused == inline
+
+
+def test_lang_id_widened_markers(spark):
+    """Widened marker table: each language's own stopwords win; CJK markers
+    count as raw substrings (no word-boundary padding); all-zero → 'und'."""
+    samples = [
+        (0, "the cat and the dog of a house is here", "en"),
+        (1, "der hund und die katze das haus nicht", "de"),
+        (2, "le chat et les chiens une maison est", "fr"),
+        (3, "el gato que los perros una casa para", "es"),
+        (4, "il gatto che per gli amici sono qui", "it"),
+        (5, "o gato que uma casa para não aqui aqui", "pt"),
+        (6, "de kat het huis een hond niet aan", "nl"),
+        (7, "这是的一个在和测试的文本了", "zh"),
+        (8, "xyzzy plugh qwerty", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in df.select("doc_id", ts.lang_pred("text").alias("pred")).collect()
+    }
+    for i, _, want in samples:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_lang_id_spark_duckdb_parity(spark):
+    """The generated CASE chain renders identically in both engines."""
+    import duckdb
+
+    texts = [
+        "the cat and the dog",
+        "der hund und die katze",
+        "o gato que uma casa não",
+        "这是的一个在和文本",
+        "no markers here xyzzy",
+        "",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_pred = [
+        r["pred"]
+        for r in sdf.select(ts.lang_pred("text").alias("pred")).collect()
+    ]
+    con = duckdb.connect()
+    duck_pred = [
+        con.execute(
+            f"SELECT {ts.lang_pred_sql('?')}".replace("?", "$$" + t + "$$")
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_pred == duck_pred, (spark_pred, duck_pred)
