@@ -209,6 +209,68 @@ class CrawlJob:
             bucket_capacity=bucket_capacity,
             url_key_chars=url_key_chars,
         )
+        # Pending-set carry-over: the hot loop's next-round pending is derived
+        # from this round's persisted pending + the just-committed delta
+        # (anti-join on seq + union of new rows) instead of re-merging the
+        # whole snapshot chain every round — the merge-on-read cost leaves
+        # the loop entirely. The store stays the durable truth: the cache is
+        # tagged with the frontier snapshot id it reflects and any mismatch
+        # (rollback, admin mutation, fresh job) falls back to read_merged.
+        self._pending_cache: DataFrame | None = None
+        self._pending_cache_snap: int | None = None
+        self._pending_retired: list[DataFrame] = []
+
+    # -- pending-set cache ------------------------------------------------------
+    def _pending_for_round(self) -> DataFrame:
+        cur = self.store.current_snapshot("frontier")
+        cur_id = cur["id"] if cur else None
+        if (
+            self._pending_cache is not None
+            and self._pending_cache_snap == cur_id
+        ):
+            return self._pending_cache
+        self._drop_pending_cache()
+        df = (
+            self.frontier()
+            .where(F.col("status") == "pending")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._pending_cache, self._pending_cache_snap = df, cur_id
+        return df
+
+    def _advance_pending_cache(
+        self, pending: DataFrame, delta_committed: DataFrame, n_delta: int
+    ) -> None:
+        """Roll the cache forward over the committed round delta.
+
+        next pending = (pending − delta keys) ∪ delta's new pending rows.
+        The delta key set is O(batch+new); under the broadcast limit the
+        anti-join moves zero pending rows. The parent cache stays persisted
+        for one more round (the child materializes lazily inside the next
+        round's write job), then retires.
+        """
+        keys = delta_committed.select("seq")
+        if n_delta <= self.broadcast_batch_limit:
+            keys = F.broadcast(keys)
+        nxt = (
+            pending.join(keys, on="seq", how="left_anti")
+            .unionByName(delta_committed.where(F.col("status") == "pending"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        for old in self._pending_retired:
+            old.unpersist()
+        self._pending_retired = [pending]
+        self._pending_cache = nxt
+        self._pending_cache_snap = self.store.current_snapshot("frontier")["id"]
+
+    def _drop_pending_cache(self) -> None:
+        for df in self._pending_retired:
+            df.unpersist()
+        if self._pending_cache is not None:
+            self._pending_cache.unpersist()
+        self._pending_cache = None
+        self._pending_cache_snap = None
+        self._pending_retired = []
 
     # -- setup -----------------------------------------------------------------
     def seed(self, urls: list) -> None:
@@ -430,15 +492,11 @@ class CrawlJob:
         if pending_est == 0:
             return None  # drained — decided from metadata, zero Spark jobs
 
-        pending = (
-            self.frontier()
-            .where(F.col("status") == "pending")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        pending = self._pending_for_round()
         if pending_est is None:
             pending_est = pending.count()
             if pending_est == 0:
-                pending.unpersist()
+                self._drop_pending_cache()
                 return None
 
         # --- robots refresh for stale/missing hosts only (P4/S5) ---
@@ -544,7 +602,11 @@ class CrawlJob:
             fresh = first_discovery(
                 edges, "url", ["parent_seq", "link_pos"], ["title", "referrer", "depth"]
             )
-        new = self.seen.filter_new(fresh)
+        # persisted so assign_global_seq's partition-offset job and the
+        # snapshot write share one computation of the discovery pipeline
+        # (first_discovery shuffle + seen-set probe) instead of running it
+        # twice per round
+        new = self.seen.filter_new(fresh).persist(StorageLevel.MEMORY_AND_DISK)
 
         delta, next_seq = self._round_delta(batch, blocked, hits, new, round_idx, meta0)
 
@@ -608,8 +670,9 @@ class CrawlJob:
                 )
                 .collect()[0]["nxt"]
             )
-            for df in (pending, batch, hits):
-                df.unpersist()
+            for df in (batch, hits, new):
+                df.unpersist()  # pending stays: the cache still reflects
+            # the rolled-back (= unchanged) frontier snapshot
             if nxt is None:
                 return None  # no schedulable pending host at all — drained
             self.store.update_meta("frontier", n_rounds=int(nxt))
@@ -641,18 +704,22 @@ class CrawlJob:
             "round_wall_sec": round(time.time() - t0, 3),
         }
         self.store.update_meta("frontier", **metrics)
+        # the just-committed delta snapshot (O(batch+new) rows on disk) feeds
+        # both the seen-set append and the pending carry-over
+        delta_committed = self.store.read("frontier")
         if n_new:
             # read the new rows back from the just-committed snapshot
             # (O(new) scan) instead of recomputing the round pipeline
             self.seen.add(
-                self.store.read("frontier")
-                .where(F.col("status") == "pending")
-                .select("url"),
+                delta_committed.where(F.col("status") == "pending").select("url"),
                 meta={"round": round_idx},
                 assume_unique=True,
                 n_rows=n_new,
             )
-        for df in (pending, batch, hits):
+        self._advance_pending_cache(
+            pending, delta_committed, n_done + n_err + n_blocked + n_new
+        )
+        for df in (batch, hits, new):
             df.unpersist()
         self._maybe_compact(metrics)
         return metrics
@@ -771,6 +838,19 @@ class CrawlJob:
                 "pending": counters["pending"],
             },
         )
+        if self._pending_cache is not None:
+            # compaction rewrites state without changing it: the carried
+            # pending set still reflects the new snapshot — retag instead of
+            # dropping, but re-root its lineage on the compacted base so the
+            # carry-over chain never outgrows the compaction cadence
+            self._drop_pending_cache()
+            cur = self.store.current_snapshot("frontier")
+            self._pending_cache = (
+                self.store.read("frontier")
+                .where(F.col("status") == "pending")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._pending_cache_snap = cur["id"]
 
     # -- full crawl ---------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> list[dict]:
