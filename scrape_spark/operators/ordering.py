@@ -27,12 +27,17 @@ from pyspark.storagelevel import StorageLevel
 _PID = "_seq_pid"
 
 
+DEFAULT_SEQ_SMALL_LIMIT = 1_000_000
+
+
 def assign_global_seq(
     df: DataFrame,
     order_cols: list[str | Column],
     start: int = 0,
     seq_col: str = "seq",
     num_partitions: int | None = None,
+    n_rows_est: int | None = None,
+    small_limit: int = 0,
 ) -> DataFrame:
     """Add ``seq_col`` = start, start+1, ... in ``order_cols`` order.
 
@@ -40,9 +45,23 @@ def assign_global_seq(
     the global-order window would funnel every row through ONE task; this
     range-partitions instead, so each task ranks only its slice.
 
-    The input is persisted for the duration (range partitioning samples its
-    bounds; two uncached evaluations could disagree on partition boundaries).
+    Size-adaptive (the same size-based strategy switch AQE makes for joins):
+    when the caller supplies ``n_rows_est ≤ small_limit``, the global window
+    IS the right plan — one task ranks a bounded frame, the whole assignment
+    stays LAZY (it rides whatever job consumes the result), and the range
+    path's extra machinery (sample job + per-partition-counts collect, each
+    of which AQE splits into several stage-jobs) disappears. A steady-state
+    crawl round with thousands of new URLs pays zero extra Spark jobs for
+    sequencing; a 10^8-row round takes the range path. An under-estimate only
+    costs one oversized sort task, never correctness.
+
+    The range path persists the input for the duration (range partitioning
+    samples its bounds; two uncached evaluations could disagree on partition
+    boundaries).
     """
+    if n_rows_est is not None and 0 <= n_rows_est <= small_limit:
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(seq_col, F.row_number().over(w) - 1 + start)
     spark = df.sparkSession
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (

@@ -146,8 +146,8 @@ class SeenSet:
 
         ``urls`` must already be deduplicated against the seen set (the crawl
         round guarantees this: filter_new → first-discovery min_by). The
-        parquet side appends one bucket-partitioned delta per round (Iceberg
-        append commit in prod) and compacts to a fresh base every
+        parquet side appends one sized delta (bucket as a plain column) per
+        round (Iceberg append commit in prod) and compacts to a fresh base every
         ``compact_every`` deltas; per-bucket blooms are rebuilt —
         distributedly, as a store table — only at those base writes.
 
@@ -179,9 +179,13 @@ class SeenSet:
             )
             snap_meta = {**base_meta, "base": True, "compaction": True}
         else:
+            # the bucket is a PLAIN column, not a hive partition: nothing
+            # ever partition-prunes the seen table (the probe cogroup
+            # shuffles on the column regardless), and a dynamic-partition
+            # write fans a tiny per-round delta into n_buckets directories —
+            # one file per round, not n_buckets, is the right layout
             snap_id = self.store.write(
                 self.name, new, meta={**base_meta, "delta": True},
-                partition_by=[_BUCKET],
                 coalesce=(
                     self.store.partitions_for(n_rows) if n_rows is not None else None
                 ),
@@ -194,7 +198,7 @@ class SeenSet:
         merged = merged.persist()
         total = 0 if self.is_empty() else self._total_rows()
         snap_id = self.store.write(
-            self.name, merged, meta=snap_meta, partition_by=[_BUCKET],
+            self.name, merged, meta=snap_meta,
             coalesce=(
                 self.store.partitions_for(total + (n_rows or 0))
                 if total >= 0 else None
@@ -233,7 +237,6 @@ class SeenSet:
         )
         self.store.write(
             self.name, kept, meta={"base": True, "event": "remove"},
-            partition_by=[_BUCKET],
         )
         blooms = kept.select(_BUCKET, "url_hash").groupBy(_BUCKET).applyInPandas(
             _build_bloom_fn(self.m_bits), schema=BLOOM_SCHEMA

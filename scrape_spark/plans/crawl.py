@@ -59,7 +59,11 @@ from pyspark.storagelevel import StorageLevel
 
 from scrape_spark.functions.udfs import parse_page_expr, title_with_fallback
 from scrape_spark.functions.urls import url_hash, url_host, url_path
-from scrape_spark.operators.ordering import assign_global_seq, first_discovery
+from scrape_spark.operators.ordering import (
+    DEFAULT_SEQ_SMALL_LIMIT,
+    assign_global_seq,
+    first_discovery,
+)
 from scrape_spark.operators.politeness import (
     assign_fetch_slots,
     host_quota_expr,
@@ -735,10 +739,24 @@ class CrawlJob:
         """
         next_seq = self._next_seq(meta0)
 
-        # new pending rows with deterministic sequence (§7.4)
+        # new pending rows with deterministic sequence (§7.4). The previous
+        # round's new-URL count (snapshot metadata — crawl growth is smooth)
+        # picks the sequencing strategy: small rounds take the lazy global
+        # window (zero extra Spark jobs — the event-log profile showed the
+        # range path's sample + offsets collect splinter into ~17 AQE
+        # stage-jobs per round, pure driver latency at round scale); huge
+        # rounds keep the range-partitioned path. A mis-estimate only costs
+        # one oversized sort task, never correctness (ordering.py).
+        # seed rounds have no new_urls yet; the seed count is the same-scale
+        # stand-in (seeds × links/page stays well inside the small limit)
+        new_est = meta0.get("new_urls", meta0.get("pending"))
         new_rows = (
             assign_global_seq(
-                new, ["depth", "parent_seq", "link_pos"], start=next_seq
+                new,
+                ["depth", "parent_seq", "link_pos"],
+                start=next_seq,
+                n_rows_est=new_est,
+                small_limit=DEFAULT_SEQ_SMALL_LIMIT,
             )
             .select(
                 "url",

@@ -28,6 +28,26 @@ def test_assign_global_seq_dense_across_partitions(spark):
     assert seqs == list(range(1000))
 
 
+def test_assign_global_seq_small_path_same_result(spark):
+    """The size-adaptive window path must agree with the range path exactly,
+    including when the estimate undershoots the true row count."""
+    data = [((i * 7) % 17, (i * 13) % 11, f"u{i}") for i in range(400)]
+    df = spark.createDataFrame(data, "depth int, link_pos int, url string")
+    cols = ["depth", "link_pos", "url"]
+    big = assign_global_seq(df, cols, start=50)
+    small = assign_global_seq(df, cols, start=50, n_rows_est=10, small_limit=1000)
+    assert [tuple(r) for r in big.orderBy("seq").collect()] == [
+        tuple(r) for r in small.orderBy("seq").collect()
+    ]
+    # small path is the plain window plan — no range partitioning, no
+    # offsets join machinery
+    plan = small._sc._jvm.PythonSQLUtils.explainString(
+        small._jdf.queryExecution(), "formatted"
+    ).lower()
+    assert "rangepartitioning" not in plan
+    assert "join" not in plan
+
+
 def test_first_discovery_min_by(spark):
     rows = [
         ("u1", 5, 0, "refA"),
