@@ -165,6 +165,8 @@ def expand_round_bench(
     from scrape_spark.operators.robots import join_robots, refresh_robots
     from scrape_spark.sources.webgraph import robots_source_df
 
+    from pyspark.sql import Observation
+
     t0 = time.time()
     frontier = pages.select(
         "url",
@@ -187,7 +189,10 @@ def expand_round_bench(
     )
     batch = per_host_take(allowed, "quota", order_cols=["seq"])
     batch = assign_fetch_slots(batch, F.timestamp_seconds(F.lit(1_748_736_000)))
-    batch = batch.persist()
+    # the scheduled count rides the single terminal action via observe() —
+    # same barrier-diet trick as the crawl round (no separate count job)
+    obs = Observation()
+    batch = batch.observe(obs, F.count(F.lit(1)).alias("n_sched")).persist()
     # Either way the pages table's html is never shuffled:
     # - broadcast probe (small batches): pages scanned in place
     # - bucketed pages table (large batches): ONLY the probe shuffles to the
@@ -211,7 +216,8 @@ def expand_round_bench(
         "referrer",
     )
     fresh = first_discovery(edges, "url", ["referrer", "link_pos"], [])
-    n_sched, n_links = batch.count(), fresh.count()
+    n_links = fresh.count()
+    n_sched = int(obs.get["n_sched"])
     batch.unpersist()
     wall = time.time() - t0
     return wall, n_sched + n_links
@@ -256,6 +262,32 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _host_state() -> dict:
+    """Sample host noise (steal/kernel time, load) around the timed region.
+
+    This sandbox VM throttles under sustained load (documented in
+    BENCH/BASELINE.md: 2-5x wall variance between identical reps, steal up to
+    19%); recording the sample lets round-over-round bench comparisons
+    separate engine changes from host state.
+    """
+    state: dict = {}
+    try:
+        state["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:9]]
+        total = sum(vals)
+        if total:
+            state["cpu_sys_pct"] = round(100 * vals[2] / total, 1)
+            state["cpu_steal_pct"] = round(100 * vals[7] / total, 1)
+    except (OSError, ValueError, IndexError):
+        pass
+    return state
+
+
 def default_bench() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -281,6 +313,7 @@ def default_bench() -> dict:
             "throughput_urls_per_sec": round(expand_urls / expand_wall, 1),
             "crawl_urls_per_sec": round(crawl_urls / crawl_wall, 1),
             "cpus": cpus,
+            "host": _host_state(),
         }
     finally:
         spark.stop()
@@ -378,6 +411,7 @@ def scaling_one(cores: int, work_dir: str, n_hosts: int, pages_per_host: int, fi
             "urls": urls,
             "cpu_affinity": len(os.sched_getaffinity(0)),
             "ts": time.time(),
+            "host": _host_state(),
         }
         with open(os.path.join(work_dir, "reps.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -455,9 +489,11 @@ Measurement protocol details:
   (url) INTO 64 BUCKETS`, one file per bucket) — the fetch join shuffles
   ONLY the frontier probe; html bytes never cross an exchange (the parquet
   stand-in for an Iceberg `bucket(url)` storage-partitioned join);
-- JVM heap is fixed + pre-touched (-Xms -XX:+AlwaysPreTouch, ParallelGC):
-  this guest's memory is host-lazily faulted and heap growth under load
-  produced young-GC pauses up to 118 s, which are startup-amortized instead.
+- JVM heap is FIXED (-Xms = -Xmx, ParallelGC): this guest's memory is
+  host-lazily faulted and GC-driven heap growth under load produced young-GC
+  pauses up to 118 s. The working set is faulted by the full-size untimed
+  warm-up pass; full-heap AlwaysPreTouch (30-140 s at ~90 MB/s on this VM)
+  is opt-in via SPARK_GRAFT_PRETOUCH=1 and not used here.
 
 | parallelism | best wall (s) | all walls (s) | URLs scheduled+extracted | throughput (URLs/s) |
 |---|---|---|---|---|

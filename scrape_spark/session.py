@@ -98,11 +98,20 @@ def get_spark(
         .config("spark.driver.memory", driver_mem)
         # throughput GC: html/Arrow buffers are large short-lived allocations;
         # G1's humongous-region handling stalled parse stages (GCLocker storms).
-        # -Xms + AlwaysPreTouch fault the whole heap in at startup (untimed)
-        # instead of inside task execution.
+        # -Xms fixes the committed heap so GC-driven growth (measured 118 s
+        # young-GC pauses on this host's lazily-faulted guest memory) never
+        # happens; the working set is faulted by the first (warm-up) pass.
+        # AlwaysPreTouch is opt-in: faulting the FULL heap at startup costs
+        # 30-140 s on this VM (~90 MB/s fault path) and is strictly more work
+        # than the job's working set needs.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:+UseParallelGC -Xms{driver_mem} -XX:+AlwaysPreTouch",
+            f"-XX:+UseParallelGC -Xms{driver_mem}"
+            + (
+                " -XX:+AlwaysPreTouch"
+                if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
+                else ""
+            ),
         )
         # timestamp rendering (events_hourly etc.) must not depend on the
         # host zone: parquet timestamps are written/read as UTC instants
