@@ -517,9 +517,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- training-data: MinHash LSH near-dup pairs --------------------------------
-@_q(
-    "minhash_neardup_pairs",
-    f"""WITH sigs AS MATERIALIZED (
+# shared CTE chain: signatures → bands → candidate pairs → overlap score
+# (reused verbatim by the neardup_components oracle below)
+_NEARDUP_CTES = f"""sigs AS MATERIALIZED (
   SELECT doc_id, {ts.minhash_sigs_array_sql('text', _DD)} AS sig
   FROM documents),
 bands AS (SELECT doc_id, b.bi, sig[b.bi + 1] AS bv
@@ -530,7 +530,12 @@ cand AS (SELECT DISTINCT a.doc_id AS id_1, c.doc_id AS id_2
 scored AS (SELECT id_1, id_2,
   CAST(len(list_filter(range(1, {ts.N_MINHASH + 1}),
                        i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS n_sig_match
-  FROM cand JOIN sigs s1 ON s1.doc_id = id_1 JOIN sigs s2 ON s2.doc_id = id_2)
+  FROM cand JOIN sigs s1 ON s1.doc_id = id_1 JOIN sigs s2 ON s2.doc_id = id_2)"""
+
+
+@_q(
+    "minhash_neardup_pairs",
+    f"""WITH {_NEARDUP_CTES}
 SELECT id_1, id_2, n_sig_match FROM scored WHERE n_sig_match >= 2""",
 )
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,6 +990,81 @@ def q_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.withColumn("engine_text", extract_text_udf(F.col("html"))).where(
         F.col("engine_text") != F.col("text")
     ).select("url")
+
+
+# -- training-data: cross-corpus repetition (shared-shingle stats) -----------
+@_q(
+    "shingle_dup_stats",
+    f"""WITH s AS (SELECT doc_id,
+             unnest(list_distinct({ts.shingle_hashes_sql('text', _DD)})) AS shingle
+           FROM documents),
+df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY shingle),
+j AS (SELECT s.doc_id, df.df FROM s JOIN df USING (shingle))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  CAST(floor(10000.0 * CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS shared_ratio_q4
+FROM j GROUP BY doc_id""",
+)
+def q_shingle_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition measure: fraction of shingles shared corpus-wide."""
+    from scrape_spark.operators.corpus import shingle_dup_stats
+
+    return shingle_dup_stats(_docs(spark, sf_dir))
+
+
+# -- training-data: Gopher quality-rule filter --------------------------------
+def _gopher_oracle() -> str:
+    from scrape_spark.operators.corpus import gopher_rules_sql
+
+    exprs = gopher_rules_sql("text", _DD)
+    cols = ",\n  ".join(f"{e} AS {c}" for c, e in exprs.items())
+    return f"""WITH r AS (SELECT doc_id, {cols} FROM documents)
+SELECT *, (rule_words AND rule_word_len AND rule_stopwords) AS passes FROM r"""
+
+
+@_q("gopher_quality_rules", _gopher_oracle())
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule columns + passes flag (Rae et al. 2021 §A1.1 subset)."""
+    from scrape_spark.operators.corpus import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+# -- training-data: corpus vocabulary top-k -----------------------------------
+@_q(
+    "vocab_topk",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM t WHERE length(token) > 0
+GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: deterministic top-k by (count desc, token asc)."""
+    from scrape_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+# -- training-data: near-dup clusters (connected components over LSH pairs) ---
+@_q(
+    "neardup_components",
+    f"""WITH RECURSIVE {_NEARDUP_CTES},
+pairs AS (SELECT id_1, id_2 FROM scored WHERE n_sig_match >= 2),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION SELECT id_2, id_1 FROM pairs),
+reach(id, r) AS (SELECT a, a FROM edges
+                 UNION SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a)
+SELECT id, min(r) AS component_id FROM reach GROUP BY id""",
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: min-label components over banded-LSH candidate pairs."""
+    from scrape_spark.operators.corpus import connected_components
+    from scrape_spark.operators.dedup import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(
+        _docs(spark, sf_dir), n_bands=4, min_est_jaccard=0.25
+    )
+    return connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------

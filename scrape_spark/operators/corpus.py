@@ -1,0 +1,227 @@
+"""Corpus-level training-data curation operators.
+
+Cross-document statistics a 100 TB training-data pipeline runs after the
+per-document kernels (textstats) and pair generators (dedup): repetition
+measurement, vocabulary statistics, quality-rule filtering, and near-dup
+cluster resolution. The reference crawler has no corpus analytics at all
+(its only aggregate is row counts, models.py:174-192) — these are engine
+extensions in the same dialect-templated style as textstats, so every
+operator is DuckDB-oracle-checkable.
+
+Scale notes (the design constraint for each operator):
+
+- ``shingle_dup_stats`` — the exploded table carries (doc_id, shingle_hash)
+  int64 pairs only, never text; doc-frequency is one hash shuffle with
+  map-side partial agg; the join back is hash-partitioned on the same key so
+  it reuses the exchange. Shingle count per doc is capped by
+  textstats.SHINGLE_WORDS, so the blow-up factor is a constant (≤ 30×).
+- ``vocab_topk`` — word explode → count: the canonical word-count job.
+  Map-side combine collapses each partition to its local vocabulary before
+  the shuffle, so shuffle bytes are O(vocab × partitions), not O(tokens).
+  The final ORDER BY + LIMIT k is a distributed TakeOrdered, never a full
+  sort of the vocabulary.
+- ``gopher_rules`` — pure per-row JVM expression (zero shuffle, zero
+  Python); composes with .where(passes) for the filter form.
+- ``connected_components`` — iterative min-label propagation with pointer
+  jumping, one hash shuffle per round over the (node, label) table;
+  converges in O(log(diameter)) rounds thanks to the compression step.
+  Near-dup clusters from banded LSH are quasi-cliques (diameter ~2-4), so
+  practical round counts are 2-3. For adversarial long-path graphs at
+  10^10 edges, swap in the large-star/small-star variant (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond") — the API is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from scrape_spark.functions import textstats as ts
+
+
+def shingle_dup_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc cross-corpus repetition: how much of a doc is shared shingles.
+
+    A shingle (word 3-gram hash, textstats.shingle_hashes_sql) is *shared*
+    when its document frequency across the corpus is >= 2. Returns
+    (doc_id, n_shingles, n_shared, shared_ratio_q4) with the ratio quantized
+    to 1e-4 (floor) for exact cross-engine comparison. Docs with fewer than
+    SHINGLE_K words have no shingles and drop out (no denominator).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(ts.shingle_hashes_sql(text_col, ts.SPARK_DIALECT))
+            )
+        ).alias("sh"),
+    )
+    # per-doc-distinct rows ⇒ count(*) per hash IS document frequency
+    dfreq = sh.groupBy("sh").agg(F.count("*").cast("long").alias("df"))
+    return (
+        sh.join(dfreq, on="sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_ratio_q4",
+            F.floor(
+                F.lit(10000) * F.col("n_shared") / F.col("n_shingles")
+            ).cast("long"),
+        )
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, n_occurrences), count-desc, token-asc.
+
+    The deterministic tie-break (token ascending) makes top-k reproducible
+    across partitionings — required for oracle parity and for stable vocab
+    files in a training pipeline.
+    """
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (dialect-templated — same formula both engines)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AWL = 3.0
+GOPHER_MAX_AWL = 10.0
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules_sql(text: str, d: dict) -> dict[str, str]:
+    """Rule expressions keyed by output column name.
+
+    Word-count bounds, mean-word-length bounds and a minimum stopword hit
+    count — the subset of the Gopher quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1) expressible as exact
+    arithmetic over the input_hint text shape (single-line, space-delimited;
+    the line-shape rules need newlines the fixture doesn't have).
+    All doubles are IEEE via explicit CAST so both engines agree bitwise.
+    """
+    nw = f"CAST({ts.token_count_sql(text, d)} AS BIGINT)"
+    awl = (
+        f"((CAST(length({text}) AS DOUBLE) - (CAST({nw} AS DOUBLE) - 1))"
+        f" / CAST({nw} AS DOUBLE))"
+    )
+    stop = ts.lang_score_sql(text, "en")
+    return {
+        "n_words": nw,
+        "mean_word_len_q4": f"CAST(floor({awl} * 10000) AS BIGINT)",
+        "n_stopwords": f"CAST({stop} AS BIGINT)",
+        "rule_words": f"({nw} >= {GOPHER_MIN_WORDS} AND {nw} <= {GOPHER_MAX_WORDS})",
+        "rule_word_len": f"({awl} >= {GOPHER_MIN_AWL} AND {awl} <= {GOPHER_MAX_AWL})",
+        "rule_stopwords": f"({stop} >= {GOPHER_MIN_STOPWORDS})",
+    }
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc Gopher rule columns + ``passes`` conjunction (map-only)."""
+    exprs = gopher_rules_sql(text_col, ts.SPARK_DIALECT)
+    out = docs.select(
+        F.col(id_col), *[F.expr(e).alias(c) for c, e in exprs.items()]
+    )
+    return out.withColumn(
+        "passes",
+        F.col("rule_words") & F.col("rule_word_len") & F.col("rule_stopwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, component_id) for every node in ``pairs``; component_id = min id.
+
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min label over itself and its neighbours, then labels are
+    compressed through one extra self-join (label := label's label), giving
+    O(log d) convergence on diameter-d components. One hash shuffle per
+    round over (node, label); edges stay partitioned once. The driver loop
+    runs a changed-row count per round — O(rounds) tiny jobs, each over the
+    label table only.
+
+    The canonical use: resolve banded-LSH candidate pairs
+    (dedup.minhash_neardup_pairs) into dedup clusters, then keep
+    ``id = component_id`` rows as cluster representatives.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, on=edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr, on=labels["id"] == nbr["a"], how="left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_label"), labels["label"]),
+                ).alias("label"),
+            )
+        )
+        l2 = stepped.select(
+            F.col("id").alias("_cid"), F.col("label").alias("_clabel")
+        )
+        compressed = (
+            stepped.join(l2, on=stepped["label"] == l2["_cid"], how="left")
+            .select(
+                "id",
+                F.coalesce(F.col("_clabel"), F.col("label")).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            compressed.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = compressed
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component_id"))

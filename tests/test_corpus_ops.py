@@ -1,0 +1,85 @@
+"""Corpus-level operators: repetition stats, quality rules, vocab, components."""
+
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.corpus import (
+    connected_components,
+    gopher_rules,
+    shingle_dup_stats,
+    vocab_topk,
+)
+
+
+def _cc_dict(spark, edges, **kw):
+    pairs = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    return {
+        r["id"]: r["component_id"]
+        for r in connected_components(pairs, **kw).collect()
+    }
+
+
+def test_connected_components_basic(spark):
+    got = _cc_dict(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_path_graph(spark):
+    # worst-case diameter: a 12-node path; pointer jumping must converge
+    # well inside max_rounds (O(log d) rounds, not d)
+    edges = [(i, i + 1) for i in range(1, 12)]
+    got = _cc_dict(spark, edges, max_rounds=6)
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_connected_components_bridges_merge(spark):
+    # two clusters joined by a late bridge edge collapse to one component
+    got = _cc_dict(spark, [(1, 2), (3, 4), (2, 3)])
+    assert set(got.values()) == {1}
+
+
+def test_gopher_rules_flags(spark):
+    # 62 words incl. two stopword hits ('the', 'of')
+    long_ok = "the of " + " ".join(f"word{i}" for i in range(60))
+    short = "tiny doc the end"  # 4 words < 50
+    no_stop = " ".join(f"w{i}" for i in range(60))  # no en stopwords
+    docs = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, no_stop)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[1]["rule_words"] and rows[1]["rule_stopwords"]
+    assert rows[1]["passes"]
+    assert not rows[2]["rule_words"] and not rows[2]["passes"]
+    assert not rows[3]["rule_stopwords"] and not rows[3]["passes"]
+    assert rows[1]["n_words"] == 62 and rows[2]["n_words"] == 4
+
+
+def test_vocab_topk_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a c a b z"), (2, "c b q")], "doc_id long, text string"
+    )
+    rows = vocab_topk(docs, k=3).collect()
+    # counts: a=2 b=3 c=2 z=1 q=1 → top3 = b(3), a(2), c(2) — ties token-asc
+    assert [(r["token"], r["n"]) for r in rows] == [("b", 3), ("a", 2), ("c", 2)]
+
+
+def test_shingle_dup_stats(spark):
+    shared = "alpha beta gamma delta epsilon"  # identical docs → all shared
+    unique = "zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, unique)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in shingle_dup_stats(docs).collect()}
+    # 5 words → 3 word-3-gram shingles per doc
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_shared"] == 3
+    assert rows[1]["shared_ratio_q4"] == 10000
+    assert rows[2]["n_shared"] == 3
+    assert rows[3]["n_shared"] == 0 and rows[3]["shared_ratio_q4"] == 0
+
+
+def test_shingle_dup_short_docs_drop(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in shingle_dup_stats(docs).collect()}
+    assert 1 not in rows  # < 3 words → no shingles → no row
+    assert rows[2]["n_shingles"] == 2
