@@ -437,6 +437,10 @@ def scaling_alternating(
     """
     import subprocess
 
+    # protocol subprocesses always pre-touch: with THP the full-heap fault
+    # costs seconds at startup (untimed) instead of landing mid-rep as
+    # young-GC fault storms (measured 118 s pauses on this guest)
+    env = dict(os.environ, SPARK_GRAFT_PRETOUCH="1")
     for _ in range(rounds):
         for cores in (8, 32):
             cmd = [
@@ -446,7 +450,7 @@ def scaling_alternating(
                 "--hosts", str(n_hosts), "--pph", str(pages_per_host),
                 "--filler", str(filler),
             ]
-            subprocess.run(cmd, check=False, timeout=900)
+            subprocess.run(cmd, check=False, timeout=1800, env=env)
     reps = []
     with open(os.path.join(work_dir, "reps.jsonl")) as f:
         reps = [json.loads(line) for line in f if line.strip()]

@@ -104,9 +104,14 @@ def get_spark(
         # AlwaysPreTouch is opt-in: faulting the FULL heap at startup costs
         # 30-140 s on this VM (~90 MB/s fault path) and is strictly more work
         # than the job's working set needs.
+        # UseTransparentHugePages: madvise(MADV_HUGEPAGE) the heap so it
+        # faults in 2 MB chunks — this guest's 4 KB fault path measured
+        # ~360 MB/s idle and collapses to <15 MB/s under concurrent fault
+        # load; THP faulting measured ~1 GB/s and cuts fault exits 512×.
+        # No-op when the kernel has THP disabled.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:+UseParallelGC -Xms{driver_mem}"
+            f"-XX:+UseParallelGC -XX:+UseTransparentHugePages -Xms{driver_mem}"
             + (
                 " -XX:+AlwaysPreTouch"
                 if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
@@ -122,8 +127,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.default.parallelism", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html rows are large; keep Arrow batches bounded.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # html rows are large; keep Arrow batches SMALL. At 100 KB CC pages a
+        # 1024-row batch is ~100 MB per Python worker; and with both the
+        # input and output Arrow streams in flight, batches larger than the
+        # kernel socket buffers (4 MB here) produced a bidirectional TCP
+        # zero-window deadlock between executor and worker (both queues
+        # full, persist-timer probing, task stalled for minutes — observed
+        # on the bench fixture at 1024 rows × ~6 KB html). Scalar pandas
+        # UDFs have no maxBytesPerBatch; the record cap is the only knob.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "128"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
