@@ -348,7 +348,7 @@ def scaling_bench(
         for cores in levels:
             if cores in results:
                 continue
-            spark = _spark(f"local[{cores}]", cores)
+            spark = _spark(f"local[{cores}]", SCALING_SHUFFLE_PARTITIONS)
             try:
                 pages = _gen_pages_bucketed(
                     spark, work_dir, n_hosts, pages_per_host, filler
@@ -388,6 +388,9 @@ def scaling_bench(
             shutil.rmtree(work_dir, ignore_errors=True)
 
 
+SCALING_SHUFFLE_PARTITIONS = 32
+
+
 def scaling_one(cores: int, work_dir: str, n_hosts: int, pages_per_host: int, filler: int) -> None:
     """One timed rep at one level (invoked as a subprocess under taskset).
 
@@ -398,8 +401,14 @@ def scaling_one(cores: int, work_dir: str, n_hosts: int, pages_per_host: int, fi
     measures the steady-state engine — the quantity the north rule's
     N→4N-executor criterion is about — while process-per-rep alternation
     keeps the host-state sampling unbiased between levels.
+
+    Both levels run the IDENTICAL job config — shuffle partitions fixed at
+    the 4N level's sizing — so parallelism is the only variable. A real
+    N→4N comparison spark-submits one job with one conf at two cluster
+    sizes; retuning shuffle partitions per level would hand the small level
+    fewer/larger tasks (lower per-task overhead) and conflate two effects.
     """
-    spark = _spark(f"local[{cores}]", cores)
+    spark = _spark(f"local[{cores}]", SCALING_SHUFFLE_PARTITIONS)
     try:
         pages = _gen_pages_bucketed(spark, work_dir, n_hosts, pages_per_host, filler)
         _warm_page_cache(work_dir)
@@ -441,8 +450,11 @@ def scaling_alternating(
     # costs seconds at startup (untimed) instead of landing mid-rep as
     # young-GC fault storms (measured 118 s pauses on this guest)
     env = dict(os.environ, SPARK_GRAFT_PRETOUCH="1")
-    for _ in range(rounds):
-        for cores in (8, 32):
+    for i in range(rounds):
+        # alternate within-pair order: this host throttles under sustained
+        # load, so a fixed (8, 32) order always hands the 32-core rep the
+        # worse host state — flipping per pair debiases the level comparison
+        for cores in (8, 32) if i % 2 == 0 else (32, 8):
             cmd = [
                 "taskset", "-c", f"0-{cores - 1}",
                 sys.executable, os.path.abspath(__file__),

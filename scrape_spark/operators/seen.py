@@ -70,6 +70,7 @@ class SeenSet:
         name: str = "seen",
         url_key_chars: int | None = None,
         probe_broadcast_limit: int = 2_000_000,
+        bloom_build_min: int | None = None,
     ) -> None:
         self.store = store
         self.spark = store.spark
@@ -84,6 +85,17 @@ class SeenSet:
         # below this many seen keys, filter_new uses one broadcast anti-join
         # instead of the bloom machinery (size known from snapshot metadata)
         self.probe_broadcast_limit = probe_broadcast_limit
+        # blooms are never PROBED below probe_broadcast_limit (the broadcast
+        # fast path wins), so building them there is a wasted Python stage per
+        # base write — defer until the key count can actually exceed the
+        # broadcast path. Once a bloom table EXISTS it is rebuilt at every
+        # base write regardless: a bloom staler than the base it is probed
+        # against would yield false "definitely new" verdicts (those rows
+        # skip the base exact check), which is a correctness bug, not a
+        # performance one.
+        self.bloom_build_min = (
+            probe_broadcast_limit if bloom_build_min is None else bloom_build_min
+        )
         # blooms are FIXED-SIZE per bucket (sized for bucket_capacity keys):
         # size n_buckets × bucket_capacity ≥ expected total URLs (10^10 →
         # 4096 buckets of 2.5M keys ≈ 5 MB each). Exceeding capacity only
@@ -111,15 +123,37 @@ class SeenSet:
     def is_empty(self) -> bool:
         return not self.store.exists(self.name)
 
+    def _read_part(self, p: dict) -> DataFrame:
+        """One chain snapshot, normalized to (url, url_hash, seen_bucket).
+
+        A ``ref`` part is a zero-copy reference to a FRONTIER round-delta
+        file (``add_ref``): its pending rows ARE that round's new URLs, and
+        the key hash/bucket are recomputed from the url text so strict
+        url(255) truncation is honored regardless of the frontier's own
+        ``url_hash`` column.
+        """
+        df = self.spark.read.parquet(p["path"])
+        if p["meta"].get("ref"):
+            df = self._with_bucket(
+                df.where(F.col("status") == "pending").select(
+                    "url", self._key_hash("url").alias("url_hash")
+                )
+            )
+        return df.select("url", "url_hash", _BUCKET)
+
     def read(self) -> DataFrame:
         """Current seen table: (url string, url_hash long, seen_bucket int).
 
         Union of the delta-snapshot chain since the last compaction base —
-        add() appends ONLY new keys per round (O(new), not O(total): a
+        per-round appends are ONLY new keys (O(new), not O(total): a
         10^10-key table must never be rewritten per crawl round), with
         periodic compaction bounding the chain length.
         """
-        return self.store.read_chain(self.name)
+        parts = self.store.chain_parts(self.name)
+        df = self._read_part(parts[0])
+        for p in parts[1:]:
+            df = df.unionByName(self._read_part(p))
+        return df
 
     def _delta_keys(self) -> DataFrame | None:
         """Keys appended since the last base, or None when the base is current."""
@@ -128,7 +162,7 @@ class SeenSet:
             return None
         df = None
         for p in parts[1:]:
-            d = self.spark.read.parquet(p["path"])
+            d = self._read_part(p)
             df = d if df is None else df.unionByName(d)
         return df
 
@@ -192,10 +226,9 @@ class SeenSet:
             )
             return snap_id
 
-        # base write → rebuild the per-bucket blooms from the full key set,
-        # entirely on executors (groupBy-bucket build, store-table write);
-        # nothing is collected and no local sidecar files exist
-        merged = merged.persist()
+        # base write → maybe rebuild the per-bucket blooms from the full key
+        # set, entirely on executors (groupBy-bucket build, store-table
+        # write); nothing is collected and no local sidecar files exist
         total = 0 if self.is_empty() else self._total_rows()
         snap_id = self.store.write(
             self.name, merged, meta=snap_meta,
@@ -204,7 +237,70 @@ class SeenSet:
                 if total >= 0 else None
             ),
         )
-        blooms = merged.select(_BUCKET, "url_hash").groupBy(_BUCKET).applyInPandas(
+        self._maybe_build_blooms(base_meta)
+        return snap_id
+
+    def add_ref(
+        self,
+        path: str,
+        n_rows: int,
+        meta: dict | None = None,
+        compact_every: int = 16,
+    ) -> int:
+        """Zero-job append: register an existing FRONTIER round-delta file as
+        this table's next key delta (its pending rows are exactly that
+        round's new URLs — see ``_read_part``).
+
+        This is the crawl round's fast path: the new keys are already on disk
+        in the frontier delta the round just committed, so appending them to
+        the seen set is one manifest write — no Spark job, no second copy of
+        the key bytes (``SnapshotStore.write_ref``). Every ``compact_every``
+        deltas the chain is materialized into a real base, which also
+        releases the frontier-file references.
+        """
+        base_meta = dict(meta or {})
+        snap_id = self.store.write_ref(
+            self.name, path, n_rows, {**base_meta, "delta": True}
+        )
+        if self.store.chain_length(self.name) >= compact_every:
+            return self._compact(base_meta)
+        return snap_id
+
+    def _compact(self, base_meta: dict) -> int:
+        """Materialize the chain (base + deltas + refs) into a fresh base."""
+        merged = (
+            self.read()
+            .withColumn("_k", self._key_text("url"))
+            .dropDuplicates(["_k"])
+            .drop("_k")
+        )
+        total = self._total_rows()
+        snap_id = self.store.write(
+            self.name,
+            merged,
+            meta={**base_meta, "base": True, "compaction": True},
+            coalesce=self.store.partitions_for(total) if total >= 0 else None,
+        )
+        self._maybe_build_blooms(base_meta)
+        return snap_id
+
+    def _maybe_build_blooms(self, base_meta: dict) -> None:
+        """Rebuild blooms for the CURRENT base snapshot when warranted.
+
+        Skipped while the key count stays ≤ ``bloom_build_min`` AND no bloom
+        table exists yet: filter_new's broadcast fast path never probes
+        blooms there, so building them is a dead Python stage per base write
+        (the crawl's seed path in particular). An existing bloom table is
+        ALWAYS refreshed — a bloom older than the base it is probed against
+        gives false "definitely new" verdicts (correctness, see __init__).
+        Built from the just-committed snapshot (exact manifest row count,
+        zero extra lineage), not the pre-write plan.
+        """
+        rows = self.store.current_snapshot(self.name)["rows"]
+        if not self.store.exists(self.bloom_name) and 0 <= rows <= self.bloom_build_min:
+            return
+        base = self.store.read(self.name)
+        blooms = base.select(_BUCKET, "url_hash").groupBy(_BUCKET).applyInPandas(
             _build_bloom_fn(self.m_bits), schema=BLOOM_SCHEMA
         )
         # ~24 blooms (~120 MB at the 10^10 sizing) per file
@@ -212,8 +308,6 @@ class SeenSet:
             self.bloom_name, blooms, meta={**base_meta, "base": True},
             coalesce=max(1, self.n_buckets // 24),
         )
-        merged.unpersist()
-        return snap_id
 
     def remove(self, urls: list[str] | DataFrame, url_col: str = "url") -> None:
         """Delete keys (reference delete_page_by_url makes exists_in_db false
@@ -233,16 +327,11 @@ class SeenSet:
             .withColumn("_seen_key", self._key_text("url"))
             .join(F.broadcast(gone), on="_seen_key", how="left_anti")
             .drop("_seen_key")
-            .persist()
         )
         self.store.write(
             self.name, kept, meta={"base": True, "event": "remove"},
         )
-        blooms = kept.select(_BUCKET, "url_hash").groupBy(_BUCKET).applyInPandas(
-            _build_bloom_fn(self.m_bits), schema=BLOOM_SCHEMA
-        )
-        self.store.write(self.bloom_name, blooms, meta={"base": True, "event": "remove"})
-        kept.unpersist()
+        self._maybe_build_blooms({"event": "remove"})
 
     def truncate(self) -> None:
         """Empty the seen set (reference clear_all_pages)."""

@@ -429,12 +429,26 @@ class CrawlJob:
                     p for p in self.store.chain_parts("frontier") if p["id"] > fs
                 ]
                 for p in newer:  # O(new rows since last check), tiny
+                    # a round delta that added no URLs cannot add a host:
+                    # its pending rows are exactly its new rows (metrics are
+                    # patched into the meta right after commit; a missing
+                    # field — crash window, non-round event — keeps the scan)
+                    pm = p["meta"]
+                    if pm.get("event") == "round" and (
+                        pm.get("new_urls") == 0
+                        or pm.get("new_hosts_uncovered") == 0
+                    ):
+                        continue
                     d = (
                         self.spark.read.parquet(p["path"])
                         .where(F.col("status") == "pending")
                         .select("host")
                     )
                     check = d if check is None else check.unionByName(d)
+                if check is None and newer:
+                    # nothing to scan — advance the watermark so later rounds
+                    # skip these parts without walking the manifest again
+                    self._bump_robots_watermark()
         if check is not None:
             if not stale_hosts(robots, check, self.user_agent).isEmpty():
                 robots = self._refresh_robots_write(robots, check, round_idx)
@@ -612,7 +626,9 @@ class CrawlJob:
         # twice per round
         new = self.seen.filter_new(fresh).persist(StorageLevel.MEMORY_AND_DISK)
 
-        delta, next_seq = self._round_delta(batch, blocked, hits, new, round_idx, meta0)
+        delta, next_seq = self._round_delta(
+            batch, blocked, hits, new, round_idx, meta0, robots=robots
+        )
 
         # --- metrics (A1/A2/A4 parity + engine extensions) ride ON the write
         # job via observe(): the round delta is computed ONCE — no separate
@@ -630,7 +646,8 @@ class CrawlJob:
             F.sum((F.col("status") == "blocked").cast("int")).alias("blocked"),
             F.sum((F.col("status") == "pending").cast("int")).alias("new"),
             F.sum((is_done & ~F.col("text_match")).cast("int")).alias("mism"),
-        )
+            F.sum(F.col("_robots_known").isNull().cast("int")).alias("uncov"),
+        ).select(*FRONTIER_COLS)
         prev_snap_id = self.store.current_snapshot("frontier")["id"]
         self.store.write(
             "frontier",
@@ -700,6 +717,7 @@ class CrawlJob:
             "fetched": n_done,
             "fetch_errors": n_err,
             "new_urls": n_new,
+            "new_hosts_uncovered": int(row["uncov"] or 0),
             "text_mismatches": int(row["mism"] or 0),
             "next_seq": next_seq + n_new,
             "n_rounds": round_idx + 1,
@@ -712,13 +730,14 @@ class CrawlJob:
         # both the seen-set append and the pending carry-over
         delta_committed = self.store.read("frontier")
         if n_new:
-            # read the new rows back from the just-committed snapshot
-            # (O(new) scan) instead of recomputing the round pipeline
-            self.seen.add(
-                delta_committed.where(F.col("status") == "pending").select("url"),
-                meta={"round": round_idx},
-                assume_unique=True,
+            # the just-committed frontier delta already holds the round's new
+            # URLs (status=pending rows) on disk — register it as the seen
+            # set's next key delta by manifest reference: one JSON write, no
+            # Spark job, no second copy of the key bytes per round
+            self.seen.add_ref(
+                self.store.current_snapshot("frontier")["path"],
                 n_rows=n_new,
+                meta={"round": round_idx},
             )
         self._advance_pending_cache(
             pending, delta_committed, n_done + n_err + n_blocked + n_new
@@ -729,13 +748,21 @@ class CrawlJob:
         return metrics
 
     def _round_delta(
-        self, batch, blocked, hits, new, round_idx: int, meta0: dict
+        self, batch, blocked, hits, new, round_idx: int, meta0: dict,
+        robots: DataFrame | None = None,
     ) -> tuple[DataFrame, int]:
         """The round's O(batch+new) state delta: touched rows + new rows.
 
         Built WITHOUT joining the full frontier — ``batch`` and ``blocked``
         already carry every frontier column (they are pending rows), so the
         outcome join is batch ⋈ hit-results on the fetch key: O(batch).
+
+        The delta carries one extra transient column ``_robots_known``: True
+        unless the row is a NEW url whose host has no rules row in ``robots``
+        (batch/blocked hosts are covered by the robots invariant). Observing
+        its sum rides the write job and lets the NEXT round skip its robots
+        staleness check entirely when every new host was already covered —
+        the common case once a crawl's host set stabilizes.
         """
         next_seq = self._next_seq(meta0)
 
@@ -782,6 +809,16 @@ class CrawlJob:
                 F.lit(None).cast("int").alias("round"),
             )
         )
+        if robots is not None:
+            covered = (
+                robots.where(F.col("user_agent") == self.user_agent)
+                .select("host")
+                .dropDuplicates(["host"])
+                .withColumn("_robots_known", F.lit(True))
+            )
+            new_rows = new_rows.join(F.broadcast(covered), on="host", how="left")
+        else:
+            new_rows = new_rows.withColumn("_robots_known", F.lit(True))
 
         # state transition for the processed batch (T5/S6 MERGE semantics):
         # hit → done row; no hit → the reference's fetch-failure path
@@ -826,10 +863,11 @@ class CrawlJob:
             F.lit(None).cast("timestamp").alias("fetch_slot"),
             F.lit(round_idx).alias("round"),
         )
+        known = F.lit(True).alias("_robots_known")
         delta = (
-            updated.select(*FRONTIER_COLS)
-            .unionByName(blocked_rows.select(*FRONTIER_COLS))
-            .unionByName(new_rows.select(*FRONTIER_COLS))
+            updated.select(*FRONTIER_COLS, known)
+            .unionByName(blocked_rows.select(*FRONTIER_COLS, known))
+            .unionByName(new_rows.select(*FRONTIER_COLS, "_robots_known"))
         )
         return delta, next_seq
 

@@ -98,6 +98,58 @@ class SnapshotStore:
         """
         return max(1, min(200, rows // rows_per_file + 1))
 
+    def _cut_orphans(self, tbl: dict) -> None:
+        """Drop manifest entries past ``current`` (Iceberg branch cut) and
+        delete their data files — except reference snapshots, whose files are
+        owned by another table's lifecycle (see ``write_ref``)."""
+        if tbl["current"] is None:
+            return
+        orphans = [s for s in tbl["snapshots"] if s["id"] > tbl["current"]]
+        tbl["snapshots"] = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
+        for s in orphans:
+            if not s["meta"].get("ref"):
+                shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
+
+    def write_ref(
+        self,
+        name: str,
+        path: str,
+        rows: int,
+        meta: dict | None = None,
+    ) -> int:
+        """Register an EXISTING snapshot directory as this table's next
+        snapshot — a manifest-only commit, zero Spark jobs, zero data copy
+        (the Iceberg analogue: two tables' manifest lists naming the same
+        data files).
+
+        The referenced files stay owned by the table that wrote them: this
+        table never deletes them (orphan cuts and ``prune`` skip ``ref``
+        snapshots), and callers must guarantee the owner's lifecycle keeps
+        them alive for as long as this table's chain can reach them — in the
+        crawl that holds because nothing prunes frontier deltas and the
+        coordinated rollback rewinds both tables together.
+
+        ``rows`` is caller-supplied (the referenced file may contain MORE
+        rows than this table's read-time view of it — e.g. a frontier round
+        delta of which only the pending rows are seen keys).
+        """
+        manifest = self._load()
+        tbl = manifest["tables"].setdefault(name, {"snapshots": [], "current": None})
+        snap_id = (tbl["snapshots"][-1]["id"] + 1) if tbl["snapshots"] else 0
+        self._cut_orphans(tbl)
+        tbl["snapshots"].append(
+            {
+                "id": snap_id,
+                "path": path,
+                "rows": rows,
+                "wall_time": time.time(),
+                "meta": {**(meta or {}), "ref": True},
+            }
+        )
+        tbl["current"] = snap_id
+        self._save(manifest)
+        return snap_id
+
     def write(
         self,
         name: str,
@@ -123,11 +175,7 @@ class SnapshotStore:
         # head: discard the stale forward chain (Iceberg-style branch cut) so
         # chain-reading tables (delta snapshots) never see orphaned futures,
         # and delete their now-unreachable data files
-        if tbl["current"] is not None:
-            orphans = [s for s in tbl["snapshots"] if s["id"] > tbl["current"]]
-            tbl["snapshots"] = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
-            for s in orphans:
-                shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
+        self._cut_orphans(tbl)
         rel_path = os.path.join(name, f"snap_{snap_id:05d}")
         path = os.path.join(self.root, rel_path)
         if coalesce is not None:
@@ -294,7 +342,7 @@ class SnapshotStore:
         for s in tbl["snapshots"]:
             if s["id"] in keep:
                 kept.append(s)
-            else:
+            elif not s["meta"].get("ref"):  # ref files belong to another table
                 shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
         tbl["snapshots"] = kept
         self._save(manifest)

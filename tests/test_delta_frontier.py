@@ -91,6 +91,9 @@ def test_blooms_are_store_tables_not_driver_files(spark, tmp_path):
     root = str(tmp_path / "b")
     pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
     job = _job(spark, root, pages)
+    # production defers bloom builds below probe_broadcast_limit; force them
+    # here — this test pins WHERE blooms live, not when they're built
+    job.seen.bloom_build_min = 0
     job.seed(seed_urls(N_HOSTS))
     job.run(max_rounds=3)
     assert job.store.exists("seen_bloom")
@@ -154,4 +157,76 @@ def test_replayed_round_indices_match_after_rollback(spark, tmp_path):
         for r in j2.frontier().select("url", "round", "fetch_slot").collect()
     }
     assert replay == orig
+    pages.unpersist()
+
+
+def test_seen_round_deltas_are_manifest_refs(spark, tmp_path):
+    """Per-round seen appends are zero-copy manifest references to the
+    frontier delta files — no second parquet copy of the key bytes, and the
+    seen read-back still equals the frontier's URL set exactly."""
+    root = str(tmp_path / "zref")
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    job = _job(spark, root, pages, compact_every=10_000)
+    job.seed(seed_urls(N_HOSTS))
+    metrics = job.run(max_rounds=3)
+    assert any(m["new_urls"] > 0 for m in metrics)
+    seen_parts = job.store.chain_parts("seen")
+    refs = [p for p in seen_parts if p["meta"].get("ref")]
+    assert len(refs) == sum(1 for m in metrics if m["new_urls"] > 0)
+    frontier_paths = {p["path"] for p in job.store.chain_parts("frontier")}
+    for r in refs:
+        assert r["path"] in frontier_paths  # literally the same data files
+    # and the n_rows recorded for each ref is that round's new-URL count
+    by_round = {m["round"]: m["new_urls"] for m in metrics}
+    for r in refs:
+        assert r["rows"] == by_round[r["meta"]["round"]]
+    # the zero-copy view is still the exact URL set
+    f_urls = {u for u in job.all_urls()}
+    s_urls = {r["url"] for r in job.seen.read().select("url").collect()}
+    assert f_urls == s_urls
+    pages.unpersist()
+
+
+def test_ref_files_survive_owner_orphan_cut(spark, tmp_path):
+    """A table never deletes files it references but does not own: cutting
+    the SEEN chain after a rollback must not remove the frontier's data."""
+    import os as _os
+
+    root = str(tmp_path / "oc")
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    job = _job(spark, root, pages, compact_every=10_000)
+    job.seed(seed_urls(N_HOSTS))
+    job.run(max_rounds=2)
+    # the round-1 frontier delta is referenced by the seen chain
+    refs = [p for p in job.store.chain_parts("seen") if p["meta"].get("ref")]
+    assert refs
+    target = refs[-1]["path"]
+    assert _os.path.exists(target)
+    # rewind seen past the ref, then commit a new seen snapshot: the orphan
+    # cut discards the ref ENTRY but must leave the frontier file on disk
+    job.store.rollback("seen", 0)
+    job.seen.add(
+        spark.createDataFrame([("http://fresh.test/x",)], "url string")
+    )
+    assert _os.path.exists(target)
+    assert not any(
+        p["meta"].get("ref") for p in job.store.chain_parts("seen")
+    )
+    pages.unpersist()
+
+
+def test_seen_compaction_materializes_refs(spark, tmp_path):
+    """Compaction rewrites the ref chain into a real base (own files), after
+    which the chain no longer depends on frontier snapshots."""
+    root = str(tmp_path / "mc")
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    job = _job(spark, root, pages, compact_every=10_000)
+    job.seed(seed_urls(N_HOSTS))
+    job.run(max_rounds=2)
+    before = {r["url"] for r in job.seen.read().select("url").collect()}
+    job.seen._compact({"event": "test"})
+    parts = job.store.chain_parts("seen")
+    assert len(parts) == 1 and not parts[0]["meta"].get("ref")
+    after = {r["url"] for r in job.seen.read().select("url").collect()}
+    assert after == before
     pages.unpersist()

@@ -8,6 +8,10 @@ from scrape_spark.plans.statestore import SnapshotStore
 
 def _mk(spark, tmp_path, **kw):
     store = SnapshotStore(spark, str(tmp_path / "state"))
+    # bloom_build_min=0: tests exercise the bloom machinery at toy sizes
+    # (production defers builds below probe_broadcast_limit, where the
+    # broadcast fast path never probes them — see deferral tests below)
+    kw.setdefault("bloom_build_min", 0)
     return SeenSet(store, n_buckets=8, bucket_capacity=1 << 12, **kw)
 
 
@@ -130,3 +134,43 @@ def test_large_path_bloom_cogroup_matches_small_path(spark, tmp_path):
     assert got == {f"http://h.test/p/{i}" for i in range(300, 320)} | {
         f"http://h.test/q/{i}" for i in range(50, 60)
     }
+
+
+def test_bloom_build_deferred_below_threshold(spark, tmp_path):
+    """Small seen sets never build a bloom table (the broadcast fast path
+    doesn't probe it), and dedup stays exact without one — including on the
+    forced large path, which falls back to all-exact checks."""
+    seen = _mk(spark, tmp_path, bloom_build_min=10_000)
+    seen.add(_urls(spark, [f"http://h.test/{i}" for i in range(200)]))
+    assert not seen.store.exists(seen.bloom_name)
+    cand = _urls(spark, ["http://h.test/5", "http://fresh.test/a"])
+    assert {r["url"] for r in seen.filter_new(cand).collect()} == {
+        "http://fresh.test/a"
+    }
+    seen.probe_broadcast_limit = 0  # large path with NO bloom table
+    assert {r["url"] for r in seen.filter_new(cand).collect()} == {
+        "http://fresh.test/a"
+    }
+    # compaction below the threshold still skips the bloom build
+    seen.add(_urls(spark, ["http://h.test/x"]), compact_every=1)
+    assert not seen.store.exists(seen.bloom_name)
+
+
+def test_existing_bloom_always_rebuilt_at_base_writes(spark, tmp_path):
+    """Once a bloom table exists it must be refreshed by every base write —
+    a bloom staler than the base yields false 'definitely new' verdicts."""
+    seen = _mk(spark, tmp_path, bloom_build_min=0)  # force initial build
+    seen.add(_urls(spark, [f"http://h.test/{i}" for i in range(50)]))
+    assert seen.store.exists(seen.bloom_name)
+    v0 = seen.store.current_snapshot(seen.bloom_name)["id"]
+    # raise the threshold ABOVE the table size: rebuild must happen anyway
+    seen.bloom_build_min = 10_000
+    seen.add(_urls(spark, ["http://h.test/new1"]))  # delta (chain length 1)
+    seen.add(_urls(spark, ["http://h.test/new2"]), compact_every=1)  # compaction
+    assert seen.store.current_snapshot(seen.bloom_name)["id"] > v0
+    # the refreshed bloom covers the new key on the forced large path
+    seen.probe_broadcast_limit = 0
+    out = seen.filter_new(
+        _urls(spark, ["http://h.test/new1", "http://fresh.test/b"])
+    )
+    assert {r["url"] for r in out.collect()} == {"http://fresh.test/b"}
