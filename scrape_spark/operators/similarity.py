@@ -351,25 +351,35 @@ def lsh_topk(
     Recall tuning: fewer ``n_bits`` → bigger buckets → higher recall & cost;
     more ``n_tables`` → more independent chances for a true neighbor to
     collide with its query (recall@k grows monotonically with n_tables at
-    fixed n_bits — asserted in tests/test_training_ops.py). Each table's
-    bucket join shuffles only on the signature — at 10^10 vectors a task
-    handles one bucket range, never the corpus; candidate pairs are deduped
-    across tables before scoring so each pair is scored once.
+    fixed n_bits — asserted in tests/test_training_ops.py).
+
+    Scale shape: the corpus is scanned ONCE — all ``n_tables`` signatures are
+    computed in a single map-side projection and exploded to (table, bucket)
+    rows (CPU-only fan-out; a union-of-per-table-joins would rescan the
+    10^10-vector corpus n_tables times). The query side is broadcast, so the
+    corpus never hash-shuffles into the bucket join either; candidate pairs
+    are deduped across tables before scoring so each pair is scored once.
     """
-    cand = None
-    for t in range(n_tables):
-        c = corpus.select(id_col, vec_col).withColumn(
-            "bucket", lsh_signature(vec_col, n_bits, table=t)
+
+    def _sig_rows(df: DataFrame, idc: str, vc: str, out_vec: str) -> DataFrame:
+        sig_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("_tbl"),
+                    lsh_signature(vc, n_bits, table=t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
         )
-        q = F.broadcast(
-            queries.select(
-                F.col(query_id_col), F.col(vec_col).alias("qv")
-            ).withColumn("bucket", lsh_signature("qv", n_bits, table=t))
-        )
-        pairs = c.join(q, on="bucket", how="inner").where(
-            F.col(query_id_col) != F.col(id_col)
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+        return df.select(
+            F.col(idc), F.col(vc).alias(out_vec), F.explode(sig_arr).alias("_s")
+        ).select(idc, out_vec, "_s._tbl", "_s.bucket")
+
+    c = _sig_rows(corpus, id_col, vec_col, vec_col)
+    q = F.broadcast(_sig_rows(queries, query_id_col, vec_col, "qv"))
+    cand = c.join(q, on=["_tbl", "bucket"], how="inner").where(
+        F.col(query_id_col) != F.col(id_col)
+    )
     cand = cand.dropDuplicates([query_id_col, id_col]).withColumn(
         "cosine", cosine_expr("qv", vec_col)
     )
