@@ -52,6 +52,11 @@ METRIC = (
 def _spark(master: str, cpus: int):
     from scrape_spark.session import get_spark
 
+    # THP+pretouch: fault the whole fixed heap at session start (untimed,
+    # ~1 GB/s via 2 MB pages) so no timed query ever pays this kernel's
+    # synchronous defrag=madvise fault path (measured 3x on warm scans when
+    # the heap faults lazily mid-query, ~20% on alloc-heavy crawl rounds)
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     return get_spark(
         "scrape-spark-bench",
         master=master,

@@ -108,12 +108,17 @@ def get_spark(
         # faults in 2 MB chunks — this guest's 4 KB fault path measured
         # ~360 MB/s idle and collapses to <15 MB/s under concurrent fault
         # load; THP faulting measured ~1 GB/s and cuts fault exits 512×.
-        # No-op when the kernel has THP disabled.
+        # COUPLED to AlwaysPreTouch: this kernel runs thp defrag=madvise,
+        # so a madvise'd heap pays SYNCHRONOUS compaction on every lazy
+        # fault — measured 3× slowdown on warm scan-side queries when the
+        # heap faults mid-job. With pretouch the whole heap faults (fast,
+        # via THP) at startup and steady state never faults again; without
+        # pretouch the lazily-faulted 4 KB path is the cheaper trade.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:+UseParallelGC -XX:+UseTransparentHugePages -Xms{driver_mem}"
+            f"-XX:+UseParallelGC -Xms{driver_mem}"
             + (
-                " -XX:+AlwaysPreTouch"
+                " -XX:+UseTransparentHugePages -XX:+AlwaysPreTouch"
                 if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
                 else ""
             ),
