@@ -193,6 +193,37 @@ def q_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- O1/north-rule: PRIORITY-queue dequeue (score-ordered, FIFO tiebreak) -----
+# The frontier is a priority queue, not only FIFO: per_host_take ranks by any
+# order key. Here priority = content-richness (n_chars DESC), seq tiebreak —
+# the same salted two-stage top-k, so a mega-host still never funnels through
+# one task.
+@_q(
+    "frontier_priority_dequeue",
+    f"""WITH f AS ({FRONTIER_SQL}),
+p AS (SELECT *, {QUOTA_SQL} AS quota FROM f WHERE status = 'pending'),
+r AS (SELECT url, host, seq, n_chars, quota,
+             row_number() OVER (PARTITION BY host ORDER BY -n_chars, seq)
+               AS host_rank
+      FROM p)
+SELECT url, host, seq, n_chars, CAST(host_rank AS BIGINT) AS host_rank
+FROM r WHERE host_rank <= quota""",
+)
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.operators.politeness import host_quota_expr, per_host_take
+
+    fr = (
+        _frontier(spark, sf_dir)
+        .where(F.col("status") == "pending")
+        .withColumn("quota", host_quota_expr(F.col("crawl_delay"), 60, 10))
+        .withColumn("_prio", -F.col("n_chars"))
+    )
+    return per_host_take(fr, "quota", order_cols=["_prio", "seq"]).select(
+        "url", "host", "seq", "n_chars",
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
 # -- T3: politeness — virtual per-host fetch slots ---------------------------
 @_q(
     "politeness_slots",

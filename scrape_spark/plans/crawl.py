@@ -187,6 +187,7 @@ class CrawlJob:
         compact_every: int = 8,
         pages_bucketed: bool = False,
         url_key_chars: int | None = None,
+        priority: Column | None = None,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -207,6 +208,14 @@ class CrawlJob:
         # SURVEY §7.4 strict-parity mode: 255 reproduces the reference's
         # MySQL ``url(255)`` unique-key truncation for dedup; None = full URL
         self.url_key_chars = url_key_chars
+        # Frontier dequeue priority (north-rule "priority queue"): an
+        # expression over frontier columns ranked ASCENDING ahead of the FIFO
+        # seq tiebreak (pass e.g. F.col("depth") for shallow-first, or a
+        # negated score for highest-first). None = the reference's pure FIFO
+        # (ORDER BY id ASC, models.py:122-129), which the equivalence suite
+        # pins. The salted two-stage top-k is order-key-generic, so a
+        # mega-host never funnels through one task either way.
+        self.priority = priority
         self.seen = SeenSet(
             store,
             n_buckets=n_buckets,
@@ -532,7 +541,13 @@ class CrawlJob:
                 round_idx=round_idx,
             ),
         )
-        batch = per_host_take(allowed, "quota", order_cols=["seq"])
+        if self.priority is not None:
+            allowed = allowed.withColumn("_prio", self.priority)
+            batch = per_host_take(
+                allowed, "quota", order_cols=["_prio", "seq"]
+            ).drop("_prio")
+        else:
+            batch = per_host_take(allowed, "quota", order_cols=["seq"])
         round_start = F.lit(
             VIRTUAL_EPOCH + _dt.timedelta(seconds=round_idx * self.round_seconds)
         )
