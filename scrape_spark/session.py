@@ -144,6 +144,17 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "128"),
         )
+        # InferFiltersFromGenerate synthesizes `size(udf.links)>0` below an
+        # explode and pushes it through joins, CLONING the Arrow parse UDF
+        # onto the pages scan side: every page parsed twice and the html side
+        # dragged through an Exchange (observed on the scaling job — two
+        # concurrent full-parse stages). The inferred filter saves nothing
+        # here (evaluating it costs the same UDF it guards), so exclude the
+        # rule engine-wide.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

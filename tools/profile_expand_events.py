@@ -108,7 +108,8 @@ def main() -> None:
         tot_wall += wall
         tot_gap += max(0.0, gap)
         st = " ".join(
-            f"[{stage_task_time[s]['wall_ms']/1000:.2f}x{stage_task_time[s]['tasks']}]"
+            f"[{stage_task_time[s]['wall_ms']/1000:.2f}x{stage_task_time[s]['tasks']}"
+            f" {stage_task_time[s]['name']}]"
             for s in j["stages"]
             if s in stage_task_time
         )
