@@ -1098,6 +1098,39 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+# -- training-data: deterministic per-stratum subsampling ---------------------
+# Per-language quota sampling (the corpus-balancing primitive). Seeded affine
+# mod-prime hash orders rows identically in both engines; the Spark side runs
+# the salted two-stage top-k (per_host_take), NOT a per-stratum window, so a
+# mega-stratum (lang='en' at 40% of a 100 TB corpus) never funnels one task.
+_SAMPLE_K, _SAMPLE_A, _SAMPLE_B, _SAMPLE_P = 7, 1103515245, 12345, 2147483647
+
+
+@_q(
+    "stratified_sample",
+    f"""WITH s AS (SELECT doc_id, lang,
+        (doc_id * {_SAMPLE_A} + {_SAMPLE_B}) % {_SAMPLE_P} AS skey
+      FROM documents),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id)
+          AS sample_rank
+      FROM s)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= {_SAMPLE_K}""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.operators.corpus import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    key = (
+        F.col("doc_id") * F.lit(_SAMPLE_A) + F.lit(_SAMPLE_B)
+    ) % F.lit(_SAMPLE_P)
+    out = stratified_sample(docs, ["lang"], _SAMPLE_K, key, tiebreak_cols=["doc_id"])
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

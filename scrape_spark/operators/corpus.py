@@ -225,3 +225,46 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("id", F.col("label").alias("component_id"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    sample_key,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``k`` rows with the smallest
+    ``sample_key`` in each stratum.
+
+    The training-data subsampling primitive (per-language / per-domain
+    quotas): seeded-hash order makes the sample reproducible across runs and
+    engines (pass a different seed inside ``sample_key`` for an independent
+    draw), and quota capping is exactly the frontier's politeness problem —
+    so this reuses ``per_host_take``'s salted two-stage top-k rather than a
+    naive ``row_number() OVER (PARTITION BY strata)``, whose single window
+    task per stratum dies on skew (one stratum = 40% of a 100 TB corpus is
+    normal for `lang='en'`). Cost: two bounded window passes, never a
+    per-stratum funnel.
+
+    ``sample_key`` is any deterministic Column (``F.xxhash64(col, seed)`` at
+    scale; a mod-prime affine hash when cross-engine oracle parity matters).
+    The reference has no sampling at all; this is an engine extension.
+    """
+    from scrape_spark.operators.politeness import per_host_take
+
+    if len(strata_cols) != 1:
+        df = df.withColumn("_stratum", F.concat_ws("\x1f", *strata_cols))
+        stratum = "_stratum"
+    else:
+        stratum = strata_cols[0]
+    keyed = df.withColumn("_skey", sample_key).withColumn("quota", F.lit(k))
+    out = per_host_take(
+        keyed,
+        "quota",
+        host_col=stratum,
+        order_cols=["_skey"] + list(tiebreak_cols or []),
+        rank_col="sample_rank",
+    )
+    drop = ["_skey", "quota"] + (["_stratum"] if stratum == "_stratum" else [])
+    return out.drop(*drop)

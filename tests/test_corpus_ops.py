@@ -83,3 +83,42 @@ def test_shingle_dup_short_docs_drop(spark):
     rows = {r["doc_id"]: r for r in shingle_dup_stats(docs).collect()}
     assert 1 not in rows  # < 3 words → no shingles → no row
     assert rows[2]["n_shingles"] == 2
+
+
+def test_stratified_sample_deterministic_topk(spark):
+    from pyspark.sql import functions as F
+
+    from scrape_spark.operators.corpus import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "ja") for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    key = (F.col("doc_id") * 1103515245 + 12345) % 2147483647
+    got = stratified_sample(df, ["lang"], 4, key, tiebreak_cols=["doc_id"]).collect()
+    # exactly k per stratum, ranks contiguous from 1
+    by_lang: dict = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append((r["sample_rank"], r["doc_id"]))
+    assert {l: len(v) for l, v in by_lang.items()} == {"en": 4, "ja": 4}
+    # matches the plain python argsort of the same key — and reruns agree
+    for lang, members in by_lang.items():
+        pool = [i for i, l in rows if l == lang]
+        expect = sorted(pool, key=lambda i: ((i * 1103515245 + 12345) % 2147483647, i))[:4]
+        assert [d for _, d in sorted(members)] == expect
+    again = stratified_sample(df, ["lang"], 4, key, tiebreak_cols=["doc_id"]).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_stratified_sample_multi_strata_and_small_groups(spark):
+    from pyspark.sql import functions as F
+
+    from scrape_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", "a.com"), (2, "en", "a.com"), (3, "en", "b.com"), (4, "ja", "a.com")],
+        "doc_id long, lang string, host string",
+    )
+    key = (F.col("doc_id") * 7 + 3) % 101
+    got = stratified_sample(df, ["lang", "host"], 5, key).collect()
+    # groups smaller than k are returned whole; helper columns dropped
+    assert len(got) == 4
+    assert set(got[0].asDict()) == {"doc_id", "lang", "host", "sample_rank"}
