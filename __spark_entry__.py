@@ -841,9 +841,9 @@ def q_crawl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pages = docpages.pages_from_documents(spark, docs, n_hosts=8, k=3)
-    seeds = spark.createDataFrame(
-        [(u,) for u in docpages.seed_urls(8)], "url string"
-    )
+    from scrape_spark.session import local_df
+
+    seeds = local_df(spark, [(u,) for u in docpages.seed_urls(8)], "url string")
     fetched = pages.join(F.broadcast(seeds), on="url", how="inner")
     parsed = fetched.withColumn("parsed", parse_page_expr("html", "url"))
     edges = parsed.select(

@@ -65,7 +65,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     robots_source = (
         spark.read.parquet(args.robots)
         if args.robots
-        else spark.createDataFrame([], "host string, robots_txt string")
+        else empty_df(spark, "host string, robots_txt string")
     )
     job = CrawlJob(
         spark,
@@ -92,8 +92,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if not job.store.exists("frontier"):
             job.seed([(args.url, args.method, args.payload, args.referrer)])
         else:
+            from scrape_spark.session import local_df
+
             extra = job.seen.filter_new(
-                spark.createDataFrame([(args.url,)], "url string")
+                local_df(spark, [(args.url,)], "url string")
             )
             if extra.count():
                 # append as a pending delta row with the next seq
@@ -104,7 +106,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
                 meta = job._meta()
                 next_seq = job._next_seq(meta)
-                row = spark.createDataFrame(
+                row = local_df(
+                    spark,
                     [(args.url, args.method.upper(), args.payload, args.referrer)],
                     "url string, method string, payload string, referrer string",
                 )

@@ -77,9 +77,13 @@ def assign_global_seq(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    from scrape_spark.session import local_df
+
     offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], f"{_PID} int, _seq_off long"
+        local_df(
+            spark,
+            [(pid, off) for pid, off in offsets.items()],
+            f"{_PID} int, _seq_off long",
         )
     )
     w = Window.partitionBy(_PID).orderBy(*order_cols)

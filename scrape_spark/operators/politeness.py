@@ -81,6 +81,8 @@ def per_host_take(
     order_cols: list[str] = ("seq",),
     n_salts: int = 16,
     rank_col: str = "host_rank",
+    n_rows_est: int | None = None,
+    small_limit: int = 0,
 ) -> DataFrame:
     """Keep the first ``quota`` rows per host in ``order_cols`` order.
 
@@ -91,8 +93,23 @@ def per_host_take(
     Correctness of the two stages: any row in the host's true top-q is in the
     top-q of its own salt (a subset can only rank it better), so stage 1 never
     drops a true winner as long as stage-1 keeps q per salt.
+
+    Size-adaptive (same pattern as ``assign_global_seq``): when the caller
+    supplies ``n_rows_est ≤ small_limit`` (pending count from snapshot
+    metadata — zero jobs), a single per-host window IS the right plan: no
+    host's slice can be pathological under the bound, and the salted path's
+    extra exchange + window stage is pure per-round latency at that size.
+    Both paths produce the IDENTICAL kept set and ranks — ``order_cols``
+    totally orders each host's rows (seq is unique), so this is a physical
+    strategy switch, never a semantics switch. An under-estimate only costs
+    one skewed window task, never correctness.
     """
     order = [F.col(c) for c in order_cols]
+    if n_rows_est is not None and 0 <= n_rows_est <= small_limit:
+        w = Window.partitionBy(host_col).orderBy(*order)
+        return df.withColumn(rank_col, F.row_number().over(w)).where(
+            F.col(rank_col) <= F.col(quota_col)
+        )
     salt = F.pmod(F.xxhash64(*order), F.lit(n_salts))
     w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
     stage1 = (

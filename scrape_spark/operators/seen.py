@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from scrape_spark.operators import bloom as bloom_kernel
 from scrape_spark.plans.statestore import SnapshotStore
+from scrape_spark.session import empty_df
 
 _BUCKET = "seen_bucket"
 
@@ -319,8 +320,10 @@ class SeenSet:
         if isinstance(urls, DataFrame):
             gone = urls.select(self._key_text(url_col).alias("_seen_key"))
         else:
-            gone = self.spark.createDataFrame(
-                [(u,) for u in urls], "url string"
+            from scrape_spark.session import local_df
+
+            gone = local_df(
+                self.spark, [(u,) for u in urls], "url string"
             ).select(self._key_text("url").alias("_seen_key"))
         kept = (
             self.read()
@@ -335,13 +338,11 @@ class SeenSet:
 
     def truncate(self) -> None:
         """Empty the seen set (reference clear_all_pages)."""
-        empty = self.spark.createDataFrame(
-            [], f"url string, url_hash long, {_BUCKET} int"
-        )
+        empty = empty_df(self.spark, f"url string, url_hash long, {_BUCKET} int")
         self.store.write(self.name, empty, meta={"base": True, "event": "truncate"})
         self.store.write(
             self.bloom_name,
-            self.spark.createDataFrame([], BLOOM_SCHEMA),
+            empty_df(self.spark, BLOOM_SCHEMA),
             meta={"base": True, "event": "truncate"},
         )
 

@@ -72,6 +72,7 @@ from scrape_spark.operators.politeness import (
 from scrape_spark.operators.robots import join_robots, refresh_robots, stale_hosts
 from scrape_spark.operators.seen import SeenSet
 from scrape_spark.plans.statestore import SnapshotStore
+from scrape_spark.session import empty_df, local_df
 
 VIRTUAL_EPOCH = _dt.datetime(2025, 6, 1, 0, 0, 0)
 
@@ -307,7 +308,8 @@ class CrawlJob:
                     (url, (method or "GET").upper(), payload, referrer, i)
                 )
         seeds = (
-            self.spark.createDataFrame(
+            local_df(
+                self.spark,
                 rows,
                 "url string, method string, payload string, "
                 "referrer string, _ord int",
@@ -378,7 +380,7 @@ class CrawlJob:
             return self.store.read("robots")
         from scrape_spark.operators.robots import ROBOTS_SCHEMA
 
-        return self.spark.createDataFrame([], ROBOTS_SCHEMA)
+        return empty_df(self.spark, ROBOTS_SCHEMA)
 
     # -- robots bookkeeping (P4/S5 at scale) ----------------------------------
     # Invariant: the robots table covers every host present in the frontier
@@ -541,13 +543,26 @@ class CrawlJob:
                 round_idx=round_idx,
             ),
         )
+        # pending_est (snapshot metadata, zero jobs) picks the ranking
+        # strategy: small frontiers take one per-host window; large ones the
+        # salted two-stage path (mega-host skew control) — identical output
         if self.priority is not None:
             allowed = allowed.withColumn("_prio", self.priority)
             batch = per_host_take(
-                allowed, "quota", order_cols=["_prio", "seq"]
+                allowed,
+                "quota",
+                order_cols=["_prio", "seq"],
+                n_rows_est=pending_est,
+                small_limit=DEFAULT_SEQ_SMALL_LIMIT,
             ).drop("_prio")
         else:
-            batch = per_host_take(allowed, "quota", order_cols=["seq"])
+            batch = per_host_take(
+                allowed,
+                "quota",
+                order_cols=["seq"],
+                n_rows_est=pending_est,
+                small_limit=DEFAULT_SEQ_SMALL_LIMIT,
+            )
         round_start = F.lit(
             VIRTUAL_EPOCH + _dt.timedelta(seconds=round_idx * self.round_seconds)
         )
@@ -1077,7 +1092,7 @@ class CrawlJob:
 
     def truncate(self) -> None:
         """clear_all_pages (models.py:281-292): empty frontier + seen set."""
-        empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        empty = empty_df(self.spark, FRONTIER_SCHEMA)
         meta = self._carry_meta("admin_truncate", base=True)
         meta["pending"] = 0
         self.store.write("frontier", empty, meta=meta)
@@ -1166,8 +1181,8 @@ def canonical_order(frontier: DataFrame) -> DataFrame:
     """
     max_depth = frontier.agg(F.max("depth")).collect()[0][0]
     if max_depth is None:
-        return frontier.sparkSession.createDataFrame(
-            [], "url string, canon_seq long, depth int"
+        return empty_df(
+            frontier.sparkSession, "url string, canon_seq long, depth int"
         )
     level = assign_global_seq(
         frontier.where(F.col("depth") == 0).select("url", "seq", "depth"),

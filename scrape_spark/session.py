@@ -26,6 +26,56 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Small local-data DataFrame materialized JVM-side (one Arrow batch).
+
+    ``spark.createDataFrame(list)`` plans a Python-RDD scan with
+    ``spark.default.parallelism`` slices, and every downstream action
+    re-evaluates it through one Python-worker handshake PER SLICE — the rows
+    stay driver-side, so the cost recurs on each action. Measured here:
+    ~0.2 s/handshake × 32 slices ≈ 6 s per action on a 12-row seed frame
+    (this sandbox's process fork is slow; a real cluster pays less per
+    handshake but still one per slice per action). Routing through pandas
+    takes the Arrow path: the rows land in the JVM as Arrow batches at
+    creation time and every later action is pure JVM.
+
+    Falls back to the plain path for empty input (zero-slice scan, already
+    free) or when pandas/Arrow conversion rejects the data.
+    """
+    if rows:
+        try:
+            import pandas as pd
+            from pyspark.sql.types import StructType
+
+            st = (
+                StructType.fromDDL(schema) if isinstance(schema, str) else schema
+            )
+            pdf = pd.DataFrame(
+                [tuple(r) for r in rows], columns=st.names, dtype=object
+            )
+            return spark.createDataFrame(pdf, schema=st)
+        except Exception:  # unsupported shape/type → plain path
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
+def empty_df(spark: SparkSession, schema):
+    """Empty DataFrame as a pure-JVM relation (no Python-RDD scan).
+
+    ``spark.createDataFrame([], schema)`` still plans a Python-RDD scan whose
+    empty slices each handshake a Python worker on every action (~0.35 s per
+    action measured here). An empty ``range(0)`` projection is JVM-only and
+    folds away at plan time.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+    )
+
+
 def _default_driver_mem() -> str:
     """Driver heap default derived from available memory.
 

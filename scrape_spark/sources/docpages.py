@@ -120,4 +120,6 @@ def robots_source(
             rows.append((f"docs{h}.test", "User-agent: *\nDisallow: /p/0/1\nCrawl-delay: 1\n"))
         else:
             rows.append((f"docs{h}.test", "User-agent: *\nAllow: /\n"))
-    return spark.createDataFrame(rows, "host string, robots_txt string")
+    from scrape_spark.session import local_df
+
+    return local_df(spark, rows, "host string, robots_txt string")

@@ -202,8 +202,10 @@ def robots_txt_fixture(n_hosts: int = 5, mega_host: int | None = 1) -> list[tupl
 
 
 def robots_source_df(spark: SparkSession, n_hosts: int = 5, mega_host: int | None = 1) -> DataFrame:
-    return spark.createDataFrame(
-        robots_txt_fixture(n_hosts, mega_host), "host string, robots_txt string"
+    from scrape_spark.session import local_df
+
+    return local_df(
+        spark, robots_txt_fixture(n_hosts, mega_host), "host string, robots_txt string"
     )
 
 
