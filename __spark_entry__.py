@@ -469,6 +469,33 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- S4 (routing half): dynamic-render pattern dispatch -----------------------
+# The reference sends a URL to Playwright when any configured pattern is a
+# SUBSTRING of it (scraper.py:46 `any(pat in url ...)`, config.py
+# USE_PLAYWRIGHT_PATTERNS). Rendering is out of scope in this graft (pages
+# pre-rendered, SURVEY §2.1 S4); the ROUTE decision is scheduler-side and
+# oracle-checked here with the reference's default-config shape (a host
+# pattern + a path-fragment pattern).
+_PLAYWRIGHT_PATTERNS = ["host3.test", "/doc/1"]
+
+
+@_q(
+    "playwright_routing",
+    f"""WITH f AS ({FRONTIER_SQL})
+SELECT url,
+  (contains(url, 'host3.test') OR contains(url, '/doc/1')) AS use_playwright
+FROM f""",
+)
+def q_playwright_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.functions.urls import use_playwright_expr
+
+    fr = _frontier(spark, sf_dir)
+    return fr.select(
+        "url",
+        use_playwright_expr("url", _PLAYWRIGHT_PATTERNS).alias("use_playwright"),
+    )
+
+
 # -- F3/D3: content hash (sha2 builtin — identical hex to hashlib) -----------
 @_q(
     "content_hash",

@@ -46,6 +46,27 @@ def normalize_url_expr(url: Column | str) -> Column:
     )
 
 
+def use_playwright_expr(url: Column | str, patterns: list[str]) -> Column:
+    """Dynamic-render routing decision — S4's pattern match, JVM-side.
+
+    The reference routes a URL to Playwright when ANY configured pattern is a
+    SUBSTRING of it: ``any(pat in url for pat in USE_PLAYWRIGHT_PATTERNS)``
+    (scraper.py:46, config.py USE_PLAYWRIGHT_PATTERNS). Plain containment —
+    not glob, not regex — so the expression is an OR of ``contains``; an
+    empty pattern list routes nothing (reference ``any([])`` is False).
+
+    The rendering itself stays out of scope in this graft (pages are
+    pre-rendered; SURVEY §2.1 S4) — this is the ROUTE column a live-fetch
+    deployment partitions its fetch stage on (requests-pool vs
+    browser-pool), so it belongs to the scheduler plan, not the fetcher.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    out = F.lit(False)
+    for pat in patterns:
+        out = out | F.contains(url, F.lit(pat))
+    return out
+
+
 def url_hash(url: Column | str) -> Column:
     """64-bit seen-set key: xxhash64 over the canonical URL string.
 

@@ -104,6 +104,34 @@ def test_url_expressions(spark):
     assert r1["norm"] == "http://host1.test"
 
 
+def test_use_playwright_routing_matches_reference(spark):
+    """S4 routing half: `any(pat in url for pat in PATTERNS)` parity
+    (reference scraper.py:46, config.py USE_PLAYWRIGHT_PATTERNS)."""
+    from scrape_spark.functions.urls import use_playwright_expr
+
+    patterns = ["example.com", "/dynamic/"]
+    urls = [
+        "http://example.com/a",          # host pattern hit
+        "http://sub.example.com.evil/x", # substring semantics: still a hit
+        "http://other.test/dynamic/1",   # path pattern hit
+        "http://other.test/static/1",    # miss
+        "http://dynamic.test/x",         # '/dynamic/' not a substring — miss
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", use_playwright_expr("url", patterns).alias("pw")
+    )
+    got = {r["url"]: r["pw"] for r in df.collect()}
+    want = {u: any(p in u for p in patterns) for u in urls}
+    assert got == want
+    assert want["http://sub.example.com.evil/x"] is True
+    assert want["http://dynamic.test/x"] is False
+    # empty pattern list routes nothing (any([]) is False)
+    none_df = spark.createDataFrame([(urls[0],)], "url string").select(
+        use_playwright_expr("url", []).alias("pw")
+    )
+    assert none_df.collect()[0]["pw"] is False
+
+
 def test_title_fallback_to_host(spark):
     df = (
         _pages_df(spark)
