@@ -1158,6 +1158,130 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training-data: URL/domain blocklist filter (UT1 suffix semantics) --------
+# URL table with subdomain variants so the suffix walk is actually exercised:
+# every 7th doc gets an 'ads.' label, every 11th a two-label 'cdn.tracker.'
+# prefix (7*11 overlaps resolve to 'ads.'). Dialect-neutral SQL (|| + CASE),
+# same string in both engines, like FRONTIER_SQL.
+_BLOCK_URLS_SQL = """\
+SELECT
+  'http://' || sub || 'host' || CAST(doc_id % 20 AS STRING) || '.test/doc/'
+    || CAST(doc_id AS STRING) AS url,
+  sub || 'host' || CAST(doc_id % 20 AS STRING) || '.test' AS host
+FROM (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN 'ads.'
+             WHEN doc_id % 11 = 0 THEN 'cdn.tracker.' ELSE '' END AS sub
+      FROM documents) t"""
+
+# exact host, exact subdomained host, and an inner-suffix entry that only
+# matches through the dot-suffix walk ('cdn.tracker.host2.test')
+_BLOCKLIST = ["host3.test", "ads.host5.test", "tracker.host2.test"]
+_BLOCK_VALUES = ", ".join(f"('{d}')" for d in _BLOCKLIST)
+
+
+@_q(
+    "url_blocklist",
+    f"""WITH u AS ({_BLOCK_URLS_SQL})
+SELECT url, host,
+  EXISTS (SELECT 1 FROM (VALUES {_BLOCK_VALUES}) b(d)
+          WHERE u.host = b.d OR u.host LIKE '%.' || b.d) AS is_blocked
+FROM u""",
+)
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist: blocked domain or any subdomain of one."""
+    from scrape_spark.operators.corpus import blocklist_filter
+
+    _view(spark, sf_dir, "documents")
+    urls = spark.sql(_BLOCK_URLS_SQL)
+    return blocklist_filter(urls, _BLOCKLIST)
+
+
+# -- training-data: benchmark-contamination detection --------------------------
+# Eval set = every 97th doc (deterministic stand-in for a benchmark corpus).
+_EVAL_PRED = "doc_id % 97 = 0"
+_CONTAM_THRESHOLD_Q4 = 2000
+
+
+@_q(
+    "contamination_ngram",
+    f"""WITH ev AS (SELECT DISTINCT unnest(list_distinct({_DUCK_SHINGLES})) AS sh
+        FROM documents WHERE {_EVAL_PRED}),
+s AS (SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS sh FROM documents),
+j AS (SELECT s.doc_id, (ev.sh IS NOT NULL) AS hit
+      FROM s LEFT JOIN ev ON s.sh = ev.sh),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits
+      FROM j GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_eval_hits,
+  CAST(floor(10000.0 * CAST(n_eval_hits AS DOUBLE)
+             / CAST(n_shingles AS DOUBLE)) AS BIGINT) AS overlap_q4,
+  (CAST(floor(10000.0 * CAST(n_eval_hits AS DOUBLE)
+              / CAST(n_shingles AS DOUBLE)) AS BIGINT)
+   >= {_CONTAM_THRESHOLD_Q4}) AS contaminated
+FROM a""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: word-3-gram overlap vs a broadcast eval set."""
+    from scrape_spark.operators.corpus import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    return contamination_check(
+        docs,
+        docs.where(F.expr(_EVAL_PRED)),
+        threshold_q4=_CONTAM_THRESHOLD_Q4,
+    )
+
+
+# -- training-data: token-budget sequence packing ------------------------------
+_PACK_BUDGET, _PACK_SHARDS = 2048, 8
+
+
+@_q(
+    "pack_sequences",
+    f"""WITH t AS (SELECT doc_id, CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard_id,
+        CAST({ts.token_count_sql('text', _DD)} AS BIGINT) AS n_tokens
+      FROM documents),
+c AS (SELECT doc_id, shard_id, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id, shard_id, n_tokens,
+  CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+FROM c""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard streaming offset packing into fixed token-budget bins."""
+    from scrape_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+# -- training-data: near-dup retention (pairs -> components -> survivors) -----
+@_q(
+    "dedup_retain",
+    f"""WITH RECURSIVE {_NEARDUP_CTES},
+pairs AS (SELECT id_1, id_2 FROM scored WHERE n_sig_match >= 2),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION SELECT id_2, id_1 FROM pairs),
+reach(id, r) AS (SELECT a, a FROM edges
+                 UNION SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.id = d.doc_id AND comp.id != comp.component_id)""",
+)
+def q_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus that survives near-dup removal (min-id cluster representatives)."""
+    from scrape_spark.operators.corpus import dedup_retain
+    from scrape_spark.operators.dedup import minhash_neardup_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_neardup_pairs(docs, n_bands=4, min_est_jaccard=0.25)
+    return dedup_retain(docs.select("doc_id", "lang"), pairs)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -33,7 +33,7 @@ Scale notes (the design constraint for each operator):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -268,3 +268,208 @@ def stratified_sample(
     )
     drop = ["_skey", "quota"] + (["_stratum"] if stratum == "_stratum" else [])
     return out.drop(*drop)
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist filtering (UT1-style suffix semantics)
+# ---------------------------------------------------------------------------
+
+
+def host_suffixes_expr(host_col: str):
+    """Array of dot-suffixes of a hostname: 'a.b.c' -> ['a.b.c','b.c','c'].
+
+    Pure JVM higher-order expression (split/transform/slice/array_join) —
+    zero Python, zero shuffle; the array length is the label count (<= ~10),
+    so the per-row cost is a small constant. This is the standard key
+    expansion that turns "blocked domain or any subdomain of it" into an
+    EQUI-join/IN-set probe instead of a LIKE scan over the blocklist.
+    """
+    parts = f"split({host_col}, '[.]')"
+    return F.expr(
+        f"transform({parts}, (x, i) -> "
+        f"array_join(slice({parts}, i + 1, size({parts}) - i), '.'))"
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Mark rows whose host is a blocked domain or a subdomain of one.
+
+    The UT1/RefinedWeb curation primitive (and the crawler-side scope
+    filter): domain blocklists match on registrable-domain *suffixes*, so
+    'cdn.tracker.example.test' is blocked by the entry 'tracker.example.test'.
+    Adds boolean ``is_blocked``; compose ``.where(~F.col("is_blocked"))``
+    for the filter form.
+
+    Two plans by blocklist representation:
+
+    - ``blocked: list[str]`` — the list is compiled into the plan as a
+      literal array and matching is ``arrays_overlap(host_suffixes, lits)``:
+      fully map-side, zero shuffle, whole-stage codegen. Right for lists up
+      to ~100k entries (UT1 category files are a few thousand each).
+    - ``blocked: DataFrame`` (single string column) — the host-suffix array
+      is exploded and equi-joined (broadcast) against the blocklist table,
+      then hits are aggregated back per ``url_col``. Right for multi-million
+      -entry consolidated lists; the only shuffle is the hit-mark join on
+      ``url_col``, and the hit set is small (AQE broadcasts it), so the
+      input never moves for the common mostly-clean corpus.
+
+    The reference has no blocklist support; this is an engine extension in
+    service of SURVEY §2's scope-filter family (P2 is_under_base).
+    """
+    suffixes = host_suffixes_expr(host_col)
+    if isinstance(blocked, DataFrame):
+        dom_col = blocked.columns[0]
+        bl = blocked.select(F.col(dom_col).alias("_dom")).distinct()
+        hits = (
+            df.select(F.col(url_col), F.explode(suffixes).alias("_dom"))
+            .join(F.broadcast(bl), "_dom")
+            .select(url_col)
+            .distinct()
+            .withColumn("_blk", F.lit(True))
+        )
+        return (
+            df.join(hits, on=url_col, how="left")
+            .withColumn("is_blocked", F.coalesce(F.col("_blk"), F.lit(False)))
+            .drop("_blk")
+        )
+    lits = F.array(*[F.lit(d) for d in blocked])
+    return df.withColumn("is_blocked", F.arrays_overlap(suffixes, lits))
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_q4: int = 2000,
+) -> DataFrame:
+    """Per-doc n-gram overlap against an evaluation set's shingles.
+
+    The decontamination pass every LLM training pipeline runs (GPT-3 §C /
+    Gopher §A3 style): a training document is flagged when >= threshold of
+    its word 3-gram shingles also occur in any benchmark document. Returns
+    (id, n_shingles, n_eval_hits, overlap_q4, contaminated) with the ratio
+    quantized to 1e-4 (floor) for exact cross-engine comparison; docs with
+    fewer than SHINGLE_K words have no shingles and drop out.
+
+    Scale shape: eval sets are tiny next to the corpus (MMLU+GSM8K+... is
+    ~10^5 docs => ~10^6 distinct shingle hashes, a few MB of int64), so the
+    eval shingle set is distinct-ed and BROADCAST; the corpus side is one
+    explode -> broadcast-probe -> per-doc re-aggregate on ``id_col`` — the
+    only shuffle is the final doc-keyed partial-agg, whose width is the
+    shingle cap (SHINGLE_WORDS), never document length.
+    """
+    sh = F.array_distinct(
+        F.expr(ts.shingle_hashes_sql(text_col, ts.SPARK_DIALECT))
+    )
+    eval_sh = (
+        eval_docs.select(F.explode(sh).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("sh"))
+    return (
+        doc_sh.join(F.broadcast(eval_sh), on="sh", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(False)).cast("long"))
+            .cast("long")
+            .alias("n_eval_hits"),
+        )
+        .withColumn(
+            "overlap_q4",
+            F.floor(
+                F.lit(10000) * F.col("n_eval_hits") / F.col("n_shingles")
+            ).cast("long"),
+        )
+        .withColumn("contaminated", F.col("overlap_q4") >= threshold_q4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each doc to a fixed-token-budget training bin, per shard.
+
+    Streaming offset packing: docs are sharded by ``id % n_shards``, ordered
+    by id within a shard, and a doc belongs to the bin where its start
+    offset (running token total before it) falls — bin_id =
+    (cum - n_tokens) div budget. Deterministic, exact int64, reproducible
+    across engines and partitionings. Returns
+    (id, shard_id, n_tokens, bin_id).
+
+    Scale shape: packing is embarrassingly parallel ACROSS shards — there is
+    no global window (a single ORDER BY over 10^10 docs is the scale
+    killer); within a shard the running sum is one window task, so size
+    ``n_shards`` to >= cluster cores (the default 64 matches the engine's
+    bucket count) and each shard streams in one pass. Matches how packed
+    pretraining shards are actually written: per-writer sequential packing,
+    global order irrelevant.
+    """
+    tok = F.expr(ts.token_count_sql(text_col, ts.SPARK_DIALECT)).cast("long")
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            (F.col(id_col) % n_shards).cast("long").alias("shard_id"),
+            tok.alias("n_tokens"),
+        )
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.expr(f"(_cum - n_tokens) div {int(budget)}").cast("long"),
+        )
+        .drop("_cum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dup retention (pairs -> components -> keep representatives)
+# ---------------------------------------------------------------------------
+
+
+def dedup_retain(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Rows of ``docs`` that survive near-dup removal.
+
+    Resolves candidate pairs (e.g. ``dedup.minhash_neardup_pairs``) into
+    connected components and keeps exactly one representative per cluster —
+    the minimum id (the component label) — plus every unpaired doc. This is
+    the composition a curation pipeline actually ships: pairs -> clusters ->
+    retained corpus.
+
+    Scale shape: the drop set has one row per NON-representative clustered
+    doc (tiny next to the corpus — near-dup rates are single-digit percent),
+    so the final anti-join is AQE-broadcastable and the corpus never
+    shuffles; component resolution cost is bounded by the pair count
+    (see ``connected_components``).
+    """
+    comps = connected_components(pairs)
+    drop = comps.where(F.col("id") != F.col("component_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, on=id_col, how="left_anti")

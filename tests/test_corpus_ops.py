@@ -122,3 +122,98 @@ def test_stratified_sample_multi_strata_and_small_groups(spark):
     # groups smaller than k are returned whole; helper columns dropped
     assert len(got) == 4
     assert set(got[0].asDict()) == {"doc_id", "lang", "host", "sample_rank"}
+
+
+def test_blocklist_suffix_semantics(spark):
+    from scrape_spark.operators.corpus import blocklist_filter
+
+    rows = [
+        ("http://bad.test/", "bad.test"),          # exact hit
+        ("http://sub.bad.test/", "sub.bad.test"),  # subdomain hit
+        ("http://notabad.test/", "notabad.test"),  # substring, NOT a hit
+        ("http://good.test/", "good.test"),        # clean
+        ("http://a.b.tracker.x.test/", "a.b.tracker.x.test"),  # deep suffix
+    ]
+    df = spark.createDataFrame(rows, "url string, host string")
+    blocked = ["bad.test", "tracker.x.test"]
+    got = {
+        r["host"]: r["is_blocked"]
+        for r in blocklist_filter(df, blocked).collect()
+    }
+    assert got == {
+        "bad.test": True,
+        "sub.bad.test": True,
+        "notabad.test": False,
+        "good.test": False,
+        "a.b.tracker.x.test": True,
+    }
+    # DataFrame blocklist branch (exploded broadcast equi-join) agrees
+    bl = spark.createDataFrame([(d,) for d in blocked], "domain string")
+    got_df = {
+        r["host"]: r["is_blocked"]
+        for r in blocklist_filter(df, bl).collect()
+    }
+    assert got_df == got
+
+
+def test_contamination_eval_self_and_disjoint(spark):
+    from scrape_spark.operators.corpus import contamination_check
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, eval_text),                      # the eval doc itself: 100%
+            (2, "one two three four five six"),  # disjoint: 0%
+            (3, "alpha beta gamma delta qq rr"), # partial overlap
+            (4, "xy zz"),                        # < SHINGLE_K words: drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_check(
+        docs, docs.where("doc_id = 1"), threshold_q4=2000
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["overlap_q4"] == 10000 and rows[1]["contaminated"]
+    assert rows[2]["n_eval_hits"] == 0 and not rows[2]["contaminated"]
+    assert 0 < rows[3]["n_eval_hits"] < rows[3]["n_shingles"]
+    assert rows[3]["contaminated"]  # 2/4 shingles shared = 5000 >= 2000
+
+
+def test_pack_sequences_offset_invariants(spark):
+    from scrape_spark.operators.corpus import pack_sequences
+
+    # 10 docs of 3 tokens each, one shard, budget 7:
+    # start offsets 0,3,6,9,... -> bins 0,0,0,1,1,2,2,3,3,3
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget=7, n_shards=1).orderBy("doc_id")
+    rows = out.collect()
+    assert [r["bin_id"] for r in rows] == [0, 0, 0, 1, 1, 2, 2, 3, 3, 3]
+    assert all(r["shard_id"] == 0 and r["n_tokens"] == 3 for r in rows)
+    # sharded: bin ids are per-shard streams, monotone in doc order
+    out2 = pack_sequences(docs, budget=6, n_shards=2).collect()
+    by_shard = {}
+    for r in sorted(out2, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["shard_id"], []).append(r["bin_id"])
+    assert set(by_shard) == {0, 1}
+    for bins in by_shard.values():
+        assert bins == sorted(bins)  # monotone
+        assert bins[0] == 0
+    # 5 docs x 3 tokens per shard, budget 6 -> start offsets 0,3,6,9,12
+    assert by_shard[0] == [0, 0, 1, 1, 2]
+
+
+def test_dedup_retain_keeps_representatives(spark):
+    from scrape_spark.operators.corpus import dedup_retain
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(1, 8)], "doc_id long, lang string"
+    )
+    # clusters {1,2,3} and {5,6}; 4 and 7 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_1 long, id_2 long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_retain(docs, pairs).collect())
+    assert kept == [1, 4, 5, 7]
