@@ -40,6 +40,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": logdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
         },
     )
@@ -72,7 +74,14 @@ def main() -> None:
 
     # -- parse the event log -------------------------------------------------
     jobs = {}
-    for path in glob.glob(os.path.join(logdir, "*")):
+    # Spark 4 event logs may be rolling DIRECTORIES (eventlog_v2_<app>/events_*)
+    paths = [
+        p
+        for pat in ("*", "*/*")
+        for p in glob.glob(os.path.join(logdir, pat))
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    for path in paths:
         with open(path) as f:
             for line in f:
                 try:
@@ -88,11 +97,19 @@ def main() -> None:
                         "desc": (props.get("spark.job.description") or
                                  props.get("callSite.short") or "")[:90],
                         "stages": len(ev.get("Stage IDs", [])),
+                        "sids": set(ev.get("Stage IDs", [])),
                     }
                 elif k == "SparkListenerJobEnd":
                     jid = ev["Job ID"]
                     if jid in jobs:
                         jobs[jid]["end"] = ev["Completion Time"]
+                elif k == "SparkListenerStageSubmitted":
+                    si = ev.get("Stage Info") or {}
+                    name = (si.get("Stage Name") or "")[:60]
+                    sid = si.get("Stage ID")
+                    for j in jobs.values():
+                        if sid in j.get("sids", ()) and not j["desc"]:
+                            j["desc"] = name
     order = sorted(jobs.items(), key=lambda kv: kv[1]["start"])
     prev_end = None
     total_job = 0.0
