@@ -106,4 +106,4 @@ def title_with_fallback(parsed_title: Column, url: Column) -> Column:
     """
     return F.when(
         parsed_title.isNotNull() & (parsed_title != F.lit("")), parsed_title
-    ).otherwise(F.parse_url(url, F.lit("HOST")))
+    ).otherwise(F.try_parse_url(url, F.lit("HOST")))

@@ -19,15 +19,36 @@ from pyspark.sql import functions as F
 
 
 def url_host(url: Column | str) -> Column:
-    """netloc of a URL — ``urlparse(url).netloc`` equivalent for canonical URLs."""
+    """netloc of a URL — ``urlparse(url).netloc`` equivalent for canonical URLs.
+
+    ``try_parse_url``, not ``parse_url``: under Spark 4 ANSI mode the strict
+    form THROWS on a malformed URL, and one hostile href in a trillion-row
+    crawl batch must degrade to NULL, not kill the stage (urllib tolerates
+    anything; parity on the well-formed domain is pinned by
+    tests/test_url_expr_parity.py).
+    """
     url = F.col(url) if isinstance(url, str) else url
-    return F.parse_url(url, F.lit("HOST"))
+    return F.try_parse_url(url, F.lit("HOST"))
+
+
+def _strip_path_params(path: Column) -> Column:
+    """Drop ``;params`` from the LAST path segment — ``urlparse`` semantics.
+
+    The reference parses with ``urlparse`` (not ``urlsplit``), whose ``.path``
+    excludes the params component ('/semi;colon' -> path '/semi', params
+    'colon', split at the first ';' AFTER the last '/'). java.net.URI keeps
+    it in the path, so the JVM side must strip it for urllib parity
+    (counterexample found by tests/test_url_expr_parity.py).
+    """
+    last = F.substring_index(path, "/", -1)
+    head = F.substr(path, F.lit(1), F.length(path) - F.length(last))
+    return F.concat(head, F.substring_index(last, ";", 1))
 
 
 def url_path(url: Column | str) -> Column:
     """path with the reference's ``or "/"`` default (robots_handler.py:90)."""
     url = F.col(url) if isinstance(url, str) else url
-    path = F.parse_url(url, F.lit("PATH"))
+    path = _strip_path_params(F.try_parse_url(url, F.lit("PATH")))
     return F.coalesce(F.nullif(path, F.lit("")), F.lit("/"))
 
 
@@ -39,10 +60,12 @@ def normalize_url_expr(url: Column | str) -> Column:
     """
     url = F.col(url) if isinstance(url, str) else url
     return F.concat(
-        F.coalesce(F.parse_url(url, F.lit("PROTOCOL")), F.lit("")),
+        F.coalesce(F.try_parse_url(url, F.lit("PROTOCOL")), F.lit("")),
         F.lit("://"),
-        F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")),
-        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
+        F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit("")),
+        F.coalesce(
+            _strip_path_params(F.try_parse_url(url, F.lit("PATH"))), F.lit("")
+        ),
     )
 
 
