@@ -219,7 +219,17 @@ def _links_from_records(
     links: list[tuple[str, str, int]] = []
     pos = 0
     for href, chunks, img_alt, img_title in records:
-        full_url = normalize_url(urljoin(base_url, href))
+        try:
+            full_url = normalize_url(urljoin(base_url, href))
+        except ValueError:
+            # urljoin/urlparse raise on e.g. malformed-IPv6 hrefs
+            # ('http://[bad/x'). The reference has NO handler on this path —
+            # one such href aborts its whole crawl (link_extractor.py:20,
+            # scraper.py:158) — so parity is "crash"; at engine scale a
+            # hostile page must cost one skipped link, not a stage, so the
+            # anchor is dropped like any other non-crawlable href
+            # (documented divergence).
+            continue
         if not is_under_base(full_url, base_url):
             continue
         # a.get_text(strip=True): descendant strings each stripped,
