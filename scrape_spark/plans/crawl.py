@@ -233,6 +233,9 @@ class CrawlJob:
         self._pending_cache: DataFrame | None = None
         self._pending_cache_snap: int | None = None
         self._pending_retired: list[DataFrame] = []
+        # run once per (re)constructed job: repair the frontier→seen commit
+        # pair if a crash split it (see _reconcile_seen_refs)
+        self._seen_reconciled = False
 
     # -- pending-set cache ------------------------------------------------------
     def _pending_for_round(self) -> DataFrame:
@@ -512,9 +515,53 @@ class CrawlJob:
         )
 
     # -- one round ---------------------------------------------------------------
+    def _reconcile_seen_refs(self) -> None:
+        """Resume-time repair of the round's two-step durable commit.
+
+        A round commits in two manifest steps: (1) the frontier round delta,
+        (2) the seen-set ref to that delta's new URLs (``seen.add_ref``). A
+        crash between the two resumes with the last round's new URLs missing
+        from the seen set, so a later round could re-discover one and enqueue
+        a DUPLICATE frontier row — the reference's unique url key forbids
+        that. Repair: if the current frontier snapshot is a round delta whose
+        round exceeds the seen chain's newest registered round, register it
+        now — the same one-manifest-write add_ref the crashed process
+        skipped. ``new_urls`` comes from the snapshot meta when the metrics
+        patch landed; if the crash hit even earlier, the O(batch+new) delta
+        file is counted once. Manifest-only in the no-crash case (zero Spark
+        jobs).
+        """
+        f = self.store.current_snapshot("frontier")
+        if (
+            not f
+            or f["meta"].get("event") != "round"
+            or not f["meta"].get("delta")
+        ):
+            return
+        r = f["meta"].get("round", -1)
+        seen_r = -1
+        if self.store.exists(self.seen.name):
+            cur = self.store.current_snapshot(self.seen.name)
+            if cur is not None and cur["meta"].get("round") is not None:
+                seen_r = cur["meta"]["round"]
+        if r <= seen_r:
+            return
+        n_new = f["meta"].get("new_urls")
+        if n_new is None:
+            n_new = (
+                self.spark.read.parquet(self.store.abspath(f["path"]))
+                .where(F.col("status") == "pending")
+                .count()
+            )
+        if n_new:
+            self.seen.add_ref(f["path"], n_rows=n_new, meta={"round": r})
+
     def run_round(self) -> dict | None:
         """Execute one frontier-expansion round; None when frontier is drained."""
         t0 = time.time()
+        if not self._seen_reconciled:
+            self._reconcile_seen_refs()
+            self._seen_reconciled = True
         meta0 = self._meta()
         round_idx = self._round_index(meta0)
         pending_est = meta0.get("pending")  # exact when maintained; None = unknown

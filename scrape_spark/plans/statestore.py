@@ -87,6 +87,10 @@ class SnapshotStore:
         resolve as-is."""
         return path if os.path.isabs(path) else os.path.join(self.root, path)
 
+    def abspath(self, path: str) -> str:
+        """Absolute filesystem path of a manifest-recorded snapshot path."""
+        return self._abs(path)
+
     # -- writes ------------------------------------------------------------
     @staticmethod
     def partitions_for(rows: int, rows_per_file: int = 250_000) -> int:
