@@ -532,11 +532,17 @@ class CrawlJob:
         jobs).
         """
         f = self.store.current_snapshot("frontier")
-        if (
-            not f
-            or f["meta"].get("event") != "round"
-            or not f["meta"].get("delta")
-        ):
+        if not f:
+            return
+        if f["meta"].get("event") == "seed":
+            # seed() is the same two-step pair (frontier seed write, then
+            # seen.add): a crash between them resumes with the seeds missing
+            # from the seen set — replay the add from the seed snapshot.
+            if self.seen.is_empty():
+                seeds = self.spark.read.parquet(self.store.abspath(f["path"]))
+                self.seen.add(seeds.select("url"), meta={"round": -1})
+            return
+        if f["meta"].get("event") != "round" or not f["meta"].get("delta"):
             return
         r = f["meta"].get("round", -1)
         seen_r = -1

@@ -145,3 +145,38 @@ def test_crash_between_frontier_commit_and_seen_ref_repairs_on_resume(
 
     assert full_state(resumed) == full_state(control)
     pages.unpersist()
+
+
+def test_crash_between_seed_commit_and_seen_add_repairs_on_resume(
+    spark, tmp_path
+):
+    """seed() is the same two-step pair: frontier seed write, then seen.add.
+    Simulate the window by dropping the seen table entirely after seeding;
+    resume must replay the add and converge to the uninterrupted state."""
+    import shutil
+
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    root = str(tmp_path / "seedwin")
+    job = _job(spark, root, pages)
+    job.seed(seed_urls(N_HOSTS))
+    # wipe the seen table from the manifest + disk (as if add never ran)
+    manifest = job.store._load()
+    seen_tbl = manifest["tables"].pop("seen")
+    job.store._save(manifest)
+    for s in seen_tbl["snapshots"]:
+        if not s["meta"].get("ref"):
+            shutil.rmtree(job.store.abspath(s["path"]), ignore_errors=True)
+
+    resumed = _job(spark, root, pages)
+    resumed.run(max_rounds=40)
+    assert resumed.status_counts().get("pending", 0) == 0
+    assert (
+        resumed.frontier().groupBy("url").count().where("count > 1").count()
+        == 0
+    )
+
+    control = _job(spark, str(tmp_path / "seedctl"), pages)
+    control.seed(seed_urls(N_HOSTS))
+    control.run(max_rounds=40)
+    assert _state(resumed) == _state(control)
+    pages.unpersist()
