@@ -1028,6 +1028,39 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- multimodal: uniform video frame sampling ---------------------------------
+_FRAME_K = 4
+
+
+@_q(
+    "video_frame_sample",
+    # frame hashes are sha256(payload || '#' || idx) — the same stub-formula
+    # trick as multimodal_features, so the sampling stage is value-checked
+    f"""WITH m AS (SELECT doc_id AS media_id, text, sha256(text) AS sha
+                   FROM documents),
+d AS (SELECT media_id, text,
+        CAST(({_duck_hexbyte('sha', 2)}) * 256 + ({_duck_hexbyte('sha', 3)})
+             AS BIGINT) AS duration_ms
+      FROM m),
+f AS (SELECT media_id, text, duration_ms,
+        unnest(range(0, {_FRAME_K})) AS frame_idx
+      FROM d)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+  CAST((frame_idx * duration_ms) // {_FRAME_K} AS BIGINT) AS ts_ms,
+  sha256(text || '#' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+FROM f""",
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample stage: k uniform frames per video, decode stubbed."""
+    from scrape_spark.functions.multimodal import (
+        frame_sample,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_docs(spark, sf_dir), media_type="video")
+    return frame_sample(media, k=_FRAME_K)
+
+
 @_q(
     "extracted_text_invariant",
     # The invariant demands an EMPTY result: the DuckDB side of "no url whose

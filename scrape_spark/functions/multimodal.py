@@ -116,3 +116,51 @@ def resize_plan(features: DataFrame, max_side: int = 224) -> DataFrame:
         / F.greatest(F.col("width"), F.col("height")).cast("double"),
     )
     return features.withColumn("resize_scale", F.round(scale, 4))
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms long, frame_sha string"
+
+
+def frame_sample(media: DataFrame, k: int = 4) -> DataFrame:
+    """Uniform frame sampling over video payloads (Arrow-batched, map-only).
+
+    Emits ``k`` rows per video: frame_idx, its timestamp (uniform over the
+    decoded duration, exact integer math), and the frame content hash. The
+    frame DECODE is the same stub contract as ``_fake_decode`` — the hash is
+    a deterministic formula over (payload, frame_idx), so the whole stage is
+    oracle-checkable; a real deployment replaces only the inner kernel with
+    `av.open(...).decode(video=0)` seek-and-grab. Non-video rows are dropped
+    (audio/image sampling is a different kernel).
+
+    Scale shape: the k-fold row explosion happens INSIDE the Arrow batch
+    (mapInPandas), so peak memory is batch_rows × k small feature rows —
+    payload bytes are read once per batch and never duplicated per frame;
+    output carries no binary column, so downstream shuffles are cheap.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["media"], pdf["media_type"]
+            ):
+                if mtype != "video":
+                    continue
+                data = bytes(payload) if payload is not None else b""
+                _, _, duration_ms = _fake_decode(data, mtype)
+                for i in range(k):
+                    rows.append(
+                        (
+                            int(mid),
+                            i,
+                            (i * duration_ms) // k,
+                            hashlib.sha256(
+                                data + b"#" + str(i).encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame_sha"]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

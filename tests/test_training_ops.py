@@ -245,6 +245,38 @@ def test_decode_real_is_stubbed():
         decode_media_real(b"x", "image")
 
 
+def test_frame_sample_uniform(spark):
+    from scrape_spark.functions.multimodal import (
+        _fake_decode,
+        frame_sample,
+        media_from_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "clip zero", "en", "s0"), (1, "clip one", "de", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    k = 4
+    frames = frame_sample(media_from_documents(df, media_type="video"), k=k)
+    rows = frames.collect()
+    assert len(rows) == 2 * k  # exactly k frames per video
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, payload in ((0, b"clip zero"), (1, b"clip one")):
+        got = sorted(by_media[mid], key=lambda r: r["frame_idx"])
+        _, _, dur = _fake_decode(payload, "video")
+        assert [r["frame_idx"] for r in got] == list(range(k))
+        # uniform integer timestamps over the decoded duration
+        assert [r["ts_ms"] for r in got] == [(i * dur) // k for i in range(k)]
+        assert got[0]["ts_ms"] == 0 and got[-1]["ts_ms"] < dur
+        # frame hash is the documented stub formula over (payload, idx)
+        assert got[2]["frame_sha"] == hashlib.sha256(payload + b"#2").hexdigest()
+    # non-video rows are dropped, not decoded
+    images = media_from_documents(df, media_type="image")
+    assert frame_sample(images, k=k).count() == 0
+
+
 def test_lsh_recall_monotone_in_n_tables(emb):
     """VERDICT r1 item 8: recall@k grows with independent hash tables."""
     from scrape_spark.operators.similarity import cosine_topk, lsh_topk
