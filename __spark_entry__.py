@@ -892,17 +892,24 @@ def q_crawl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_STRIDE, _IVF_NPROBE = 50, 4
 
 
-@_q(
-    "ivf_ann_topk",
-    f"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
-            FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0),
+def _ivf_assign_ctes(stride: int) -> str:
+    """DuckDB CTE chain ``cent``/``assigned`` mirroring similarity.ivf_assign
+    (same stride centroids, same argmax-cosine tie-break toward smaller id).
+    Shared by the ivf_ann_topk and semantic_dedup_retain oracles."""
+    return f"""cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings WHERE vec_id % {stride} = 0),
 ac0 AS (SELECT e.vec_id, e.embedding, c.centroid_id,
                {_duck_cos('e.embedding', 'c.cv')} AS ccos
         FROM embeddings e, cent c),
 ac AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                     ORDER BY ccos DESC, centroid_id) AS rn
        FROM ac0),
-assigned AS (SELECT vec_id, embedding, centroid_id FROM ac WHERE rn = 1),
+assigned AS (SELECT vec_id, embedding, centroid_id FROM ac WHERE rn = 1)"""
+
+
+@_q(
+    "ivf_ann_topk",
+    f"""WITH {_ivf_assign_ctes(_IVF_STRIDE)},
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
       WHERE vec_id % 100 = 0),
 pc0 AS (SELECT q.query_id, q.qv, c.centroid_id,
@@ -1313,6 +1320,41 @@ def q_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = minhash_neardup_pairs(docs, n_bands=4, min_est_jaccard=0.25)
     return dedup_retain(docs.select("doc_id", "lang"), pairs)
+
+
+# -- training-data: semantic (embedding-space) near-dup retention -------------
+# SemDeDup shape: IVF coarse clusters -> within-cluster cosine pairs ->
+# components -> min-id representative. Threshold 0.35 is fixture-scaled to
+# this synthetic embedding distribution (within-cluster max cosine ~0.48);
+# real embedding corpora sit near 0.95+.
+_SEM_MIN_COS = 0.35
+
+
+@_q(
+    "semantic_dedup_retain",
+    f"""WITH RECURSIVE {_ivf_assign_ctes(_IVF_STRIDE)},
+pairs AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2
+          FROM assigned a JOIN assigned b USING (centroid_id)
+          WHERE a.vec_id < b.vec_id
+            AND {_duck_cos('a.embedding', 'b.embedding')} >= {_SEM_MIN_COS}),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION SELECT id_2, id_1 FROM pairs),
+reach(id, r) AS (SELECT a, a FROM edges
+                 UNION SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.id = e.vec_id AND comp.id != comp.component_id)""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup survivors (SemDeDup composition, oracle-checked)."""
+    from scrape_spark.operators.corpus import semantic_dedup_retain
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    out = semantic_dedup_retain(
+        emb, min_cosine=_SEM_MIN_COS, centroid_stride=_IVF_STRIDE
+    )
+    return out.select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------

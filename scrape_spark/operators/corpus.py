@@ -473,3 +473,41 @@ def dedup_retain(
         F.col("id").alias(id_col)
     )
     return docs.join(drop, on=id_col, how="left_anti")
+
+
+def semantic_dedup_retain(
+    corpus: DataFrame,
+    min_cosine: float,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-dup removal (SemDeDup shape, Abbas et al. 2023).
+
+    Coarse-clusters the corpus with the deterministic IVF quantizer
+    (``similarity.ivf_assign``: map-side argmax over broadcast centroids, no
+    corpus-vector shuffle on assignment), scores cosine pairs ONLY within a
+    cluster, resolves pairs >= ``min_cosine`` into connected components, and
+    keeps the min-id representative of each component plus every unpaired
+    row. Output is ``corpus`` minus the dropped near-dups (all columns kept).
+
+    Scale shape: the pair stage is the published algorithm's — k clusters of
+    size ~n/k give n^2/k scored pairs; with the default
+    ``centroid_stride=None`` (k ~ sqrt(n)) that is n^1.5 dot products spread
+    across one within-cluster self-join, shuffled on ``centroid_id`` only.
+    The drop set is tiny (near-dup rate), so the final anti-join broadcasts
+    and the corpus itself never reshuffles.
+    """
+    from scrape_spark.operators.similarity import cosine_pairs, ivf_assign
+
+    _, assigned = ivf_assign(
+        corpus, centroid_stride, id_col=id_col, vec_col=vec_col
+    )
+    pairs = cosine_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        group_col="centroid_id",
+        min_cosine=min_cosine,
+    )
+    return dedup_retain(corpus, pairs, id_col=id_col)

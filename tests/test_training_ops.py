@@ -245,6 +245,25 @@ def test_decode_real_is_stubbed():
         decode_media_real(b"x", "image")
 
 
+def test_semantic_dedup_retain(spark):
+    """SemDeDup composition: clusters -> cosine pairs -> min-id survivors."""
+    from scrape_spark.operators.corpus import semantic_dedup_retain
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # cluster A representative
+        (1, [0.99, 0.1, 0.0, 0.0]),      # near-dup of 0
+        (2, [0.98, 0.15, 0.0, 0.0]),     # near-dup of 0/1 (same component)
+        (3, [0.0, 1.0, 0.0, 0.0]),       # cluster B representative
+        (4, [0.0, 0.99, 0.1, 0.0]),      # near-dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),       # orthogonal singleton, kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_retain(emb, min_cosine=0.9, centroid_stride=3)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 3, 5]
+    # columns pass through untouched
+    assert out.columns == ["vec_id", "embedding"]
+
+
 def test_frame_sample_uniform(spark):
     from scrape_spark.functions.multimodal import (
         _fake_decode,
