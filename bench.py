@@ -275,29 +275,33 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _host_state() -> dict:
-    """Sample host noise (steal/kernel time, load) around the timed region.
+def _host_state(cpu_before: dict | None = None) -> dict:
+    """Host noise (steal/kernel time, load) ACROSS the timed region.
 
     This sandbox VM throttles under sustained load (documented in
     BENCH/BASELINE.md: 2-5x wall variance between identical reps, steal up to
     19%); recording the sample lets round-over-round bench comparisons
-    separate engine changes from host state.
+    separate engine changes from host state. ``cpu_before`` is a
+    ``_cpu_snap()`` taken when the timed region started; the percentages are
+    computed over the /proc/stat DELTA since then — since-boot cumulative
+    ratios barely move during one bench and would be comparison noise, so
+    without a baseline only loadavg is reported.
     """
     state: dict = {}
     try:
         state["loadavg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-        vals = [int(x) for x in parts[1:9]]
-        total = sum(vals)
-        if total:
-            state["cpu_sys_pct"] = round(100 * vals[2] / total, 1)
-            state["cpu_steal_pct"] = round(100 * vals[7] / total, 1)
-    except (OSError, ValueError, IndexError):
-        pass
+    if cpu_before is not None:
+        try:
+            now = _cpu_snap()
+            delta = {k: now[k] - cpu_before[k] for k in now}
+            total = sum(delta.values())
+            if total > 0:
+                state["cpu_sys_pct"] = round(100 * delta["system"] / total, 1)
+                state["cpu_steal_pct"] = round(100 * delta["steal"] / total, 1)
+        except (OSError, ValueError, KeyError):
+            pass
     return state
 
 
@@ -308,6 +312,7 @@ def default_bench() -> dict:
     spark = _spark(f"local[{cpus}]", cpus)
     work_dir = tempfile.mkdtemp(prefix="scrape_spark_bench_")
     try:
+        cpu0 = _cpu_snap()  # baseline for the host-noise delta over the bench
         queries = run_headline(spark, sf_dir)
         pages = _gen_pages(spark, work_dir, n_hosts=24, pages_per_host=1200, filler=6)
         # min-of-2 for the two composite benches as well (same rationale as
@@ -334,7 +339,7 @@ def default_bench() -> dict:
             "throughput_urls_per_sec": round(expand_urls / expand_wall, 1),
             "crawl_urls_per_sec": round(crawl_urls / crawl_wall, 1),
             "cpus": cpus,
-            "host": _host_state(),
+            "host": _host_state(cpu0),
         }
     finally:
         spark.stop()
@@ -453,7 +458,7 @@ def scaling_one(cores: int, work_dir: str, n_hosts: int, pages_per_host: int, fi
             "cpu_affinity": len(os.sched_getaffinity(0)),
             "cpu_core_s": cpu,
             "ts": time.time(),
-            "host": _host_state(),
+            "host": _host_state(c0),
         }
         with open(os.path.join(work_dir, "reps.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")

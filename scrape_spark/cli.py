@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from scrape_spark.plans.crawl import CrawlJob
     from scrape_spark.plans.statestore import SnapshotStore
-    from scrape_spark.session import get_spark
+    from scrape_spark.session import empty_df, get_spark
 
     own_session = spark is None
     if own_session:
@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             job.seed([(args.url, args.method, args.payload, args.referrer)])
         else:
             from scrape_spark.session import local_df
+
+            # repair any crash-split two-step commit BEFORE the seen check:
+            # a prior run that died between its frontier write and seen
+            # registration would otherwise fail filter_new here and append
+            # the same URL a second time
+            job._reconcile_seen_refs()
+            job._seen_reconciled = True
 
             extra = job.seen.filter_new(
                 local_df(spark, [(args.url,)], "url string")
@@ -138,8 +145,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
                 m = dict(job._carry_meta("cli_seed"))
                 m["next_seq"] = next_seq + 1
-                job.store.write("frontier", new.select(*FRONTIER_COLS), meta=m)
-                job.seen.add(new.select("url"), meta={"round": -1})
+                sid = job.store.write(
+                    "frontier", new.select(*FRONTIER_COLS), meta=m
+                )
+                # second half of the two-step commit: register the row's url
+                # as a seen key via a zero-copy ref to the delta just written
+                # (its single row is pending, so _read_part picks it up).
+                # src_snap ties the seen delta to the frontier snapshot so a
+                # crash between the two steps is repairable on resume
+                # (_reconcile_seen_refs), like the seed()/round pairs.
+                snap = job.store.current_snapshot("frontier")
+                job.seen.add_ref(
+                    snap["path"],
+                    n_rows=1,
+                    meta={"round": -1, "src_snap": sid},
+                )
 
     job.run(max_rounds=args.max_rounds)
 

@@ -224,7 +224,18 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select("id", F.col("label").alias("component_id"))
+    # Hand back a frame with NO live cache entry: localCheckpoint materializes
+    # the (small) final label table to executor block storage — already
+    # computed, the convergence count populated the cache — and cuts the
+    # iterative lineage, so the loop's persisted frame can be released here
+    # instead of leaking one CacheManager entry per invocation (callers never
+    # see the handle to unpersist). Checkpoint blocks are GC-tied: the
+    # ContextCleaner drops them once the returned frame is unreachable.
+    out = labels.select(
+        "id", F.col("label").alias("component_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def stratified_sample(

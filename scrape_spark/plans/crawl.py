@@ -542,6 +542,25 @@ class CrawlJob:
                 seeds = self.spark.read.parquet(self.store.abspath(f["path"]))
                 self.seen.add(seeds.select("url"), meta={"round": -1})
             return
+        if f["meta"].get("event") == "cli_seed":
+            # the CLI's existing-store append is the same two-step pair
+            # (frontier 'cli_seed' delta, then seen.add_ref stamped with the
+            # delta's snapshot id) — a crash between them resumes with the
+            # appended URL missing from the seen set; re-register the ref.
+            # src_snap survives seen compaction (_compact carries base_meta),
+            # so an already-completed pair is never double-added.
+            cur = (
+                self.store.current_snapshot(self.seen.name)
+                if self.store.exists(self.seen.name)
+                else None
+            )
+            if cur is None or cur["meta"].get("src_snap") != f["id"]:
+                self.seen.add_ref(
+                    f["path"],
+                    n_rows=f["rows"] if f["rows"] >= 0 else 1,
+                    meta={"round": -1, "src_snap": f["id"]},
+                )
+            return
         if f["meta"].get("event") != "round" or not f["meta"].get("delta"):
             return
         r = f["meta"].get("round", -1)

@@ -102,16 +102,21 @@ class SnapshotStore:
         """
         return max(1, min(200, rows // rows_per_file + 1))
 
-    def _cut_orphans(self, tbl: dict) -> None:
+    def _cut_orphans(self, manifest: dict, name: str, tbl: dict) -> None:
         """Drop manifest entries past ``current`` (Iceberg branch cut) and
         delete their data files — except reference snapshots, whose files are
-        owned by another table's lifecycle (see ``write_ref``)."""
+        owned by another table's lifecycle (see ``write_ref``), and files
+        another table's ref snapshots still point at."""
         if tbl["current"] is None:
             return
         orphans = [s for s in tbl["snapshots"] if s["id"] > tbl["current"]]
         tbl["snapshots"] = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
+        refs = self._externally_referenced(manifest, exclude=name) if orphans else set()
         for s in orphans:
-            if not s["meta"].get("ref"):
+            if (
+                not s["meta"].get("ref")
+                and os.path.normpath(self._abs(s["path"])) not in refs
+            ):
                 shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
 
     def write_ref(
@@ -140,7 +145,7 @@ class SnapshotStore:
         manifest = self._load()
         tbl = manifest["tables"].setdefault(name, {"snapshots": [], "current": None})
         snap_id = (tbl["snapshots"][-1]["id"] + 1) if tbl["snapshots"] else 0
-        self._cut_orphans(tbl)
+        self._cut_orphans(manifest, name, tbl)
         tbl["snapshots"].append(
             {
                 "id": snap_id,
@@ -179,7 +184,7 @@ class SnapshotStore:
         # head: discard the stale forward chain (Iceberg-style branch cut) so
         # chain-reading tables (delta snapshots) never see orphaned futures,
         # and delete their now-unreachable data files
-        self._cut_orphans(tbl)
+        self._cut_orphans(manifest, name, tbl)
         rel_path = os.path.join(name, f"snap_{snap_id:05d}")
         path = os.path.join(self.root, rel_path)
         if coalesce is not None:
@@ -335,16 +340,42 @@ class SnapshotStore:
         tbl["current"] = snapshot_id
         self._save(manifest)
 
+    def _externally_referenced(self, manifest: dict, exclude: str) -> set[str]:
+        """Absolute paths that OTHER tables' ``ref`` snapshots point at.
+
+        A ref snapshot (``write_ref``) names data files owned by a different
+        table — e.g. the seen set's zero-copy refs into frontier round
+        deltas. Pruning the owner table must not delete files another
+        table's live chain can still reach.
+        """
+        return {
+            os.path.normpath(self._abs(s["path"]))
+            for tname, t in manifest["tables"].items()
+            if tname != exclude
+            for s in t["snapshots"]
+            if s["meta"].get("ref")
+        }
+
     def prune(self, name: str, keep_last: int = 2) -> None:
-        """Drop all but the newest ``keep_last`` snapshots' data files."""
+        """Drop all but the newest ``keep_last`` snapshots' data files.
+
+        Snapshots whose files are referenced by another table's chain (the
+        seen set's zero-copy frontier refs) are retained — manifest entry and
+        files — so the referencing chain never dangles; a later prune after
+        the ref is compacted away releases them.
+        """
         manifest = self._load()
         tbl = manifest["tables"].get(name)
         if not tbl:
             return
+        refs = self._externally_referenced(manifest, exclude=name)
         keep = {s["id"] for s in tbl["snapshots"][-keep_last:]} | {tbl["current"]}
         kept = []
         for s in tbl["snapshots"]:
-            if s["id"] in keep:
+            if (
+                s["id"] in keep
+                or os.path.normpath(self._abs(s["path"])) in refs
+            ):
                 kept.append(s)
             elif not s["meta"].get("ref"):  # ref files belong to another table
                 shutil.rmtree(self._abs(s["path"]), ignore_errors=True)

@@ -172,3 +172,47 @@ def test_read_surface(crawled):
     assert not (processed & unprocessed)
     errs = dict(crawled.error_messages())
     assert errs["http://nowhere.test/p/0"] == "404 Not Found"
+
+
+def _three_rows(spark):
+    return spark.range(3).selectExpr("concat('u', id) as url", "'pending' as status")
+
+
+def test_prune_keeps_externally_referenced_snapshots(spark, tmp_path):
+    """prune() must not delete snapshot files another table's ref chain
+    still points at (the seen set's zero-copy frontier refs): the entry and
+    its files survive until the ref is compacted away."""
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "store_prune"))
+    df = _three_rows(spark)
+    store.write("t", df)  # snap 0
+    store.write("t", df)  # snap 1  <- referenced by 'seen'
+    snap1 = store.lineage("t")[1]
+    store.write_ref("seen", snap1["path"], 3, meta={"round": 0})
+    store.write("t", df)  # snap 2
+    store.write("t", df)  # snap 3 (current)
+    store.prune("t", keep_last=1)
+    ids = [s["id"] for s in store.lineage("t")]
+    assert 1 in ids and 3 in ids, "referenced + current snapshots survive"
+    assert 0 not in ids and 2 not in ids, "unreferenced history is pruned"
+    assert os.path.exists(store.abspath(snap1["path"]))
+    assert store.read("seen").count() == 3  # the ref chain still resolves
+
+
+def test_orphan_cut_keeps_externally_referenced_snapshots(spark, tmp_path):
+    """A write after rollback cuts the orphaned forward chain, but files a
+    ref in another table names must survive the cut."""
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "store_cut"))
+    df = _three_rows(spark)
+    store.write("t", df)  # snap 0
+    store.write("t", df)  # snap 1
+    snap1 = store.lineage("t")[1]
+    store.write_ref("seen", snap1["path"], 3, meta={"round": 0})
+    store.rollback("t", 0)
+    store.write("t", df)  # cuts orphan snap 1
+    assert [s["id"] for s in store.lineage("t")] == [0, 2]
+    assert os.path.exists(store.abspath(snap1["path"]))
+    assert store.read("seen").count() == 3

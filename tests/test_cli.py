@@ -85,3 +85,56 @@ def test_cli_second_url_appends_to_existing_store(spark, tmp_path, capsys):
     assert "processed this run: 5" in out
     out = _run(spark, tmp_path, "--url", "http://host1.test/p/0", capsys=capsys)
     assert "processed this run: 0" in out  # idempotent: already seen
+
+
+def test_cli_runs_without_robots(spark, tmp_path, capsys):
+    """--robots is optional: omitting it must not crash (empty robots source
+    => no host is robots-denied) and the crawl still drains."""
+    pages, _ = _fixture(spark, tmp_path)
+    rc = cli.main(
+        [
+            "--store", str(tmp_path / "store_nr"),
+            "--pages", pages,
+            "--url", "http://host0.test/p/0",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "processed this run:" in out
+    assert out.splitlines()[-1].startswith("unprocessed: 0")
+
+
+def test_cli_seed_crash_between_frontier_and_seen_is_repaired(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The existing-store --url append is a two-step commit (frontier
+    'cli_seed' delta, then seen ref). A crash between the steps must be
+    repaired on the next run — the URL re-enters the seen set via the
+    stamped src_snap ref instead of being appended a second time."""
+    import pytest
+
+    from scrape_spark.operators.seen import SeenSet
+    from scrape_spark.plans.statestore import SnapshotStore
+
+    _run(spark, tmp_path, "--url", "http://host0.test/p/0", capsys=capsys)
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated crash before seen registration")
+
+    monkeypatch.setattr(SeenSet, "add_ref", boom)
+    with pytest.raises(RuntimeError):
+        _run(spark, tmp_path, "--url", "http://host1.test/p/0", capsys=capsys)
+    monkeypatch.undo()
+
+    # resume: repair registers the crashed row; no duplicate append, and the
+    # pending row is crawled (host1 subtree = 5 rows, one robots-blocked)
+    out = _run(spark, tmp_path, "--url", "http://host1.test/p/0", capsys=capsys)
+    assert "processed this run: 5" in out
+    chain = SnapshotStore(spark, str(tmp_path / "store")).read_chain("frontier")
+    appended = chain.where(
+        (chain.url == "http://host1.test/p/0") & (chain.status == "pending")
+    )
+    assert appended.count() == 1  # exactly one pending append, ever
+    out = _run(spark, tmp_path, "--url", "http://host1.test/p/0", capsys=capsys)
+    assert "processed this run: 0" in out  # idempotent: url is seen
