@@ -1357,6 +1357,105 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+# -- training-data: within-doc repetition stats (Gopher repetition rules) -----
+# The synthetic corpus has no newline structure, so line-granular operators
+# run over the deterministic lines_sql fixture (8-word lines) — the SAME
+# construction compiles on both engines, so line boundaries are bit-identical.
+@_q(
+    "doc_repetition",
+    f"""WITH lined AS (SELECT doc_id, {ts.lines_sql('text', _DD)} AS text
+                       FROM documents)
+SELECT doc_id,
+  {ts.dup_line_frac_q4_sql('text', _DD)} AS dup_line_frac_q4,
+  {ts.top_bigram_cover_q4_sql('text', _DD)} AS top_bigram_cover_q4
+FROM lined""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-line fraction + top-bigram coverage (map-only kernels)."""
+    from scrape_spark.operators.corpus import doc_repetition
+
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(ts.lines_sql("text", _SD)).alias("text")
+    )
+    return doc_repetition(lined)
+
+
+# -- training-data: cross-corpus line-level dedup (CCNet boilerplate removal) --
+@_q(
+    "line_dedup",
+    f"""WITH lined AS (SELECT doc_id, {ts.lines_sql('text', _DD)} AS ltext
+                       FROM documents),
+L AS (SELECT doc_id,
+        unnest(string_split(ltext, chr(10))) AS line,
+        generate_subscripts(string_split(ltext, chr(10)), 1) AS pos
+      FROM lined),
+H AS (SELECT doc_id, pos, line, {ts.text_hash_sql('line', _DD)} AS lh FROM L),
+DF AS (SELECT lh, CAST(count(*) AS BIGINT) AS df FROM H GROUP BY lh)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  coalesce(string_agg(CASE WHEN df < 2 THEN line END, chr(10) ORDER BY pos),
+           '') AS kept_text
+FROM H JOIN DF USING (lh) GROUP BY doc_id""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop corpus-duplicated lines, reassemble survivors in order."""
+    from scrape_spark.operators.corpus import line_dedup
+
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(ts.lines_sql("text", _SD)).alias("text")
+    )
+    return line_dedup(lined)
+
+
+# -- training-data: PII redaction ----------------------------------------------
+# The corpus text is PII-free word salad, so the fixture plants one email,
+# one IPv4, and one phone number per doc, derived from doc_id — the SAME
+# concat on both engines; counts and masked text are then value-compared.
+def _pii_aug_duck() -> str:
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com call +1555010' || CAST(doc_id % 10 AS VARCHAR)"
+        " || ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'"
+    )
+
+
+def _pii_oracle() -> str:
+    from scrape_spark.operators.corpus import PII_ORDER
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(aug, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_ORDER
+    )
+    red = "aug"
+    for _, pat, repl in PII_ORDER:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""WITH a AS (SELECT doc_id, {_pii_aug_duck()} AS aug FROM documents)
+SELECT doc_id,
+  {counts},
+  {red} AS redacted
+FROM a"""
+
+
+@_q("pii_redact", _pii_oracle())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + mask planted PII spans (map-only JVM regex)."""
+    from scrape_spark.operators.corpus import pii_redact
+
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com call +1555010"),
+        (d % 10).cast("string"),
+        F.lit(" from 10.0."),
+        (d % 250).cast("string"),
+        F.lit(".7"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+    return pii_redact(docs)
+
+
 # ---------------------------------------------------------------------------
 
 

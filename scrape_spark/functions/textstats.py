@@ -53,6 +53,12 @@ SPARK_DIALECT = {
     "size": "size({arr})",
     "idiv": "({a} div {b})",
     "empty_bigint_array": "CAST(array() AS array<bigint>)",
+    # sep must be a SQL string expression that is regex-safe on Spark
+    # (Spark's split() is regex-based; DuckDB's string_split is literal)
+    "splitc": "split({s}, {sep})",
+    "ajoin": "array_join({arr}, {sep})",
+    "amax": "array_max({arr})",
+    "adistinct": "array_distinct({arr})",
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -67,6 +73,10 @@ DUCK_DIALECT = {
     "size": "len({arr})",
     "idiv": "({a} // {b})",
     "empty_bigint_array": "CAST([] AS BIGINT[])",
+    "splitc": "string_split({s}, {sep})",
+    "ajoin": "array_to_string({arr}, {sep})",
+    "amax": "list_max({arr})",
+    "adistinct": "list_distinct({arr})",
 }
 
 
@@ -173,6 +183,105 @@ def simhash_sql(text: str, d: dict, bits: int = SIMHASH_BITS) -> str:
         terms.append(f"(CASE WHEN ({s}) > 0 THEN {pow2} ELSE 0 END)")
     expr = " + ".join(terms)
     return _bind(expr, "__wh", wh, d)
+
+
+LINE_WORDS = 8  # deterministic line fixture: 8 words per synthesized line
+
+
+def text_hash_sql(s: str, d: dict) -> str:
+    """Rolling hash of an arbitrary string (guarded: '' hashes to 0).
+
+    The guard is load-bearing on the Spark side: ``sequence(1, 0)`` is
+    DESCENDING there, so the unguarded fold would walk [1, 0] for an empty
+    string instead of the empty range DuckDB produces.
+    """
+    return f"CASE WHEN length({s}) = 0 THEN CAST(0 AS BIGINT) ELSE {_char_fold(s, d)} END"
+
+
+def lines_sql(text: str, d: dict, words_per_line: int = LINE_WORDS) -> str:
+    """Deterministic line structure: words regrouped into newline-joined
+    groups of ``words_per_line``.
+
+    The synthetic `documents` corpus carries no newlines of its own, so
+    line-granular operators (line_dedup, dup-line fraction) are exercised
+    over this fixture — the SAME construction compiles to both engines, so
+    the line boundaries are bit-identical on the Spark and DuckDB sides.
+    """
+    w = d["split"].format(s=text)
+    n = d["size"].format(arr="__lw")
+    inner = d["transform"].format(
+        arr=d["seq"].format(
+            a=f"__j * {words_per_line} + 1",
+            b=f"least((__j + 1) * {words_per_line}, {n})",
+        ),
+        lam=f"__i -> {d['at'].format(arr='__lw', i='__i')}",
+    )
+    line = d["ajoin"].format(arr=f"({inner})", sep="' '")
+    # CAST to INT keeps the outer sequence (and so every index the inner
+    # lambda derives from __j) INT on Spark — `div` alone yields BIGINT and
+    # element_at rejects BIGINT indices
+    arr = d["transform"].format(
+        arr=d["seq"].format(
+            a="0",
+            b=f"CAST({d['idiv'].format(a=f'({n} - 1)', b=words_per_line)} AS INT)",
+        ),
+        lam=f"__j -> {line}",
+    )
+    return _bind(d["ajoin"].format(arr=f"({arr})", sep="chr(10)"), "__lw", w, d)
+
+
+def dup_line_frac_q4_sql(text: str, d: dict) -> str:
+    """Within-doc duplicate-line fraction (Gopher repetition signal), q4.
+
+    floor(1e4 * (n_lines - n_distinct_lines) / n_lines) as exact integer
+    arithmetic (idiv) — no floats, bit-identical across engines. ``text``
+    must already carry newline-separated lines (see lines_sql).
+    """
+    lines = d["splitc"].format(s=text, sep="chr(10)")
+    n = d["size"].format(arr="__ln")
+    nd = d["size"].format(arr=d["adistinct"].format(arr="__ln"))
+    expr = d["idiv"].format(a=f"10000 * ({n} - {nd})", b=n)  # split() => n >= 1
+    return _bind(f"CAST({expr} AS BIGINT)", "__ln", lines, d)
+
+
+def top_bigram_cover_q4_sql(text: str, d: dict) -> str:
+    """Coverage of the most frequent word bigram (Gopher top-n-gram rule), q4.
+
+    Bigram hashes over the first SHINGLE_WORDS tokens (cost cap — O(cap²)
+    worst case for the per-distinct occurrence counts, constant per row);
+    coverage = floor(1e4 * max_count / n_bigrams), 0 when under two words.
+    """
+    wh = word_hashes_sql(text, d, SHINGLE_WORDS)
+    n = d["size"].format(arr="__wh")
+    a1 = d["at"].format(arr="__wh", i="i")
+    a2 = d["at"].format(arr="__wh", i="i + 1")
+    bh = d["transform"].format(
+        arr=d["seq"].format(a="1", b=f"{n} - 1"),
+        lam=f"i -> ({a1} * 1000003 + {a2}) % {HASH_P}",
+    )
+    # guard: sequence(1, 0) is DESCENDING on Spark — same trap as shingles
+    bh_guarded = (
+        f"CASE WHEN {n} < 2 THEN {d['empty_bigint_array']} ELSE {bh} END"
+    )
+    counts = d["transform"].format(
+        arr=d["adistinct"].format(arr="__bh"),
+        lam=(
+            "__x -> CAST("
+            + d["size"].format(
+                arr=d["filter"].format(arr="__bh", lam="__y -> __y = __x")
+            )
+            + " AS BIGINT)"
+        ),
+    )
+    nb = d["size"].format(arr="__bh")
+    cover = d["idiv"].format(
+        a=f"10000 * {d['amax'].format(arr=f'({counts})')}", b=nb
+    )
+    expr = (
+        f"CASE WHEN {nb} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({cover} AS BIGINT) END"
+    )
+    return _bind(_bind(expr, "__bh", bh_guarded, d), "__wh", wh, d)
 
 
 def _bind(expr: str, var: str, value: str, d: dict) -> str:

@@ -522,3 +522,115 @@ def semantic_dedup_retain(
         min_cosine=min_cosine,
     )
     return dedup_retain(corpus, pairs, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# line-granular curation (CCNet-style boilerplate removal + repetition stats)
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition stats (Gopher repetition rules, map-only).
+
+    (doc_id, dup_line_frac_q4, top_bigram_cover_q4): the duplicate-line
+    fraction and the most-frequent-bigram coverage, quantized to 1e-4 as
+    exact integer arithmetic (textstats kernels — zero Python, zero shuffle,
+    bit-identical on the DuckDB oracle side). ``text_col`` must carry
+    newline-separated lines; composes with ``.where`` thresholds for the
+    filter form (Rae et al. 2021 §A1.1 repetition subset).
+    """
+    return docs.select(
+        F.col(id_col),
+        F.expr(ts.dup_line_frac_q4_sql(text_col, ts.SPARK_DIALECT)).alias(
+            "dup_line_frac_q4"
+        ),
+        F.expr(ts.top_bigram_cover_q4_sql(text_col, ts.SPARK_DIALECT)).alias(
+            "top_bigram_cover_q4"
+        ),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-corpus line-level dedup (CCNet-style boilerplate removal).
+
+    Drops every line whose corpus-wide occurrence count reaches ``min_df``
+    (nav bars, cookie banners, repeated footers — and within-doc repeats,
+    which the count includes by construction), then reassembles each doc's
+    surviving lines in original order. Returns
+    (doc_id, n_lines, n_dropped, kept_text).
+
+    Scale shape: lines explode to (doc_id, pos, line, line_hash); the
+    occurrence count is one hash aggregation on the int64 line hash with
+    map-side combine, and the count join is hash-partitioned on that same
+    key, so Spark reuses the exchange rather than shuffling the line text a
+    second time (skewed ultra-common lines ride AQE's skew-join split). The
+    final reassembly shuffles (doc_id, pos, line) once — inherent: the
+    output needs doc locality. Line identity is the rolling hash; both
+    engines hash identically so a collision (P = 2^31) degrades both sides
+    the same way and at worst over-drops one line pair corpus-wide.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "lh", F.expr(ts.text_hash_sql("line", ts.SPARK_DIALECT))
+    )
+    dfreq = lines.groupBy("lh").agg(F.count("*").cast("long").alias("df"))
+    joined = lines.join(dfreq, on="lh")
+    kept = F.when(F.col("df") < min_df, F.struct("pos", "line"))
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((F.col("df") >= min_df).cast("long")).alias("n_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+            ),
+        ).alias("kept_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (map-only regex pass)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround) so the identical regex runs on Spark
+# (java.util.regex) and the DuckDB oracle (RE2)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 -]{6,13}[0-9]"
+PII_ORDER = [  # applied in this order; counts are over the original text
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+    ("phone", PII_PHONE, "<PHONE>"),
+]
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Detect and mask PII spans (emails, IPv4, intl phone numbers).
+
+    (doc_id, n_email, n_ipv4, n_phone, redacted) — counts over the original
+    text, replacements applied in PII_ORDER. Pure per-row JVM regex (zero
+    shuffle, zero Python); the patterns are RE2-compatible so the DuckDB
+    oracle applies the byte-identical regex.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_ORDER
+    ]
+    red = c
+    for _, pat, repl in PII_ORDER:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(F.col(id_col), *counts, red.alias("redacted"))

@@ -217,3 +217,65 @@ def test_dedup_retain_keeps_representatives(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_retain(docs, pairs).collect())
     assert kept == [1, 4, 5, 7]
+
+
+def test_doc_repetition_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),  # 3 lines, 1 duplicate
+            (2, "p q p q p q"),  # bigrams: pq qp pq qp pq -> top 3 of 5
+            (3, "solo"),  # no bigrams, one line
+        ],
+        "doc_id long, text string",
+    )
+    from scrape_spark.operators.corpus import doc_repetition
+
+    rows = {r["doc_id"]: r for r in doc_repetition(docs).collect()}
+    assert rows[1]["dup_line_frac_q4"] == 3333  # floor(1e4 * 1/3)
+    assert rows[2]["dup_line_frac_q4"] == 0
+    assert rows[2]["top_bigram_cover_q4"] == 6000  # floor(1e4 * 3/5)
+    assert rows[3]["dup_line_frac_q4"] == 0
+    assert rows[3]["top_bigram_cover_q4"] == 0  # under two words
+
+
+def test_line_dedup_drops_corpus_dup_lines(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y\nz w\nx y"), (2, "z w\nq r")], "doc_id long, text string"
+    )
+    from scrape_spark.operators.corpus import line_dedup
+
+    rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # doc 1: 'x y' twice within-doc, 'z w' shared with doc 2 -> all dropped
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_dropped"] == 3
+    assert rows[1]["kept_text"] == ""
+    # doc 2: 'z w' dropped (df=2 across corpus), 'q r' survives
+    assert rows[2]["n_lines"] == 2 and rows[2]["n_dropped"] == 1
+    assert rows[2]["kept_text"] == "q r"
+
+
+def test_line_dedup_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "k1\ndup\nk2\ndup\nk3")], "doc_id long, text string"
+    )
+    from scrape_spark.operators.corpus import line_dedup
+
+    row = line_dedup(docs).collect()[0]
+    assert row["kept_text"] == "k1\nk2\nk3"  # original order, dups removed
+    assert row["n_dropped"] == 2
+
+
+def test_pii_redact_counts_and_masking(spark):
+    text = (
+        "mail a@b.co and c.d@e-f.org ip 10.0.0.1 and 999.1.2.3 "
+        "call +15550100 end"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from scrape_spark.operators.corpus import pii_redact
+
+    row = pii_redact(docs).collect()[0]
+    assert row["n_email"] == 2
+    assert row["n_ipv4"] == 2  # the naive matcher takes 999.1.2.3 too
+    assert row["n_phone"] == 1
+    assert row["redacted"] == (
+        "mail <EMAIL> and <EMAIL> ip <IP> and <IP> call <PHONE> end"
+    )
