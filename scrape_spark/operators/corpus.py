@@ -580,10 +580,24 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn(
-        "lh", F.expr(ts.text_hash_sql("line", ts.SPARK_DIALECT))
+        # coalesce-with-literal marks the key non-nullable, so the join's
+        # isnotnull(lh) obligations FOLD AWAY instead of re-evaluating the
+        # O(len) hash in a pushed-down filter (lambdas don't codegen, so
+        # Catalyst won't CSE the filter copy with the projection's)
+        "lh",
+        F.coalesce(
+            F.expr(ts.text_hash_sql("line", ts.SPARK_DIALECT)), F.lit(0)
+        ),
     )
     dfreq = lines.groupBy("lh").agg(F.count("*").cast("long").alias("df"))
-    joined = lines.join(dfreq, on="lh")
+    # LEFT join, though every key matches by construction: an inner join
+    # pushes a vacuous isnotnull(lh) filter to both sides, and because
+    # lambda expressions never enter whole-stage codegen that filter
+    # re-evaluates the O(len) rolling hash once more per line (verified in
+    # the formatted plan). coalesce keeps the count expressions total.
+    joined = lines.join(dfreq, on="lh", how="left").withColumn(
+        "df", F.coalesce(F.col("df"), F.lit(1))
+    )
     kept = F.when(F.col("df") < min_df, F.struct("pos", "line"))
     return joined.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_lines"),

@@ -279,3 +279,21 @@ def test_pii_redact_counts_and_masking(spark):
     assert row["redacted"] == (
         "mail <EMAIL> and <EMAIL> ip <IP> and <IP> call <PHONE> end"
     )
+
+
+def test_line_dedup_plan_evaluates_hash_once(spark):
+    """The rolling line hash must appear only in projections, never inside a
+    pushed-down isnotnull Filter (lambdas don't codegen, so a filter copy
+    would re-evaluate the O(len) fold per line)."""
+    from scrape_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d"), (2, "c d\ne f")], "doc_id long, text string"
+    )
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    offenders = [
+        ln
+        for ln in plan.split("\n")
+        if "Filter" in ln and "aggregate(transform" in ln
+    ]
+    assert not offenders, offenders
