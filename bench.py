@@ -292,7 +292,7 @@ def _host_state(cpu_before: dict | None = None) -> dict:
         state["loadavg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
-    if cpu_before is not None:
+    if cpu_before:
         try:
             now = _cpu_snap()
             delta = {k: now[k] - cpu_before[k] for k in now}
@@ -468,8 +468,13 @@ def scaling_one(cores: int, work_dir: str, n_hosts: int, pages_per_host: int, fi
 
 
 def _cpu_snap() -> dict:
-    with open("/proc/stat") as f:
-        parts = f.readline().split()[1:9]
+    """/proc/stat counters; {} where unavailable (non-Linux) — callers treat
+    an empty snapshot as "no CPU accounting", never as an error."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:9]
+    except OSError:
+        return {}
     keys = ("user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal")
     return dict(zip(keys, (int(x) for x in parts)))
 

@@ -515,6 +515,19 @@ class CrawlJob:
         )
 
     # -- one round ---------------------------------------------------------------
+    def _seen_live_meta(self) -> list[dict]:
+        """Metadata of every seen-set snapshot on the LIVE chain (id up to
+        current — entries past a rollback are orphaned futures and excluded).
+        Manifest-only; used by the resume repair to find commit markers."""
+        if not self.store.exists(self.seen.name):
+            return []
+        cur = self.store.current_snapshot(self.seen.name)
+        return [
+            s["meta"]
+            for s in self.store.lineage(self.seen.name)
+            if s["id"] <= cur["id"]
+        ]
+
     def _reconcile_seen_refs(self) -> None:
         """Resume-time repair of the round's two-step durable commit.
 
@@ -542,6 +555,11 @@ class CrawlJob:
                 seeds = self.spark.read.parquet(self.store.abspath(f["path"]))
                 self.seen.add(seeds.select("url"), meta={"round": -1})
             return
+        # markers are searched across the WHOLE live seen lineage (ids up to
+        # current), not just the head snapshot: an unrelated seen write that
+        # carries no marker (remove(), truncate) must not make a completed
+        # pair look crashed — re-registering the ref would silently resurrect
+        # the just-removed URLs into the seen set
         if f["meta"].get("event") == "cli_seed":
             # the CLI's existing-store append is the same two-step pair
             # (frontier 'cli_seed' delta, then seen.add_ref stamped with the
@@ -549,12 +567,10 @@ class CrawlJob:
             # appended URL missing from the seen set; re-register the ref.
             # src_snap survives seen compaction (_compact carries base_meta),
             # so an already-completed pair is never double-added.
-            cur = (
-                self.store.current_snapshot(self.seen.name)
-                if self.store.exists(self.seen.name)
-                else None
+            done = any(
+                m.get("src_snap") == f["id"] for m in self._seen_live_meta()
             )
-            if cur is None or cur["meta"].get("src_snap") != f["id"]:
+            if not done:
                 self.seen.add_ref(
                     f["path"],
                     n_rows=f["rows"] if f["rows"] >= 0 else 1,
@@ -564,11 +580,14 @@ class CrawlJob:
         if f["meta"].get("event") != "round" or not f["meta"].get("delta"):
             return
         r = f["meta"].get("round", -1)
-        seen_r = -1
-        if self.store.exists(self.seen.name):
-            cur = self.store.current_snapshot(self.seen.name)
-            if cur is not None and cur["meta"].get("round") is not None:
-                seen_r = cur["meta"]["round"]
+        seen_r = max(
+            (
+                m["round"]
+                for m in self._seen_live_meta()
+                if m.get("round") is not None
+            ),
+            default=-1,
+        )
         if r <= seen_r:
             return
         n_new = f["meta"].get("new_urls")

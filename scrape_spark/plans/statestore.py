@@ -106,18 +106,48 @@ class SnapshotStore:
         """Drop manifest entries past ``current`` (Iceberg branch cut) and
         delete their data files — except reference snapshots, whose files are
         owned by another table's lifecycle (see ``write_ref``), and files
-        another table's ref snapshots still point at."""
+        another table's ref snapshots still point at.
+
+        A cut orphan that survives only because a ref still points at it
+        loses its manifest entry (it must: entries at ids <= the NEXT write's
+        id would re-enter the read chain), so its path is parked on the
+        manifest's ``detached`` list — ``_gc_detached`` reclaims it once the
+        last ref is gone. Without that list the directory would be reachable
+        from no manifest entry after the ref compacts away: a permanent leak.
+        """
         if tbl["current"] is None:
             return
         orphans = [s for s in tbl["snapshots"] if s["id"] > tbl["current"]]
         tbl["snapshots"] = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
         refs = self._externally_referenced(manifest, exclude=name) if orphans else set()
         for s in orphans:
-            if (
-                not s["meta"].get("ref")
-                and os.path.normpath(self._abs(s["path"])) not in refs
-            ):
+            if s["meta"].get("ref"):
+                continue  # files belong to another table's lifecycle
+            p = os.path.normpath(self._abs(s["path"]))
+            if p in refs:
+                detached = manifest.setdefault("detached", [])
+                if s["path"] not in detached:
+                    detached.append(s["path"])
+            else:
                 shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
+
+    def _gc_detached(self, manifest: dict) -> None:
+        """Delete detached snapshot directories no ref points at anymore."""
+        detached = manifest.get("detached")
+        if not detached:
+            return
+        live = {
+            os.path.normpath(self._abs(s["path"]))
+            for t in manifest["tables"].values()
+            for s in t["snapshots"]
+        }
+        keep = []
+        for p in detached:
+            if os.path.normpath(self._abs(p)) in live:
+                keep.append(p)
+            else:
+                shutil.rmtree(self._abs(p), ignore_errors=True)
+        manifest["detached"] = keep
 
     def write_ref(
         self,
@@ -380,4 +410,5 @@ class SnapshotStore:
             elif not s["meta"].get("ref"):  # ref files belong to another table
                 shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
         tbl["snapshots"] = kept
+        self._gc_detached(manifest)  # reclaim cut orphans whose refs are gone
         self._save(manifest)

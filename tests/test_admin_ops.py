@@ -216,3 +216,61 @@ def test_orphan_cut_keeps_externally_referenced_snapshots(spark, tmp_path):
     assert [s["id"] for s in store.lineage("t")] == [0, 2]
     assert os.path.exists(store.abspath(snap1["path"]))
     assert store.read("seen").count() == 3
+
+
+def test_orphan_cut_detached_files_reclaimed_after_ref_release(spark, tmp_path):
+    """A cut orphan kept alive only by a ref is parked on the manifest's
+    detached list; once the last ref is pruned away, the next prune reclaims
+    the directory (no permanent leak)."""
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "store_gc"))
+    df = _three_rows(spark)
+    store.write("t", df)  # snap 0
+    store.write("t", df)  # snap 1
+    snap1 = store.lineage("t")[1]
+    store.write_ref("seen", snap1["path"], 3, meta={"round": 0})
+    store.rollback("t", 0)
+    store.write("t", df)  # cuts orphan snap 1 -> detached (ref still live)
+    assert snap1["path"] in store._load().get("detached", [])
+    assert os.path.exists(store.abspath(snap1["path"]))
+    store.write("seen", df)  # new base supersedes the ref
+    store.prune("seen", keep_last=1)  # drops the ref entry
+    store.prune("t", keep_last=5)  # gc pass: nothing references snap 1 now
+    assert not os.path.exists(store.abspath(snap1["path"]))
+    assert store._load().get("detached") == []
+
+
+def test_resume_repair_does_not_resurrect_removed_urls(spark, tmp_path):
+    """seen.remove() writes a marker-less base; the resume repair must not
+    mistake it for a crashed round commit and re-register the last round's
+    ref (which would silently resurrect the removed URL)."""
+    from scrape_spark.session import local_df
+
+    pages = generate_pages(spark, 2, 8, 3, mega_host=None)
+    robots = robots_source_df(spark, 2, mega_host=None)
+    store_path = str(tmp_path / "store_rm")
+    job = CrawlJob(
+        spark, SnapshotStore(spark, store_path), pages, robots,
+        round_seconds=60, n_buckets=4,
+    )
+    job.seed(seed_urls(2))
+    job.run_round()  # frontier head = the round-1 delta
+    f = job.store.current_snapshot("frontier")
+    assert f["meta"]["event"] == "round" and f["meta"].get("delta")
+    url = (
+        spark.read.parquet(job.store.abspath(f["path"]))
+        .where("status = 'pending'")
+        .limit(1)
+        .collect()[0]["url"]
+    )
+    job.seen.remove([url])
+    fresh = CrawlJob(
+        spark, SnapshotStore(spark, store_path), pages, robots,
+        round_seconds=60, n_buckets=4,
+    )
+    fresh._reconcile_seen_refs()
+    stays_new = fresh.seen.filter_new(
+        local_df(spark, [(url,)], "url string")
+    )
+    assert stays_new.count() == 1, "removed URL must stay re-discoverable"
