@@ -1456,6 +1456,29 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(docs)
 
 
+# -- training-data: deterministic train/valid/test split ----------------------
+_SPLIT_WEIGHTS = {"train": 98, "valid": 1, "test": 1}
+
+
+def _split_oracle() -> str:
+    from scrape_spark.operators.corpus import split_assign_sql
+
+    return (
+        f"SELECT doc_id, lang, {split_assign_sql(_SPLIT_WEIGHTS)} "
+        "FROM documents"
+    )
+
+
+@_q("dataset_split", _split_oracle())
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible split membership: pure function of doc_id (map-only)."""
+    from scrape_spark.operators.corpus import split_assign
+
+    return split_assign(
+        _docs(spark, sf_dir).select("doc_id", "lang"), _SPLIT_WEIGHTS
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

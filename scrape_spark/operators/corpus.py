@@ -648,3 +648,60 @@ def pii_redact(
     for _, pat, repl in PII_ORDER:
         red = F.regexp_replace(red, pat, repl)
     return docs.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset splits
+# ---------------------------------------------------------------------------
+
+SPLIT_A = 1103515245  # same affine family as stratified_sample's sample key
+SPLIT_B = 987654321
+SPLIT_P = 2147483647
+SPLIT_C = 1013904223
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row a reproducible train/valid/test split.
+
+    The split is a pure function of the id — seeded affine hash mod the
+    weight total, walked through cumulative weight buckets — so membership
+    is stable across runs, partitionings, and engines (the DuckDB oracle
+    replays the identical integer arithmetic). Map-only: zero shuffle, zero
+    Python; at 100 TB this is a free column on any scan. Weights are
+    integers (parts per total), e.g. {'train': 98, 'valid': 1, 'test': 1}.
+    """
+    weights = weights or {"train": 98, "valid": 1, "test": 1}
+    total = sum(weights.values())
+    # affine alone is a LATTICE over consecutive ids (a contiguous id range
+    # can starve small tail buckets entirely); one quadratic round breaks
+    # the linearity while staying exact int64 ((P-1)^2 + C < 2^63) and
+    # portable to the oracle dialect
+    aff = (F.col(id_col) * SPLIT_A + SPLIT_B) % SPLIT_P
+    bucket = ((aff * aff + SPLIT_C) % SPLIT_P) % total
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split_bucket", bucket.cast("long")).withColumn(
+        "split", expr
+    )
+
+
+def split_assign_sql(weights: dict[str, int], id_col: str = "doc_id") -> str:
+    """The identical assignment as portable SQL (the DuckDB oracle side)."""
+    total = sum(weights.values())
+    aff = f"(({id_col} * {SPLIT_A} + {SPLIT_B}) % {SPLIT_P})"
+    bucket = f"((({aff} * {aff} + {SPLIT_C}) % {SPLIT_P}) % {total})"
+    acc = 0
+    cases = []
+    for name, w in weights.items():
+        acc += w
+        cases.append(f"WHEN {bucket} < {acc} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"CAST({bucket} AS BIGINT) AS split_bucket, {case} AS split"

@@ -297,3 +297,33 @@ def test_line_dedup_plan_evaluates_hash_once(spark):
         if "Filter" in ln and "aggregate(transform" in ln
     ]
     assert not offenders, offenders
+
+
+def test_split_assign_deterministic_and_weighted(spark):
+    from scrape_spark.operators.corpus import split_assign
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(docs, {"train": 8, "valid": 1, "test": 1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # roughly 80/10/10 over 2000 uniform-hashed ids
+    assert abs(counts["train"] - 1600) < 160
+    # pure function of the id: a re-run assigns identically
+    again = {r["doc_id"]: r["split"] for r in
+             split_assign(docs, {"train": 8, "valid": 1, "test": 1}).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_split_assign_small_contiguous_range_reaches_tail_buckets(spark):
+    """Regression: a pure affine bucket is a lattice over consecutive ids —
+    100 contiguous ids landed 0 rows in the 2% tail splits. The quadratic
+    mixing round must give small ranges tail coverage."""
+    from scrape_spark.operators.corpus import split_assign
+
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    out = split_assign(docs)  # default 98/1/1
+    n_tail = out.where(F.col("split") != "train").count()
+    assert n_tail > 0
