@@ -327,3 +327,21 @@ def test_split_assign_small_contiguous_range_reaches_tail_buckets(spark):
     out = split_assign(docs)  # default 98/1/1
     n_tail = out.where(F.col("split") != "train").count()
     assert n_tail > 0
+
+
+def test_map_only_ops_have_no_exchange(spark):
+    """doc_repetition, pii_redact, and split_assign are per-row kernels: any
+    Exchange in their plans is a regression (at 100 TB a map-only pass must
+    stay a free column on the scan)."""
+    from scrape_spark.operators.corpus import (
+        doc_repetition,
+        pii_redact,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d"), (2, "e f\ng h")], "doc_id long, text string"
+    )
+    for op in (doc_repetition, pii_redact, split_assign):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (op.__name__, plan)
