@@ -1381,21 +1381,28 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- training-data: cross-corpus line-level dedup (CCNet boilerplate removal) --
-@_q(
-    "line_dedup",
-    f"""WITH lined AS (SELECT doc_id, {ts.lines_sql('text', _DD)} AS ltext
+# shared CTE chain: fixture lines -> (doc, pos, line, hash) -> occurrence
+# count -> per-doc reassembly; `line_dedup` selects it directly and
+# `curation_pipeline` keeps composing on top of it
+_LINE_DEDUP_CTES = f"""lined AS (SELECT doc_id, {ts.lines_sql('text', _DD)} AS ltext
                        FROM documents),
 L AS (SELECT doc_id,
         unnest(string_split(ltext, chr(10))) AS line,
         generate_subscripts(string_split(ltext, chr(10)), 1) AS pos
       FROM lined),
 H AS (SELECT doc_id, pos, line, {ts.text_hash_sql('line', _DD)} AS lh FROM L),
-DF AS (SELECT lh, CAST(count(*) AS BIGINT) AS df FROM H GROUP BY lh)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+DF AS (SELECT lh, CAST(count(*) AS BIGINT) AS df FROM H GROUP BY lh),
+cleaned AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
   coalesce(string_agg(CASE WHEN df < 2 THEN line END, chr(10) ORDER BY pos),
            '') AS kept_text
-FROM H JOIN DF USING (lh) GROUP BY doc_id""",
+FROM H JOIN DF USING (lh) GROUP BY doc_id)"""
+
+
+@_q(
+    "line_dedup",
+    f"""WITH {_LINE_DEDUP_CTES}
+SELECT doc_id, n_lines, n_dropped, kept_text FROM cleaned""",
 )
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop corpus-duplicated lines, reassemble survivors in order."""
@@ -1477,6 +1484,48 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(
         _docs(spark, sf_dir).select("doc_id", "lang"), _SPLIT_WEIGHTS
     )
+
+
+# -- training-data: end-to-end curation pipeline -------------------------------
+# The flagship composition: boilerplate line removal -> Gopher quality rules
+# over the CLEANED text -> deterministic split assignment, one lazy plan.
+def _curation_oracle() -> str:
+    from scrape_spark.operators.corpus import gopher_rules_sql, split_assign_sql
+
+    g = gopher_rules_sql("kept_text", _DD)
+    return f"""WITH {_LINE_DEDUP_CTES}
+SELECT doc_id, n_lines, n_dropped,
+  {g['n_words']} AS n_words,
+  ({g['rule_words']} AND {g['rule_word_len']} AND {g['rule_stopwords']}) AS passes,
+  {split_assign_sql(_SPLIT_WEIGHTS)}
+FROM cleaned"""
+
+
+@_q("curation_pipeline", _curation_oracle())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup -> Gopher rules on the cleaned text -> split, composed."""
+    from scrape_spark.operators.corpus import (
+        gopher_rules_sql,
+        line_dedup,
+        split_assign,
+    )
+
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(ts.lines_sql("text", _SD)).alias("text")
+    )
+    g = gopher_rules_sql("kept_text", _SD)
+    cleaned = line_dedup(lined).select(
+        "doc_id",
+        "n_lines",
+        "n_dropped",
+        F.expr(g["n_words"]).alias("n_words"),
+        (
+            F.expr(g["rule_words"])
+            & F.expr(g["rule_word_len"])
+            & F.expr(g["rule_stopwords"])
+        ).alias("passes"),
+    )
+    return split_assign(cleaned, _SPLIT_WEIGHTS)
 
 
 # ---------------------------------------------------------------------------
