@@ -1486,6 +1486,55 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- CC-lake snapshot dedup: latest WARC capture per URL -----------------------
+# The input_hint's pages carry warc_ts because a Common-Crawl lake holds
+# multiple captures (recrawls) of the same URL; this is the newest-capture
+# view every downstream op reads. The fixture forges 3 captures per doc with
+# distinct epoch timestamps — the same construction on both engines.
+_TH = ts.text_hash_sql("text", _DD)
+
+
+@_q(
+    "warc_latest_capture",
+    f"""WITH caps AS (
+  SELECT 'http://host' || CAST(doc_id % 8 AS VARCHAR) || '.test/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CAST(1700000000 + doc_id * 10 + v AS BIGINT) AS warc_ts,
+         text || ' v' || CAST(v AS VARCHAR) AS text, lang
+  FROM documents, (SELECT unnest([0, 1, 2]) AS v)),
+m AS (SELECT url, max(warc_ts) AS warc_ts FROM caps GROUP BY url),
+j AS (SELECT c.url, c.warc_ts, c.text, c.lang
+      FROM caps c JOIN m USING (url, warc_ts))
+SELECT url, warc_ts, arg_max(text, {_TH}) AS text,
+       arg_max(lang, {_TH}) AS lang
+FROM j GROUP BY url, warc_ts""",
+)
+def q_warc_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest capture per URL over a forged 3-version capture lake."""
+    from scrape_spark.operators.dedup import latest_capture
+
+    d = F.col("doc_id")
+    caps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", "lang")
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            F.concat(
+                F.lit("http://host"),
+                (d % 8).cast("string"),
+                F.lit(".test/p/"),
+                d.cast("string"),
+            ).alias("url"),
+            (F.lit(1700000000) + d * 10 + F.col("v")).cast("long").alias("warc_ts"),
+            F.concat(F.col("text"), F.lit(" v"), F.col("v").cast("string")).alias(
+                "text"
+            ),
+            "lang",
+        )
+    )
+    return latest_capture(caps)
+
+
 # -- training-data: end-to-end curation pipeline -------------------------------
 # The flagship composition: boilerplate line removal -> Gopher quality rules
 # over the CLEANED text -> deterministic split assignment, one lazy plan.

@@ -137,3 +137,43 @@ def ngram_jaccard_pairs(
     return pairs.withColumn(
         "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     )
+
+
+def latest_capture(
+    pages: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = "text",
+) -> DataFrame:
+    """Latest WARC capture per URL — the CC-lake snapshot-dedup view.
+
+    A Common-Crawl-style lake holds MULTIPLE captures of the same URL
+    (recrawls); the crawl and every downstream curation op want exactly one
+    row per URL, the newest. Two-phase so page payloads never ride the
+    aggregation shuffle:
+
+    1. per-key max timestamp — a (key, ts) hash agg with map-side combine;
+       shuffle bytes are O(urls × 16 B) regardless of page size;
+    2. equi-join back on (key, ts) — over a url-bucketed pages layout this
+       reuses the bucketing (probe-only shuffle, same as the fetch join);
+    3. exact ts ties (same url AND ts) resolve by max rolling hash of
+       ``tiebreak_col`` — a max_by on the join output, which is already
+       partitioned on the join keys, so Catalyst reuses that exchange
+       rather than shuffling payloads again.
+    """
+    others = [c for c in pages.columns if c not in (key, ts_col)]
+    maxts = pages.groupBy(key).agg(F.max(ts_col).alias(ts_col))
+    matched = pages.join(maxts, on=[key, ts_col])
+    tie = (
+        F.coalesce(
+            F.expr(ts.text_hash_sql(tiebreak_col, ts.SPARK_DIALECT)), F.lit(0)
+        )
+        if tiebreak_col in others
+        else F.lit(0)
+    )
+    packed = F.struct(*[F.col(c) for c in others])
+    return (
+        matched.groupBy(key, ts_col)
+        .agg(F.max_by(packed, tie).alias("_r"))
+        .select(key, ts_col, *[F.col(f"_r.{c}").alias(c) for c in others])
+    )

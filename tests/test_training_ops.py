@@ -492,3 +492,25 @@ def test_lang_id_spark_duckdb_parity(spark):
         for t in texts
     ]
     assert spark_pred == duck_pred, (spark_pred, duck_pred)
+
+
+def test_latest_capture_newest_wins_and_ts_ties_break_on_text_hash(spark):
+    from scrape_spark.operators.dedup import latest_capture
+
+    rows = [
+        ("u1", 10, "old", "en"),
+        ("u1", 20, "new", "en"),
+        ("u2", 5, "only", "de"),
+        ("u3", 7, "aa", "en"),  # exact-ts tie:
+        ("u3", 7, "zz", "en"),  # rolling hash('zz')=3904 > hash('aa')=3104
+    ]
+    caps = spark.createDataFrame(
+        rows, "url string, warc_ts long, text string, lang string"
+    )
+    out = {r["url"]: r for r in latest_capture(caps).collect()}
+    assert len(out) == 3
+    assert out["u1"]["warc_ts"] == 20 and out["u1"]["text"] == "new"
+    assert out["u2"]["text"] == "only"
+    assert out["u3"]["text"] == "zz"  # deterministic tie winner
+    again = {r["url"]: r["text"] for r in latest_capture(caps).collect()}
+    assert again == {u: r["text"] for u, r in out.items()}
