@@ -1387,8 +1387,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_DEDUP_CTES = f"""lined AS (SELECT doc_id, {ts.lines_sql('text', _DD)} AS ltext
                        FROM documents),
 L AS (SELECT doc_id,
-        unnest(string_split(ltext, chr(10))) AS line,
-        generate_subscripts(string_split(ltext, chr(10)), 1) AS pos
+        unnest(string_split(coalesce(ltext, ''), chr(10))) AS line,
+        generate_subscripts(string_split(coalesce(ltext, ''), chr(10)), 1) AS pos
       FROM lined),
 H AS (SELECT doc_id, pos, line, {ts.text_hash_sql('line', _DD)} AS lh FROM L),
 DF AS (SELECT lh, CAST(count(*) AS BIGINT) AS df FROM H GROUP BY lh),

@@ -576,9 +576,14 @@ def line_dedup(
     engines hash identically so a collision (P = 2^31) degrades both sides
     the same way and at worst over-drops one line pair corpus-wide.
     """
+    # coalesce: posexplode over a NULL split emits NO rows, which would drop
+    # null-text documents from the output entirely (and from any pipeline
+    # composed on top); as '' they surface like empty docs — one empty line
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).withColumn(
         # coalesce-with-literal marks the key non-nullable, so the join's
         # isnotnull(lh) obligations FOLD AWAY instead of re-evaluating the
@@ -678,9 +683,15 @@ def split_assign(
     total = sum(weights.values())
     # affine alone is a LATTICE over consecutive ids (a contiguous id range
     # can starve small tail buckets entirely); one quadratic round breaks
-    # the linearity while staying exact int64 ((P-1)^2 + C < 2^63) and
-    # portable to the oracle dialect
-    aff = (F.col(id_col) * SPLIT_A + SPLIT_B) % SPLIT_P
+    # the linearity while staying exact int64 and portable to the oracle
+    # dialect. The id is reduced mod P (non-negative) BEFORE the multiply:
+    # a raw id * A overflows int64 from id ~ 8.4e9 — inside the 10^10-id
+    # domain this op is for — wrapping silently on Spark while the oracle
+    # raises; after reduction every intermediate fits ((P-1)*A < 2^62,
+    # (P-1)^2 + C < 2^63). The cast also keeps int32 id columns from
+    # wrapping at 2^31 in the first multiply.
+    idm = ((F.col(id_col).cast("long") % SPLIT_P) + SPLIT_P) % SPLIT_P
+    aff = (idm * SPLIT_A + SPLIT_B) % SPLIT_P
     bucket = ((aff * aff + SPLIT_C) % SPLIT_P) % total
     expr = None
     acc = 0
@@ -696,7 +707,8 @@ def split_assign(
 def split_assign_sql(weights: dict[str, int], id_col: str = "doc_id") -> str:
     """The identical assignment as portable SQL (the DuckDB oracle side)."""
     total = sum(weights.values())
-    aff = f"(({id_col} * {SPLIT_A} + {SPLIT_B}) % {SPLIT_P})"
+    idm = f"(((CAST({id_col} AS BIGINT) % {SPLIT_P}) + {SPLIT_P}) % {SPLIT_P})"
+    aff = f"(({idm} * {SPLIT_A} + {SPLIT_B}) % {SPLIT_P})"
     bucket = f"((({aff} * {aff} + {SPLIT_C}) % {SPLIT_P}) % {total})"
     acc = 0
     cases = []

@@ -163,7 +163,17 @@ def latest_capture(
     """
     others = [c for c in pages.columns if c not in (key, ts_col)]
     maxts = pages.groupBy(key).agg(F.max(ts_col).alias(ts_col))
-    matched = pages.join(maxts, on=[key, ts_col])
+    # NULL-SAFE equality on both join keys: a url whose captures ALL lack a
+    # timestamp has max(ts) = NULL, and a null-unsafe join would silently
+    # drop that url from the output entirely; <=> keeps it (one capture
+    # survives via the tie-break). Mixed groups still prefer timestamped
+    # captures — max() ignores NULLs.
+    p, m = pages.alias("_lc_p"), maxts.alias("_lc_m")
+    matched = p.join(
+        m,
+        F.col(f"_lc_p.{key}").eqNullSafe(F.col(f"_lc_m.{key}"))
+        & F.col(f"_lc_p.{ts_col}").eqNullSafe(F.col(f"_lc_m.{ts_col}")),
+    ).select("_lc_p.*")
     tie = (
         F.coalesce(
             F.expr(ts.text_hash_sql(tiebreak_col, ts.SPARK_DIALECT)), F.lit(0)

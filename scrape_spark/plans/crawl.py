@@ -515,18 +515,46 @@ class CrawlJob:
         )
 
     # -- one round ---------------------------------------------------------------
-    def _seen_live_meta(self) -> list[dict]:
-        """Metadata of every seen-set snapshot on the LIVE chain (id up to
-        current — entries past a rollback are orphaned futures and excluded).
-        Manifest-only; used by the resume repair to find commit markers."""
+    def _seen_live_snaps(self) -> list[dict]:
+        """Seen-set snapshots on the LIVE chain (id up to current — entries
+        past a rollback are orphaned futures and excluded), cut at the LAST
+        ``truncate`` event: a truncate starts a new marker epoch, so round /
+        src_snap markers from before it must not vouch for commits of the
+        run that followed (truncate + re-seed reuses round indices from 0).
+        Manifest-only; used by the resume repair."""
         if not self.store.exists(self.seen.name):
             return []
         cur = self.store.current_snapshot(self.seen.name)
-        return [
-            s["meta"]
-            for s in self.store.lineage(self.seen.name)
-            if s["id"] <= cur["id"]
-        ]
+        out: list[dict] = []
+        for s in self.store.lineage(self.seen.name):
+            if s["id"] > cur["id"]:
+                continue
+            if s["meta"].get("event") == "truncate":
+                out = []
+            out.append(s)
+        return out
+
+    def _seen_live_meta(self) -> list[dict]:
+        return [s["meta"] for s in self._seen_live_snaps()]
+
+    def _pair_completed(self, f: dict, marker_match: bool) -> bool:
+        """Did the two-step (frontier write, seen write) commit pair finish?
+
+        Two independent pieces of evidence, either suffices:
+        - ``marker_match``: an epoch-bounded round/src_snap marker names the
+          frontier snapshot (the precise signal, but admin ops can erase it —
+          ``prune`` drops old ref entries, markers and all);
+        - any live seen snapshot committed AT/AFTER the frontier head's wall
+          time: the second commit step (and anything later) always lands
+          after the first, so a newer seen write proves step 2 happened (or
+          an admin deliberately rewrote the seen set afterwards — either
+          way, re-registering the old ref would clobber on purpose-made
+          state, e.g. resurrect a just-removed URL).
+        """
+        if marker_match:
+            return True
+        fw = f.get("wall_time", 0.0)
+        return any(s.get("wall_time", 0.0) >= fw for s in self._seen_live_snaps())
 
     def _reconcile_seen_refs(self) -> None:
         """Resume-time repair of the round's two-step durable commit.
@@ -551,7 +579,11 @@ class CrawlJob:
             # seed() is the same two-step pair (frontier seed write, then
             # seen.add): a crash between them resumes with the seeds missing
             # from the seen set — replay the add from the seed snapshot.
-            if self.seen.is_empty():
+            # Completion evidence is the generic wall-time rule (an
+            # is_empty() check misses the truncate+re-seed flow, where the
+            # seen table EXISTS as an older empty base yet the seeds are
+            # still missing).
+            if not self._pair_completed(f, False):
                 seeds = self.spark.read.parquet(self.store.abspath(f["path"]))
                 self.seen.add(seeds.select("url"), meta={"round": -1})
             return
@@ -567,10 +599,10 @@ class CrawlJob:
             # appended URL missing from the seen set; re-register the ref.
             # src_snap survives seen compaction (_compact carries base_meta),
             # so an already-completed pair is never double-added.
-            done = any(
+            marker = any(
                 m.get("src_snap") == f["id"] for m in self._seen_live_meta()
             )
-            if not done:
+            if not self._pair_completed(f, marker):
                 self.seen.add_ref(
                     f["path"],
                     n_rows=f["rows"] if f["rows"] >= 0 else 1,
@@ -588,7 +620,7 @@ class CrawlJob:
             ),
             default=-1,
         )
-        if r <= seen_r:
+        if self._pair_completed(f, r <= seen_r):
             return
         n_new = f["meta"].get("new_urls")
         if n_new is None:

@@ -274,3 +274,38 @@ def test_resume_repair_does_not_resurrect_removed_urls(spark, tmp_path):
         local_df(spark, [(url,)], "url string")
     )
     assert stays_new.count() == 1, "removed URL must stay re-discoverable"
+
+
+def test_resume_repair_no_resurrect_after_seen_prune(spark, tmp_path):
+    """prune('seen') drops old ref entries — markers and all. The repair
+    must still not re-register the last round's ref (wall-time evidence: the
+    remove() base is newer than the frontier head, so the pair completed)."""
+    from scrape_spark.session import local_df
+
+    pages = generate_pages(spark, 2, 8, 3, mega_host=None)
+    robots = robots_source_df(spark, 2, mega_host=None)
+    store_path = str(tmp_path / "store_prune_rm")
+    job = CrawlJob(
+        spark, SnapshotStore(spark, store_path), pages, robots,
+        round_seconds=60, n_buckets=4,
+    )
+    job.seed(seed_urls(2))
+    job.run_round()
+    f = job.store.current_snapshot("frontier")
+    url = (
+        spark.read.parquet(job.store.abspath(f["path"]))
+        .where("status = 'pending'")
+        .limit(1)
+        .collect()[0]["url"]
+    )
+    job.seen.remove([url])
+    job.store.prune("seen", keep_last=1)  # erases the round markers
+    fresh = CrawlJob(
+        spark, SnapshotStore(spark, store_path), pages, robots,
+        round_seconds=60, n_buckets=4,
+    )
+    fresh._reconcile_seen_refs()
+    assert (
+        fresh.seen.filter_new(local_df(spark, [(url,)], "url string")).count()
+        == 1
+    ), "removed URL must stay re-discoverable after prune"

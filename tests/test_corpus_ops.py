@@ -345,3 +345,52 @@ def test_map_only_ops_have_no_exchange(spark):
     for op in (doc_repetition, pii_redact, split_assign):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, (op.__name__, plan)
+
+
+def test_split_assign_survives_huge_and_negative_and_int32_ids(spark):
+    """Regression: id * A overflowed int64 from id ~ 8.4e9 (silent wrap on
+    Spark, overflow error on the DuckDB oracle). The id is reduced mod P
+    before the multiply; negative ids (hash-derived) map non-negatively,
+    and int32 id columns are widened before the first multiply."""
+    import duckdb
+
+    from scrape_spark.operators.corpus import split_assign, split_assign_sql
+
+    ids = [0, 1, 9_999_999_999, 2**62, -5, -(2**61)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["split_bucket"], r["split"])
+        for r in split_assign(docs, {"train": 8, "valid": 1, "test": 1}).collect()
+    }
+    assert all(0 <= b < 10 for b, _ in got.values())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    for i in ids:
+        con.execute("INSERT INTO t VALUES (?)", [i])
+    sql = split_assign_sql({"train": 8, "valid": 1, "test": 1})
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(f"SELECT doc_id, {sql} FROM t").fetchall()
+    }
+    assert got == oracle
+    # int32 column: identical assignment after widening
+    small = spark.createDataFrame([(7,)], "doc_id int")
+    w = split_assign(small, {"train": 8, "valid": 1, "test": 1}).collect()[0]
+    big = split_assign(
+        spark.createDataFrame([(7,)], "doc_id long"),
+        {"train": 8, "valid": 1, "test": 1},
+    ).collect()[0]
+    assert (w["split_bucket"], w["split"]) == (big["split_bucket"], big["split"])
+
+
+def test_line_dedup_keeps_null_text_docs(spark):
+    """A null-text doc must surface (as an empty doc) instead of vanishing
+    from the output — and from every pipeline composed on top."""
+    from scrape_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["kept_text"] == "" and rows[2]["n_dropped"] == 0

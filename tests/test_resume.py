@@ -180,3 +180,67 @@ def test_crash_between_seed_commit_and_seen_add_repairs_on_resume(
     control.run(max_rounds=40)
     assert _state(resumed) == _state(control)
     pages.unpersist()
+
+
+def test_truncate_reseed_crash_still_repairs(spark, tmp_path):
+    """Markers from BEFORE a truncate must not vouch for the run after it:
+    truncate + re-seed restarts round indices at 0, so a stale round-N
+    marker from the first run could mask a genuinely crashed commit in the
+    second. The marker scan is epoch-bounded at the last truncate."""
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    root = str(tmp_path / "epoch")
+    job = _job(spark, root, pages)
+    job.seed(seed_urls(N_HOSTS))
+    job.run()  # drain: seen lineage now carries high round markers
+    job.truncate()
+
+    job2 = _job(spark, root, pages)
+    job2.seed(seed_urls(N_HOSTS))
+    m = job2.run_round()
+    assert m and m["new_urls"] > 0
+    # crash window: drop the round's seen ref (the last seen write)
+    lineage = job2.store.lineage("seen")
+    job2.store.rollback("seen", lineage[-2]["id"])
+
+    resumed = _job(spark, root, pages)
+    resumed.run(max_rounds=40)
+    frontier = resumed.frontier()
+    assert frontier.groupBy("url").count().where("count > 1").count() == 0
+    assert resumed.status_counts().get("pending", 0) == 0
+
+    control = _job(spark, str(tmp_path / "epochctl"), pages)
+    control.seed(seed_urls(N_HOSTS))
+    control.run(max_rounds=40)
+    assert _state(resumed) == _state(control)
+    pages.unpersist()
+
+
+def test_truncate_reseed_crash_between_seed_and_add_repairs(spark, tmp_path):
+    """seed() after truncate: the seen table EXISTS (older empty base), so
+    an is_empty() completion check would wrongly skip the repair — the
+    wall-time evidence must fire it."""
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    root = str(tmp_path / "epochseed")
+    job = _job(spark, root, pages)
+    job.seed(seed_urls(N_HOSTS))
+    job.run()
+    job.truncate()
+
+    job2 = _job(spark, root, pages)
+    job2.seed(seed_urls(N_HOSTS))
+    # crash window: drop the seed's seen.add (last seen write)
+    lineage = job2.store.lineage("seen")
+    job2.store.rollback("seen", lineage[-2]["id"])
+
+    resumed = _job(spark, root, pages)
+    resumed.run(max_rounds=40)
+    assert resumed.status_counts().get("pending", 0) == 0
+    assert (
+        resumed.frontier().groupBy("url").count().where("count > 1").count()
+        == 0
+    )
+    control = _job(spark, str(tmp_path / "epochseedctl"), pages)
+    control.seed(seed_urls(N_HOSTS))
+    control.run(max_rounds=40)
+    assert _state(resumed) == _state(control)
+    pages.unpersist()

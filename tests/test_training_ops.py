@@ -514,3 +514,24 @@ def test_latest_capture_newest_wins_and_ts_ties_break_on_text_hash(spark):
     assert out["u3"]["text"] == "zz"  # deterministic tie winner
     again = {r["url"]: r["text"] for r in latest_capture(caps).collect()}
     assert again == {u: r["text"] for u, r in out.items()}
+
+
+def test_latest_capture_keeps_all_null_ts_groups(spark):
+    """A url whose captures ALL lack warc_ts must not vanish: the null-safe
+    join keeps the group and the tie-break picks one capture. Mixed groups
+    still prefer the timestamped capture (max ignores NULLs)."""
+    from scrape_spark.operators.dedup import latest_capture
+
+    rows = [
+        ("nul", None, "aa", "en"),
+        ("nul", None, "zz", "en"),
+        ("mix", None, "untimed", "en"),
+        ("mix", 9, "timed", "en"),
+    ]
+    caps = spark.createDataFrame(
+        rows, "url string, warc_ts long, text string, lang string"
+    )
+    out = {r["url"]: r for r in latest_capture(caps).collect()}
+    assert set(out) == {"nul", "mix"}
+    assert out["nul"]["text"] == "zz"  # deterministic tie winner survives
+    assert out["mix"]["text"] == "timed" and out["mix"]["warc_ts"] == 9
