@@ -162,6 +162,15 @@ def latest_capture(
        rather than shuffling payloads again.
     """
     others = [c for c in pages.columns if c not in (key, ts_col)]
+    if tiebreak_col is not None and tiebreak_col not in others:
+        # silently degrading to a constant tie-break would make exact-ts
+        # ties NONDETERMINISTIC (max_by over lit(0) picks an arbitrary
+        # row) — a typo'd column name must fail loudly instead
+        raise ValueError(
+            f"tiebreak_col {tiebreak_col!r} is not a payload column of the "
+            f"input (payload columns: {others}); pass tiebreak_col=None to "
+            "accept arbitrary tie resolution explicitly"
+        )
     maxts = pages.groupBy(key).agg(F.max(ts_col).alias(ts_col))
     # NULL-SAFE equality on both join keys: a url whose captures ALL lack a
     # timestamp has max(ts) = NULL, and a null-unsafe join would silently
@@ -178,7 +187,7 @@ def latest_capture(
         F.coalesce(
             F.expr(ts.text_hash_sql(tiebreak_col, ts.SPARK_DIALECT)), F.lit(0)
         )
-        if tiebreak_col in others
+        if tiebreak_col is not None
         else F.lit(0)
     )
     packed = F.struct(*[F.col(c) for c in others])

@@ -71,7 +71,7 @@ from scrape_spark.operators.politeness import (
 )
 from scrape_spark.operators.robots import join_robots, refresh_robots, stale_hosts
 from scrape_spark.operators.seen import SeenSet
-from scrape_spark.plans.statestore import SnapshotStore
+from scrape_spark.plans.statestore import SnapshotStore, commit_order
 from scrape_spark.session import empty_df, local_df
 
 VIRTUAL_EPOCH = _dt.datetime(2025, 6, 1, 0, 0, 0)
@@ -298,6 +298,7 @@ class CrawlJob:
         or a ``(url, method, payload, referrer)`` tuple — the reference CLI
         stamps ``--referrer`` onto the seeded row (scraper.py:249-257).
         """
+        self._ensure_reconciled()  # repair any crashed pair before mutating
         rows = []
         for i, u in enumerate(urls):
             if isinstance(u, str):
@@ -534,27 +535,30 @@ class CrawlJob:
             out.append(s)
         return out
 
-    def _seen_live_meta(self) -> list[dict]:
-        return [s["meta"] for s in self._seen_live_snaps()]
-
-    def _pair_completed(self, f: dict, marker_match: bool) -> bool:
+    def _pair_completed(
+        self, f: dict, marker_match: bool, snaps: list[dict]
+    ) -> bool:
         """Did the two-step (frontier write, seen write) commit pair finish?
 
         Two independent pieces of evidence, either suffices:
         - ``marker_match``: an epoch-bounded round/src_snap marker names the
           frontier snapshot (the precise signal, but admin ops can erase it —
           ``prune`` drops old ref entries, markers and all);
-        - any live seen snapshot committed AT/AFTER the frontier head's wall
-          time: the second commit step (and anything later) always lands
-          after the first, so a newer seen write proves step 2 happened (or
-          an admin deliberately rewrote the seen set afterwards — either
-          way, re-registering the old ref would clobber on purpose-made
-          state, e.g. resurrect a just-removed URL).
+        - any live seen snapshot committed AFTER the frontier head (compared
+          by the store's monotonic ``commit_seq``, not wall clocks — see
+          ``commit_order``): every seen-mutating entry point of this class
+          runs ``_ensure_reconciled`` FIRST, so a seen commit later than the
+          frontier head was made either by step 2 itself or by a process
+          that had already repaired the pair. Either way the pair is whole,
+          and re-registering the old ref would clobber purpose-made state
+          (e.g. resurrect a just-removed URL). This soundness argument is
+          exactly why mutations must go through CrawlJob, never the raw
+          SeenSet/SnapshotStore surface.
         """
         if marker_match:
             return True
-        fw = f.get("wall_time", 0.0)
-        return any(s.get("wall_time", 0.0) >= fw for s in self._seen_live_snaps())
+        forder = commit_order(f)
+        return any(commit_order(s) >= forder for s in snaps)
 
     def _reconcile_seen_refs(self) -> None:
         """Resume-time repair of the round's two-step durable commit.
@@ -575,15 +579,19 @@ class CrawlJob:
         f = self.store.current_snapshot("frontier")
         if not f:
             return
+        # one manifest walk serves every evidence check below (the manifest
+        # cannot change mid-call — this process holds the only handle)
+        snaps = self._seen_live_snaps()
+        metas = [s["meta"] for s in snaps]
         if f["meta"].get("event") == "seed":
             # seed() is the same two-step pair (frontier seed write, then
             # seen.add): a crash between them resumes with the seeds missing
             # from the seen set — replay the add from the seed snapshot.
-            # Completion evidence is the generic wall-time rule (an
+            # Completion evidence is the generic commit-order rule (an
             # is_empty() check misses the truncate+re-seed flow, where the
             # seen table EXISTS as an older empty base yet the seeds are
             # still missing).
-            if not self._pair_completed(f, False):
+            if not self._pair_completed(f, False, snaps):
                 seeds = self.spark.read.parquet(self.store.abspath(f["path"]))
                 self.seen.add(seeds.select("url"), meta={"round": -1})
             return
@@ -599,10 +607,8 @@ class CrawlJob:
             # appended URL missing from the seen set; re-register the ref.
             # src_snap survives seen compaction (_compact carries base_meta),
             # so an already-completed pair is never double-added.
-            marker = any(
-                m.get("src_snap") == f["id"] for m in self._seen_live_meta()
-            )
-            if not self._pair_completed(f, marker):
+            marker = any(m.get("src_snap") == f["id"] for m in metas)
+            if not self._pair_completed(f, marker, snaps):
                 self.seen.add_ref(
                     f["path"],
                     n_rows=f["rows"] if f["rows"] >= 0 else 1,
@@ -613,14 +619,10 @@ class CrawlJob:
             return
         r = f["meta"].get("round", -1)
         seen_r = max(
-            (
-                m["round"]
-                for m in self._seen_live_meta()
-                if m.get("round") is not None
-            ),
+            (m["round"] for m in metas if m.get("round") is not None),
             default=-1,
         )
-        if self._pair_completed(f, r <= seen_r):
+        if self._pair_completed(f, r <= seen_r, snaps):
             return
         n_new = f["meta"].get("new_urls")
         if n_new is None:
@@ -632,12 +634,24 @@ class CrawlJob:
         if n_new:
             self.seen.add_ref(f["path"], n_rows=n_new, meta={"round": r})
 
-    def run_round(self) -> dict | None:
-        """Execute one frontier-expansion round; None when frontier is drained."""
-        t0 = time.time()
+    def _ensure_reconciled(self) -> None:
+        """Resume-time commit-pair repair, run once per job instance.
+
+        EVERY mutating entry point calls this first (run_round, seed, the
+        admin ops): a mutation before the repair would either bury the
+        crashed round head under a newer frontier snapshot (the repair keys
+        off the head) or commit a seen write that fakes the "later seen
+        commit" completion evidence in ``_pair_completed``. Manifest-only in
+        the no-crash case, so the gate costs zero Spark jobs.
+        """
         if not self._seen_reconciled:
             self._reconcile_seen_refs()
             self._seen_reconciled = True
+
+    def run_round(self) -> dict | None:
+        """Execute one frontier-expansion round; None when frontier is drained."""
+        t0 = time.time()
+        self._ensure_reconciled()
         meta0 = self._meta()
         round_idx = self._round_index(meta0)
         pending_est = meta0.get("pending")  # exact when maintained; None = unknown
@@ -1084,6 +1098,8 @@ class CrawlJob:
         discarded rounds would stay 'seen' and never be re-enqueued.
         """
 
+        self._ensure_reconciled()  # repair any crashed pair before rewinding
+
         def _target(table: str) -> int | None:
             best = None
             for s in self.store.lineage(table):
@@ -1118,6 +1134,12 @@ class CrawlJob:
     # count); the next run_round recounts once and re-establishes it.
 
     def _carry_meta(self, event: str, **extra) -> dict:
+        """Meta dict for an admin write. Every admin op builds its meta here
+        BEFORE writing, so this is also the shared resume-repair gate: an
+        admin write on an un-reconciled store would bury a crashed round
+        head (frontier ops) or fake the completion evidence (seen ops) —
+        see ``_ensure_reconciled``."""
+        self._ensure_reconciled()
         m = self._meta()
         out = {"event": event, **extra}
         for k in ("next_seq", "n_rounds"):

@@ -45,6 +45,23 @@ def lww_latest(df: DataFrame, key: str, v_col: str = _VCOL) -> DataFrame:
     return agg.select(F.col(key), *[F.col(f"_r.{c}").alias(c) for c in cols])
 
 
+def commit_order(snap: dict) -> tuple:
+    """Total order over snapshot commits within one store.
+
+    ``commit_seq`` is the store-wide monotonic counter every write/write_ref
+    mints under the single-manifest commit point, so it orders commits
+    correctly even across wall-clock steps (an NTP correction can make
+    ``time.time()`` go BACKWARD between two commits, which would invert a
+    wall-time comparison). Snapshots from manifests written before the
+    counter existed fall back to wall_time and sort before every
+    seq-stamped commit — they really are older, since the counter exists
+    from the first post-upgrade write onward.
+    """
+    if "commit_seq" in snap:
+        return (1, snap["commit_seq"])
+    return (0, snap.get("wall_time", 0.0))
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers (no Spark job — metadata only).
 
@@ -80,6 +97,16 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic commit
+
+    @staticmethod
+    def _next_commit_seq(manifest: dict) -> int:
+        """Mint the next store-wide commit sequence number (see
+        ``commit_order``). Stored in the manifest root, so it is monotonic
+        across ALL tables and survives crashes with the same atomic rename
+        that commits the snapshot itself."""
+        seq = manifest.get("commit_seq", 0)
+        manifest["commit_seq"] = seq + 1
+        return seq
 
     def _abs(self, path: str) -> str:
         """Manifest paths are root-relative so a store survives relocation
@@ -182,6 +209,7 @@ class SnapshotStore:
                 "path": path,
                 "rows": rows,
                 "wall_time": time.time(),
+                "commit_seq": self._next_commit_seq(manifest),
                 "meta": {**(meta or {}), "ref": True},
             }
         )
@@ -230,6 +258,7 @@ class SnapshotStore:
                 "path": rel_path,
                 "rows": rows,
                 "wall_time": time.time(),
+                "commit_seq": self._next_commit_seq(manifest),
                 "meta": meta or {},
             }
         )

@@ -10,7 +10,6 @@ engine, value-for-value equality.
 import random
 
 import duckdb
-import pytest
 
 from scrape_spark.functions import textstats as ts
 
@@ -48,8 +47,7 @@ _KERNELS = {
 }
 
 
-@pytest.mark.parametrize("engine_pair", ["all"])
-def test_kernels_match_duckdb_on_fuzzed_strings(spark, engine_pair):
+def test_kernels_match_duckdb_on_fuzzed_strings(spark):
     cases = _cases()
     # DuckDB side
     con = duckdb.connect()

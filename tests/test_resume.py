@@ -244,3 +244,80 @@ def test_truncate_reseed_crash_between_seed_and_add_repairs(spark, tmp_path):
     control.run(max_rounds=40)
     assert _state(resumed) == _state(control)
     pages.unpersist()
+
+
+def test_admin_op_after_crash_does_not_suppress_repair(spark, tmp_path):
+    """A seen-mutating admin op issued AFTER a crash but BEFORE the next
+    run must not fake the 'later seen commit' completion evidence: every
+    mutating CrawlJob entry point reconciles first (_ensure_reconciled),
+    so the crashed round's ref is repaired before the admin write lands."""
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    root = str(tmp_path / "crashadmin")
+    job = _job(spark, root, pages)
+    job.seed(seed_urls(N_HOSTS))
+    metrics = job.run(max_rounds=2)
+    assert metrics and metrics[-1]["new_urls"] > 0
+
+    head = job.store.current_snapshot("frontier")
+    crashed_new = {
+        r["url"]
+        for r in spark.read.parquet(job.store.abspath(head["path"]))
+        .where(F.col("status") == "pending")
+        .select("url")
+        .collect()
+    }
+    assert crashed_new
+    seen_lineage = job.store.lineage("seen")
+    job.store.rollback("seen", seen_lineage[-2]["id"])  # crash between steps
+
+    # fresh process; operator deletes an unrelated (already-done) URL first
+    resumed = _job(spark, root, pages)
+    victim = next(
+        r["url"]
+        for r in resumed.frontier().where(F.col("status") == "done").collect()
+        if r["url"] not in crashed_new
+    )
+    resumed.delete_by_url([victim])
+
+    seen_urls = {r["url"] for r in resumed.seen.read().select("url").collect()}
+    assert crashed_new <= seen_urls, "repair must precede the admin write"
+    assert victim not in seen_urls  # the delete itself still took effect
+
+    resumed.run(max_rounds=40)
+    dups = resumed.frontier().groupBy("url").count().where("count > 1").count()
+    assert dups == 0
+    pages.unpersist()
+
+
+def test_clock_skew_does_not_fake_completion_evidence(spark, tmp_path):
+    """Completion evidence orders commits by the store's monotonic
+    commit_seq, not wall clocks: simulate an NTP backward step by inflating
+    every live seen snapshot's wall_time far past the crashed frontier
+    head's — the repair must still run (the old wall-time rule skipped it,
+    losing the round's new URLs from the seen set)."""
+    pages = generate_pages(spark, N_HOSTS, PPH, K, mega_host=None).persist()
+    root = str(tmp_path / "crashclock")
+    job = _job(spark, root, pages)
+    job.seed(seed_urls(N_HOSTS))
+    metrics = job.run(max_rounds=2)
+    assert metrics and metrics[-1]["new_urls"] > 0
+
+    seen_lineage = job.store.lineage("seen")
+    job.store.rollback("seen", seen_lineage[-2]["id"])
+    manifest = job.store._load()
+    fhead = job.store.current_snapshot("frontier")
+    for s in manifest["tables"]["seen"]["snapshots"]:
+        s["wall_time"] = fhead["wall_time"] + 1e6  # clock stepped back
+    job.store._save(manifest)
+
+    resumed = _job(spark, root, pages)
+    resumed.run(max_rounds=40)
+    dups = resumed.frontier().groupBy("url").count().where("count > 1").count()
+    assert dups == 0
+    assert resumed.status_counts().get("pending", 0) == 0
+
+    control = _job(spark, str(tmp_path / "clockctl"), pages)
+    control.seed(seed_urls(N_HOSTS))
+    control.run(max_rounds=40)
+    assert _state(resumed) == _state(control)
+    pages.unpersist()

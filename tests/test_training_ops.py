@@ -535,3 +535,21 @@ def test_latest_capture_keeps_all_null_ts_groups(spark):
     assert set(out) == {"nul", "mix"}
     assert out["nul"]["text"] == "zz"  # deterministic tie winner survives
     assert out["mix"]["text"] == "timed" and out["mix"]["warc_ts"] == 9
+
+
+def test_latest_capture_rejects_unknown_tiebreak_col(spark):
+    """A typo'd tiebreak_col must raise, not silently degrade to an
+    arbitrary (nondeterministic) tie winner; explicit None opts in."""
+    import pytest
+
+    from scrape_spark.operators.dedup import latest_capture
+
+    caps = spark.createDataFrame(
+        [("u", 1, "a")], "url string, warc_ts long, text string"
+    )
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        latest_capture(caps, tiebreak_col="body")
+    # the group key / ts column are not valid tie-breaks either
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        latest_capture(caps, tiebreak_col="url")
+    assert latest_capture(caps, tiebreak_col=None).count() == 1
