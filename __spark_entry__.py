@@ -1577,6 +1577,52 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(cleaned, _SPLIT_WEIGHTS)
 
 
+# -- WARC source/sink roundtrip (ISO 28500; the CC-lake interchange format) ---
+# The Spark side writes the documents as real .warc.gz files (one gzip member
+# per record, the Common Crawl layout) and parses them back with the
+# binaryFile + mapInPandas source; the oracle recomputes the projection
+# straight from the documents table. Equality proves the sink→source
+# roundtrip is lossless: uri, date, HTTP status, and the exact body bytes.
+_WARC_DATE_SQL = (
+    "'2026-01-01T00:00:' || CASE WHEN doc_id % 60 < 10 THEN '0' ELSE '' END "
+    "|| CAST(doc_id % 60 AS STRING) || 'Z'"
+)
+
+
+@_q(
+    "warc_roundtrip",
+    f"""SELECT 'http://docs.test/' || CAST(doc_id AS STRING) AS target_uri,
+  {_WARC_DATE_SQL} AS warc_date,
+  200 + CAST(doc_id % 3 AS INT) AS http_status,
+  text AS body_text,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents""",
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from scrape_spark.sources.warc import read_warc, write_warc
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://docs.test/"), F.col("doc_id").cast("string")).alias(
+            "target_uri"
+        ),
+        F.col("text").alias("body"),
+        F.expr(_WARC_DATE_SQL).alias("warc_date"),
+        (F.lit(200) + (F.col("doc_id") % 3).cast("int")).alias("status"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_rt_")
+    write_warc(docs, out, status_col="status")
+    rec = read_warc(spark, out)
+    return rec.select(
+        "target_uri",
+        "warc_date",
+        "http_status",
+        F.col("body").cast("string").alias("body_text"),
+        F.length("body").cast("long").alias("n_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
