@@ -1623,6 +1623,41 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- link-graph authority: integer PageRank over a synthetic webgraph ---------
+# Edges are derived from documents by two affine maps plus a hub edge every
+# 10th doc — a deterministic scale-free-ish graph, the same fixture string in
+# both engines. The kernel is int64 fixed-point (operators/webrank.py), so
+# the 3-iteration power method matches DuckDB bit-for-bit: int64 sums are
+# order-independent where float sums are not.
+_PR_EDGES_SQL = """\
+SELECT CAST(doc_id AS BIGINT) AS src,
+       CAST((doc_id * 7 + 3) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS src,
+       CAST((doc_id * 13 + 5) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS src, CAST(0 AS BIGINT) AS dst
+FROM documents WHERE doc_id % 10 = 0"""
+
+
+def _pagerank_oracle() -> str:
+    from scrape_spark.operators.webrank import pagerank_sql
+
+    return pagerank_sql(_PR_EDGES_SQL, iterations=3)
+
+
+@_q("link_pagerank", _pagerank_oracle())
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-priority signal: link authority of the webgraph the crawl
+    materializes (referrer → url); feeds the priority dequeue."""
+    from scrape_spark.operators.webrank import pagerank_int
+
+    _view(spark, sf_dir, "documents")
+    return pagerank_int(spark.sql(_PR_EDGES_SQL), iterations=3)
+
+
 # ---------------------------------------------------------------------------
 
 
