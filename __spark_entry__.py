@@ -1658,6 +1658,39 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(spark.sql(_PR_EDGES_SQL), iterations=3)
 
 
+# -- crawl-trap detection: URL anomaly signals before enqueue ------------------
+# Fixture injects the four classic trap shapes (segment loop, deep path,
+# param explosion, oversized URL) into otherwise-clean doc URLs; the signal
+# kernels are dialect-templated (functions/urltrap.py), so the oracle runs
+# the same formulas verbatim.
+_TRAP_URLS_SQL = """\
+SELECT 'http://host' || CAST(doc_id % 20 AS STRING) || '.test' ||
+  CASE WHEN doc_id % 13 = 0 THEN '/a/b/a/b/a/b/a/b'
+       WHEN doc_id % 17 = 0
+         THEN '/p?k1=1&k2=2&k3=3&k4=4&k5=5&k6=6&k7=7&k8=8&k9=9'
+       WHEN doc_id % 19 = 0 THEN '/d/' || repeat('s/', 14) || 'leaf'
+       WHEN doc_id % 23 = 0 THEN '/x/' || repeat('q', 600)
+       ELSE '/doc/' || CAST(doc_id AS STRING) END AS url
+FROM documents"""
+
+
+def _trap_oracle() -> str:
+    from scrape_spark.functions.urltrap import trap_signals_duck_sql
+
+    sig = trap_signals_duck_sql("url")
+    cols = ", ".join(f"{e} AS {n}" for n, e in sig.items())
+    return f"WITH u AS ({_TRAP_URLS_SQL})\nSELECT url, {cols} FROM u"
+
+
+@_q("url_trap_flags", _trap_oracle())
+def q_url_trap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side trap score for frontier admission (loop/depth/param/length)."""
+    from scrape_spark.functions.urltrap import trap_signal_cols
+
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_TRAP_URLS_SQL).select("url", *trap_signal_cols())
+
+
 # ---------------------------------------------------------------------------
 
 

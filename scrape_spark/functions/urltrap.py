@@ -1,0 +1,107 @@
+"""Crawl-trap detection kernels — dialect-templated URL anomaly signals.
+
+Real web-scale frontiers drown in traps: calendar pages, session-id loops,
+and mirror trees generate unbounded URL spaces that a polite crawler can
+spend its whole budget on. The reference has no defense (it crawls within
+``BASE_URL`` only, scraper.py:158); at 10^10 URLs the frontier needs a
+map-side trap score BEFORE enqueue, in the same filter pass as the
+base-containment check.
+
+Same design rule as functions/textstats.py: every signal is a pure SQL
+expression templated over the shared dialect tables, so the identical
+formula runs JVM-side in Spark (whole-stage codegen, no UDF) and verbatim
+in the DuckDB oracle. All signals are per-row map expressions — zero
+shuffle at any scale.
+
+Signals (classic crawler heuristics):
+- ``depth``       — number of non-empty path segments;
+- ``max_seg_rep`` — occurrences of the most-repeated path segment
+  (``/a/b/a/b/a`` scores 3): the loop-trap fingerprint;
+- ``n_params``    — query-parameter count (session-id / faceted-search
+  explosion);
+- ``url_len``     — total URL length;
+- ``is_trap``     — any signal past its threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from scrape_spark.functions.textstats import DUCK_DIALECT, SPARK_DIALECT
+
+# Default thresholds — tuned to the conventional values used by production
+# crawlers (path depth and repetition limits; param and length caps).
+MAX_DEPTH = 12
+MAX_SEG_REP = 4  # >= this many copies of one segment → loop trap
+MAX_PARAMS = 8
+MAX_URL_LEN = 512
+
+
+def trap_signals_sql(url: str, d: dict) -> dict[str, str]:
+    """Named signal expressions over URL column ``url`` in dialect ``d``.
+
+    Every output is CAST to BIGINT (booleans excepted) so the two engines
+    agree on schema as well as value.
+    """
+    qpos = f"position('?' IN {url})"
+    base = (
+        f"CASE WHEN {qpos} > 0 THEN substring({url}, 1, {qpos} - 1) "
+        f"ELSE {url} END"
+    )
+    # split the scheme://host/path on '/': [scheme:, '', host, seg1, ...]
+    allseg = d["splitc"].format(s=base, sep="'/'")
+    n_all = d["size"].format(arr=allseg)
+    # path segments are elements 4..n (empty when the URL has no path);
+    # seq() is guarded — an unguarded descending sequence(4, 3) is the
+    # Spark footgun documented in the build notes
+    idx = (
+        f"CASE WHEN {n_all} >= 4 THEN "
+        + d["seq"].format(a="CAST(4 AS BIGINT)", b=f"CAST({n_all} AS BIGINT)")
+        + f" ELSE {d['empty_bigint_array']} END"
+    )
+    segs = d["transform"].format(
+        arr=idx, lam="_ti -> " + d["at"].format(arr=allseg, i="CAST(_ti AS INT)")
+    )
+    nonempty = d["filter"].format(arr=segs, lam="_ts -> _ts <> ''")
+    depth = f"CAST({d['size'].format(arr=nonempty)} AS BIGINT)"
+    # occurrences of the most-repeated segment: for each distinct segment,
+    # count its copies; max over those (0 for an empty path)
+    per_seg = d["transform"].format(
+        arr=d["adistinct"].format(arr=nonempty),
+        lam=(
+            "_td -> CAST("
+            + d["size"].format(
+                arr=d["filter"].format(arr=nonempty, lam="_tx -> _tx = _td")
+            )
+            + " AS BIGINT)"
+        ),
+    )
+    max_rep = f"COALESCE({d['amax'].format(arr=per_seg)}, CAST(0 AS BIGINT))"
+    q = f"CASE WHEN {qpos} > 0 THEN substring({url}, {qpos} + 1) ELSE '' END"
+    n_params = (
+        f"CAST(CASE WHEN length({q}) > 0 THEN "
+        f"length({q}) - length(replace({q}, '&', '')) + 1 ELSE 0 END AS BIGINT)"
+    )
+    url_len = f"CAST(length({url}) AS BIGINT)"
+    return {
+        "depth": depth,
+        "max_seg_rep": max_rep,
+        "n_params": n_params,
+        "url_len": url_len,
+        "is_trap": (
+            f"({depth} > {MAX_DEPTH} OR {max_rep} >= {MAX_SEG_REP} "
+            f"OR {n_params} > {MAX_PARAMS} OR {url_len} > {MAX_URL_LEN})"
+        ),
+    }
+
+
+def trap_signal_cols(url_col: str = "url") -> list[Column]:
+    """The Spark-side signal columns, ready for ``df.select(url, *cols)``."""
+    sig = trap_signals_sql(url_col, SPARK_DIALECT)
+    return [F.expr(expr).alias(name) for name, expr in sig.items()]
+
+
+def trap_signals_duck_sql(url: str = "url") -> dict[str, str]:
+    """The DuckDB-dialect twin, for oracle SQL assembly."""
+    return trap_signals_sql(url, DUCK_DIALECT)
