@@ -310,11 +310,17 @@ class SeenSet:
             coalesce=max(1, self.n_buckets // 24),
         )
 
-    def remove(self, urls: list[str] | DataFrame, url_col: str = "url") -> None:
+    def remove(
+        self,
+        urls: list[str] | DataFrame,
+        url_col: str = "url",
+        meta: dict | None = None,
+    ) -> None:
         """Delete keys (reference delete_page_by_url makes exists_in_db false
         → the URL becomes re-discoverable). Blooms cannot unlearn, so removal
         compacts to a fresh base + bloom rebuild — admin-grade cost, never on
-        the per-round path."""
+        the per-round path. ``meta`` lets CrawlJob stamp the commit-pair
+        marker (``src_snap``) used by the resume repair."""
         if self.is_empty():
             return
         if isinstance(urls, DataFrame):
@@ -332,14 +338,19 @@ class SeenSet:
             .drop("_seen_key")
         )
         self.store.write(
-            self.name, kept, meta={"base": True, "event": "remove"},
+            self.name, kept, meta={**(meta or {}), "base": True, "event": "remove"},
         )
         self._maybe_build_blooms({"event": "remove"})
 
-    def truncate(self) -> None:
-        """Empty the seen set (reference clear_all_pages)."""
+    def truncate(self, meta: dict | None = None) -> None:
+        """Empty the seen set (reference clear_all_pages). ``meta`` carries
+        CrawlJob's commit-pair marker (``src_snap``) for the resume repair."""
         empty = empty_df(self.spark, f"url string, url_hash long, {_BUCKET} int")
-        self.store.write(self.name, empty, meta={"base": True, "event": "truncate"})
+        self.store.write(
+            self.name,
+            empty,
+            meta={**(meta or {}), "base": True, "event": "truncate"},
+        )
         self.store.write(
             self.bloom_name,
             empty_df(self.spark, BLOOM_SCHEMA),

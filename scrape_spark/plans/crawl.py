@@ -615,6 +615,34 @@ class CrawlJob:
                     meta={"round": -1, "src_snap": f["id"]},
                 )
             return
+        if f["meta"].get("event") == "admin_delete":
+            # delete_by_url's pair: frontier base without the URLs, then
+            # seen.remove stamped src_snap=<frontier snap id>. Replay the
+            # remove if a crash split the pair — otherwise the deleted URLs
+            # stay in the seen set and are anti-joined away forever on
+            # re-discovery. The replayed remove is a no-op on an empty seen
+            # set (nothing to unlearn — also the correct repair); it then
+            # writes no marker, so the retry recurs until any later seen
+            # commit supplies the generic completion evidence. Cheap
+            # (manifest-only check) and safe (idempotent).
+            marker = any(m.get("src_snap") == f["id"] for m in metas)
+            urls = f["meta"].get("deleted_urls")
+            if urls and not self._pair_completed(f, marker, snaps):
+                self.seen.remove(list(urls), meta={"src_snap": f["id"]})
+            return
+        if f["meta"].get("event") == "admin_truncate":
+            # truncate()'s pair: empty frontier base, then seen.truncate
+            # stamped src_snap. Stale seen keys surviving a crashed truncate
+            # would suppress the ENTIRE next crawl after a re-seed, so the
+            # replay must land before any other write — and it does: every
+            # mutating entry point gates on _ensure_reconciled. Idempotent
+            # (truncating an already-truncated set is a no-op write). The
+            # marker survives the epoch cut: _seen_live_snaps resets AT the
+            # truncate snapshot but keeps the truncate snapshot itself.
+            marker = any(m.get("src_snap") == f["id"] for m in metas)
+            if not self._pair_completed(f, marker, snaps):
+                self.seen.truncate(meta={"src_snap": f["id"]})
+            return
         if f["meta"].get("event") != "round" or not f["meta"].get("delta"):
             return
         r = f["meta"].get("round", -1)
@@ -1229,19 +1257,36 @@ class CrawlJob:
         URL from the seen set (reference: a deleted row makes exists_in_db
         false, so the URL can be re-discovered and re-crawled). Merge-on-read
         has no tombstones here, so both tables compact to a new base — the
-        admin-grade cost of the rare op, not the per-round path."""
+        admin-grade cost of the rare op, not the per-round path.
+
+        This is a repairable two-step commit pair like the round's
+        (frontier, seen) writes: the frontier snapshot records the deleted
+        URLs (admin deletes are driver-issued point lists, so the meta
+        payload is small by construction) and the seen write is stamped with
+        ``src_snap``; a crash between the two is replayed by
+        ``_reconcile_seen_refs`` — otherwise the URL would stay in the seen
+        set and be anti-joined away forever on re-discovery, silently
+        violating the documented delete semantics."""
         keep = self.frontier().where(~F.col("url").isin(list(urls)))
         meta = self._carry_meta("admin_delete", base=True)
-        self.store.write("frontier", keep.select(*FRONTIER_COLS), meta=meta)
-        self.seen.remove(urls)
+        meta["deleted_urls"] = list(urls)
+        snap_id = self.store.write(
+            "frontier", keep.select(*FRONTIER_COLS), meta=meta
+        )
+        self.seen.remove(urls, meta={"src_snap": snap_id})
 
     def truncate(self) -> None:
-        """clear_all_pages (models.py:281-292): empty frontier + seen set."""
+        """clear_all_pages (models.py:281-292): empty frontier + seen set.
+
+        Same two-step repairable pair as ``delete_by_url``: a crash after
+        the frontier truncate but before the seen truncate would leave stale
+        seen keys that suppress the ENTIRE next crawl after a re-seed;
+        ``_reconcile_seen_refs`` replays the seen truncate on resume."""
         empty = empty_df(self.spark, FRONTIER_SCHEMA)
         meta = self._carry_meta("admin_truncate", base=True)
         meta["pending"] = 0
-        self.store.write("frontier", empty, meta=meta)
-        self.seen.truncate()
+        snap_id = self.store.write("frontier", empty, meta=meta)
+        self.seen.truncate(meta={"src_snap": snap_id})
 
     # -- point/bulk reads (models.py read surface) -----------------------------------
     def page(self, url: str) -> dict | None:

@@ -16,7 +16,17 @@ This module supplies both directions:
   separator (payloads may contain anything).
 
 Parsing is pure stdlib; payload bytes move driver-free end to end
-(executor-side write, executor-side parse).
+(executor-side write, executor-side parse). Memory shape per parse task:
+``binaryFile`` hands the COMPRESSED blob as one value (that part is the
+source contract), decompression streams through ``gzip.GzipFile`` (never
+the whole decompressed file at once), and records are yielded one
+DataFrame per WARC file — peak ≈ compressed blob + one file's parsed
+records, not the whole Arrow batch's.
+
+NULL fidelity: a NULL body/status/date round-trips as NULL via an
+``X-Scrape-Null`` record header (WARC readers ignore unknown headers), so
+the sink is lossless even on rows the curation ops are required to
+preserve (e.g. null-text docs — see ``line_dedup``).
 """
 
 from __future__ import annotations
@@ -25,10 +35,10 @@ import gzip
 import io
 import os
 import uuid
-from typing import Iterator
+from typing import IO, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
@@ -50,6 +60,7 @@ def encode_record(
     http_status: int = 200,
     http_content_type: str = "text/html",
     record_id: str | None = None,
+    null_fields: tuple[str, ...] = (),
 ) -> bytes:
     """One WARC record as bytes (uncompressed).
 
@@ -59,6 +70,12 @@ def encode_record(
     ``record_id`` defaults to a UUID derived from (uri, date) so identical
     logical records encode identically — determinism the roundtrip oracle
     relies on.
+
+    Headers are encoded UTF-8 (the decoder reads them UTF-8 as well):
+    frontier URLs are stored verbatim, so IRIs / raw-unicode hrefs must
+    encode without crashing the task. ``null_fields`` (subset of
+    {'body','status','date'}) emits an ``X-Scrape-Null`` header so the
+    decoder can restore genuine NULLs instead of '' / 200 / ''.
     """
     if record_id is None:
         record_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"{target_uri}\n{warc_date}"))
@@ -67,34 +84,28 @@ def encode_record(
             f"HTTP/1.1 {http_status} OK\r\n"
             f"Content-Type: {http_content_type}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode("ascii") + body
+        ).encode("utf-8") + body
         ctype = "application/http;msgtype=response"
     else:
         payload = body
         ctype = http_content_type
+    null_line = (
+        f"X-Scrape-Null: {' '.join(sorted(null_fields))}\r\n" if null_fields else ""
+    )
     head = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
         f"WARC-Date: {warc_date}\r\n"
         f"WARC-Target-URI: {target_uri}\r\n"
+        f"{null_line}"
         f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
-    ).encode("ascii")
+    ).encode("utf-8")
     return head + payload + _CRLF + _CRLF
 
 
-def decode_records(blob: bytes) -> Iterator[dict]:
-    """Parse a WARC file's bytes (gzip multi-member or plain) into records.
-
-    Framing follows the spec: read header lines to the blank line, take
-    ``Content-Length`` payload bytes verbatim, skip the two record-ending
-    CRLFs. Malformed trailing garbage ends the scan rather than raising —
-    a truncated tail file (killed writer) yields its complete records.
-    """
-    if blob[:2] == b"\x1f\x8b":
-        blob = gzip.decompress(blob)  # stdlib reads concatenated members
-    buf = io.BytesIO(blob)
+def _scan_records(buf: IO[bytes]) -> Iterator[dict]:
     while True:
         line = buf.readline()
         while line in (_CRLF, b"\n"):  # inter-record padding
@@ -117,10 +128,13 @@ def decode_records(blob: bytes) -> Iterator[dict]:
         payload = buf.read(length)
         if len(payload) < length:
             return  # truncated record
+        nulls = set(headers.get("x-scrape-null", "").split())
         rec = {
             "warc_type": headers.get("warc-type", ""),
             "record_id": headers.get("warc-record-id", "").strip("<>"),
-            "warc_date": headers.get("warc-date", ""),
+            "warc_date": (
+                None if "date" in nulls else headers.get("warc-date", "")
+            ),
             "target_uri": headers.get("warc-target-uri", ""),
             "content_type": headers.get("content-type", ""),
             "content_length": length,
@@ -141,7 +155,33 @@ def decode_records(blob: bytes) -> Iterator[dict]:
                     if k.strip().lower() == "content-type":
                         rec["http_content_type"] = v.strip()
                 rec["body"] = body
+        if "status" in nulls:
+            rec["http_status"] = None
+        if "body" in nulls:
+            rec["body"] = None
         yield rec
+
+
+def decode_records(blob: bytes) -> Iterator[dict]:
+    """Parse a WARC file's bytes (gzip multi-member or plain) into records.
+
+    Framing follows the spec: read header lines to the blank line, take
+    ``Content-Length`` payload bytes verbatim, skip the two record-ending
+    CRLFs. Decompression STREAMS (``gzip.GzipFile`` over the compressed
+    blob) — the decompressed file never exists in memory at once, which is
+    the difference between ~1 GB and ~5 GB peak per task at the CC file
+    size. Malformed trailing garbage (or a truncated/corrupt gzip tail
+    from a killed writer) ends the scan rather than raising — the file
+    yields its complete records.
+    """
+    if blob[:2] == b"\x1f\x8b":
+        buf: IO[bytes] = gzip.GzipFile(fileobj=io.BytesIO(blob))
+    else:
+        buf = io.BytesIO(blob)
+    try:
+        yield from _scan_records(buf)
+    except (EOFError, OSError):  # truncated gzip member / BadGzipFile tail
+        return
 
 
 # -- sink ---------------------------------------------------------------------
@@ -157,11 +197,24 @@ def write_warc(
 
     Each record is its own gzip member (CC layout). Executors write
     directly — no payload byte ever reaches the driver; only (file, count)
-    manifest rows do. Idempotent per task attempt: the file name carries
-    the partition index, so a re-executed task overwrites its own output
-    rather than duplicating records.
+    manifest rows do. Overwrite semantics like every other sink in the
+    repo: pre-existing ``part-*.warc.gz`` (and orphaned temp files) in
+    ``out_dir`` are removed first, so a re-write with fewer partitions
+    cannot leave stale parts that a later ``read_warc`` would merge in
+    (``out_dir`` must be a shared filesystem path, same contract as any
+    Spark sink). Attempt-safe: each task writes to an attempt-unique temp
+    name and ``os.replace``s it into place on completion, so a speculative
+    or zombie duplicate attempt can never interleave gzip members — the
+    last finished attempt atomically wins with a complete file.
+
+    NULL handling is lossless: NULL body/status/date are flagged with an
+    ``X-Scrape-Null`` header and restored as NULLs by ``decode_records``
+    (a NULL body is NOT silently rewritten as ``b''``).
     """
     os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):  # overwrite: drop stale parts + temps
+        if name.endswith(".warc.gz") or ".warc.gz.inprogress-" in name:
+            os.unlink(os.path.join(out_dir, name))
     cols = [uri_col, body_col, date_col] + ([status_col] if status_col else [])
 
     def _write(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,23 +222,44 @@ def write_warc(
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = f"{path}.inprogress-{uuid.uuid4().hex}"
         n = 0
-        with open(path, "wb") as fh:
-            for pdf in pdfs:
-                for row in pdf.itertuples(index=False):
-                    body = getattr(row, body_col)
-                    if isinstance(body, str):
-                        body = body.encode("utf-8")
-                    rec = encode_record(
-                        getattr(row, uri_col),
-                        body or b"",
-                        getattr(row, date_col),
-                        http_status=(
-                            int(getattr(row, status_col)) if status_col else 200
-                        ),
-                    )
-                    fh.write(gzip.compress(rec))
-                    n += 1
+        try:
+            with open(tmp, "wb") as fh:
+                for pdf in pdfs:
+                    for row in pdf.itertuples(index=False):
+                        nulls: list[str] = []
+                        body = getattr(row, body_col)
+                        if body is None or (
+                            isinstance(body, float) and pd.isna(body)
+                        ):
+                            nulls.append("body")
+                            body = b""
+                        elif isinstance(body, str):
+                            body = body.encode("utf-8")
+                        date = getattr(row, date_col)
+                        if date is None or (
+                            isinstance(date, float) and pd.isna(date)
+                        ):
+                            nulls.append("date")
+                            date = ""
+                        status = getattr(row, status_col) if status_col else 200
+                        if status is None or pd.isna(status):
+                            nulls.append("status")
+                            status = 200
+                        rec = encode_record(
+                            getattr(row, uri_col),
+                            body,
+                            date,
+                            http_status=int(status),
+                            null_fields=tuple(nulls),
+                        )
+                        fh.write(gzip.compress(rec))
+                        n += 1
+            os.replace(tmp, path)  # atomic: complete file or nothing
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         yield pd.DataFrame({"file": [path], "records": [n]})
 
     manifest = df.select(*cols).mapInPandas(_write, "file string, records long")
@@ -198,31 +272,50 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     ``binaryFile`` gives (path, content) per file; the parse fans out one
     task per file (gzip is unsplittable — the file IS the split, as in
-    Common Crawl). Column pruning applies downstream as usual; the body
-    column is binary and rides Arrow batches, never the driver.
+    Common Crawl). One output DataFrame is yielded PER FILE, so peak task
+    memory is one file's parsed records (plus the compressed blob the
+    source hands over), never the whole multi-file batch. Column pruning
+    applies downstream as usual; the body column is binary and rides
+    Arrow batches, never the driver.
     """
     files = spark.read.format("binaryFile").load(path)
 
     def _parse(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
-            out: list[dict] = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                for rec in decode_records(bytes(blob)):
-                    rec["warc_file"] = os.path.basename(fpath)
-                    out.append(rec)
-            if out:
-                yield pd.DataFrame(out)
+                out = [
+                    {**rec, "warc_file": os.path.basename(fpath)}
+                    for rec in decode_records(bytes(blob))
+                ]
+                if out:
+                    yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(_parse, WARC_SCHEMA)
 
 
 def warc_pages_view(records: DataFrame) -> DataFrame:
-    """Project parsed records onto the crawl's pages shape: (url, html,
-    status_code, fetched_at) — the adapter that lets a CC snapshot feed the
-    fetch join instead of the synthetic pages table."""
-    return records.where(F.col("warc_type") == "response").select(
-        F.col("target_uri").alias("url"),
-        F.col("body").cast("string").alias("html"),
-        F.col("http_status").alias("status_code"),
-        F.col("warc_date").alias("fetched_at"),
+    """Project parsed records onto the engine's pages shape
+    (``PAGES_SCHEMA``: url, warc_ts, html binary, text, lang) — the adapter
+    that lets a CC snapshot feed ``CrawlJob``'s fetch join instead of the
+    synthetic pages table. ``text`` is produced by the SAME extraction
+    kernel the invariant path uses (one Arrow pass), ``lang`` by the
+    dialect-templated marker kernel; both are map-side, nothing shuffles.
+    ``http_status`` / ``warc_date`` ride along as ``status_code`` /
+    ``fetched_at`` for callers that want the HTTP metadata too.
+    """
+    from scrape_spark.functions.textstats import lang_pred
+    from scrape_spark.functions.udfs import extract_text_udf
+
+    return (
+        records.where(F.col("warc_type") == "response")
+        .withColumn("text", extract_text_udf(F.col("body").cast("string")))
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").cast("timestamp").alias("warc_ts"),
+            F.col("body").alias("html"),
+            F.col("text"),
+            lang_pred("text").alias("lang"),
+            F.col("http_status").alias("status_code"),
+            F.col("warc_date").alias("fetched_at"),
+        )
     )

@@ -309,3 +309,87 @@ def test_resume_repair_no_resurrect_after_seen_prune(spark, tmp_path):
         fresh.seen.filter_new(local_df(spark, [(url,)], "url string")).count()
         == 1
     ), "removed URL must stay re-discoverable after prune"
+
+
+def _fresh_job(spark, job, pages):
+    """A new CrawlJob over the same on-disk store — the resume process."""
+    return CrawlJob(
+        spark,
+        SnapshotStore(spark, job.store.root),
+        pages,
+        robots_source_df(spark, N_HOSTS, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+        bucket_capacity=1 << 12,
+    )
+
+
+def test_delete_crash_window_repaired_on_resume(spark, base_state, crawled, monkeypatch):
+    """delete_by_url is a two-step pair (frontier base rewrite, seen.remove).
+    A crash between the steps must be repaired on resume — otherwise the URL
+    stays in the seen set and is anti-joined away forever on re-discovery."""
+    _, pages = base_state
+    url = "http://host0.test/p/0/1"
+    assert crawled.page(url) is not None
+
+    def _boom(*a, **k):
+        raise RuntimeError("crash between frontier write and seen.remove")
+
+    monkeypatch.setattr(crawled.seen, "remove", _boom)
+    with pytest.raises(RuntimeError):
+        crawled.delete_by_url([url])
+    # crashed state: gone from the frontier, still in the seen set
+    assert crawled.page(url) is None
+    cand = spark.createDataFrame([(url,)], "url string")
+    assert crawled.seen.filter_new(cand).count() == 0
+
+    fresh = _fresh_job(spark, crawled, pages)
+    fresh._ensure_reconciled()
+    assert fresh.seen.filter_new(cand).count() == 1, (
+        "resume repair must replay the seen removal"
+    )
+    # and the repair is sticky: another resume does not write again
+    n_snaps = len(fresh.store.lineage(fresh.seen.name))
+    again = _fresh_job(spark, fresh, pages)
+    again._ensure_reconciled()
+    assert len(again.store.lineage(again.seen.name)) == n_snaps
+
+
+def test_delete_completed_pair_not_replayed(spark, base_state, crawled):
+    """A COMPLETED delete pair must not be replayed on resume (the marker /
+    commit-order evidence vouches for it) — no extra seen snapshot."""
+    _, pages = base_state
+    crawled.delete_by_url(["http://host0.test/p/0/1"])
+    n_snaps = len(crawled.store.lineage(crawled.seen.name))
+    fresh = _fresh_job(spark, crawled, pages)
+    fresh._ensure_reconciled()
+    assert len(fresh.store.lineage(fresh.seen.name)) == n_snaps
+
+
+def test_truncate_crash_window_repaired_on_resume(spark, base_state, crawled, monkeypatch):
+    """truncate() is the same two-step pair (empty frontier base, seen
+    truncate). Stale seen keys surviving a crashed truncate would suppress
+    the entire next crawl after a re-seed."""
+    _, pages = base_state
+    seed = "http://host0.test/p/0"
+
+    def _boom(*a, **k):
+        raise RuntimeError("crash between frontier write and seen.truncate")
+
+    monkeypatch.setattr(crawled.seen, "truncate", _boom)
+    with pytest.raises(RuntimeError):
+        crawled.truncate()
+    cand = spark.createDataFrame([(seed,)], "url string")
+    assert crawled.all_urls() == []
+    assert crawled.seen.filter_new(cand).count() == 0  # stale seen keys
+
+    fresh = _fresh_job(spark, crawled, pages)
+    fresh._ensure_reconciled()
+    assert fresh.seen.filter_new(cand).count() == 1, (
+        "resume repair must replay the seen truncate"
+    )
+    # the full post-repair lifecycle works: re-seed and crawl the host again
+    fresh.seed(seed_urls(1))
+    fresh.run()
+    assert fresh.status_counts().get("pending", 0) == 0
+    assert fresh.statistics()["total"] > 1

@@ -84,16 +84,135 @@ def test_spark_write_read_roundtrip(spark, tmp_path):
     assert len(files) == 4 and all(f.endswith(".warc.gz") for f in files)
 
 
-def test_pages_view_feeds_fetch_shape(spark, tmp_path):
+def test_pages_view_produces_pages_schema(spark, tmp_path):
+    """The adapter must yield the engine's PAGES_SCHEMA columns (url,
+    warc_ts, html, text, lang) — the exact shape CrawlJob's fetch join
+    selects — plus the HTTP metadata passengers."""
     out = str(tmp_path / "w2")
     df = spark.createDataFrame(
-        [("http://a.test/", "<html><title>A</title></html>", _DATE)],
+        [("http://a.test/", "<html><title>A</title><body>Hi</body></html>", _DATE)],
         "target_uri string, body string, warc_date string",
     )
     write_warc(df, out)
     pages = warc_pages_view(read_warc(spark, out))
+    assert set(pages.columns) == {
+        "url", "warc_ts", "html", "text", "lang", "status_code", "fetched_at",
+    }
     row = pages.collect()[0]
     assert row["url"] == "http://a.test/"
-    assert row["html"].startswith("<html>")
+    assert bytes(row["html"]).startswith(b"<html>")
     assert row["status_code"] == 200
-    assert set(pages.columns) == {"url", "html", "status_code", "fetched_at"}
+    assert row["warc_ts"] is not None
+    assert isinstance(row["text"], str)
+
+
+def test_pages_view_feeds_crawl_fetch_join(spark, tmp_path):
+    """End-to-end: a WARC lake written from the synthetic webgraph drives a
+    real CrawlJob round through warc_pages_view — the contract the adapter
+    exists for (same kernel extracts text on both sides, so the invariant
+    path holds)."""
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.sources.webgraph import (
+        generate_pages,
+        robots_source_df,
+        seed_urls,
+    )
+
+    out = str(tmp_path / "warc_lake")
+    synth = generate_pages(spark, 2, 8, 3, mega_host=None)
+    write_warc(
+        synth.select(
+            "url",
+            F.col("html").alias("body"),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "warc_date"
+            ),
+        ),
+        out,
+        uri_col="url",
+    )
+    pages = warc_pages_view(read_warc(spark, out))
+    job = CrawlJob(
+        spark,
+        SnapshotStore(spark, str(tmp_path / "store")),
+        pages,
+        robots_source_df(spark, 2, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+    )
+    job.seed(seed_urls(2))
+    stats = job.run_round()
+    assert stats is not None and stats["fetched"] > 0
+    done = job.frontier().where(F.col("status") == "done")
+    assert done.count() == stats["fetched"]
+    # the adapter's text column came from the same kernel → invariant holds
+    assert done.where(F.col("content_hash").isNull()).count() == 0
+
+
+def test_write_warc_overwrites_stale_parts(spark, tmp_path):
+    """Re-writing a directory with FEWER partitions must not leave stale
+    part files from the previous write to be merged into later reads."""
+    out = str(tmp_path / "ow")
+    first = spark.createDataFrame(
+        [(f"http://old.test/{i}", "old", _DATE) for i in range(8)],
+        "target_uri string, body string, warc_date string",
+    ).repartition(8)
+    write_warc(first, out)
+    second = spark.createDataFrame(
+        [(f"http://new.test/{i}", "new", _DATE) for i in range(3)],
+        "target_uri string, body string, warc_date string",
+    ).repartition(2)
+    write_warc(second, out)
+    uris = [r["target_uri"] for r in read_warc(spark, out).collect()]
+    assert sorted(uris) == sorted(f"http://new.test/{i}" for i in range(3))
+
+
+def test_non_ascii_uri_roundtrip(spark, tmp_path):
+    """Frontier URLs are stored verbatim — IRIs / raw-unicode hrefs must
+    encode (UTF-8 headers) instead of crashing the write task."""
+    out = str(tmp_path / "iri")
+    uri = "http://例え.test/页/ü?q=日本語"
+    df = spark.createDataFrame(
+        [(uri, "<html>x</html>", _DATE)],
+        "target_uri string, body string, warc_date string",
+    )
+    assert write_warc(df, out) == 1
+    rec = read_warc(spark, out).collect()[0]
+    assert rec["target_uri"] == uri
+
+
+def test_null_body_status_date_roundtrip(spark, tmp_path):
+    """NULLs are preserved, not rewritten as ''/200 — the same fidelity rule
+    the curation ops follow (null-text docs must survive)."""
+    out = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [
+            ("http://n.test/body", None, _DATE, 200),
+            ("http://n.test/status", "x", _DATE, None),
+            ("http://n.test/date", "x", None, 200),
+            ("http://n.test/all", None, None, None),
+            ("http://n.test/none", "y", _DATE, 503),
+        ],
+        "target_uri string, body string, warc_date string, status int",
+    )
+    assert write_warc(df, out, status_col="status") == 5
+    got = {
+        r["target_uri"]: r
+        for r in read_warc(spark, out)
+        .select(
+            "target_uri",
+            F.col("body").cast("string").alias("text"),
+            "http_status",
+            "warc_date",
+        )
+        .collect()
+    }
+    assert got["http://n.test/body"]["text"] is None
+    assert got["http://n.test/status"]["http_status"] is None
+    assert got["http://n.test/status"]["text"] == "x"
+    assert got["http://n.test/date"]["warc_date"] is None
+    r = got["http://n.test/all"]
+    assert r["text"] is None and r["http_status"] is None and r["warc_date"] is None
+    r = got["http://n.test/none"]
+    assert r["text"] == "y" and r["http_status"] == 503 and r["warc_date"] == _DATE
