@@ -1599,6 +1599,10 @@ _WARC_DATE_SQL = (
 FROM documents""",
 )
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from scrape_spark.sources.warc import read_warc, write_warc
@@ -1611,7 +1615,15 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_WARC_DATE_SQL).alias("warc_date"),
         (F.lit(200) + (F.col("doc_id") % 3).cast("int")).alias("status"),
     )
-    out = tempfile.mkdtemp(prefix="warc_rt_")
+    # deterministic per-input scratch dir: repeated invocations REUSE it
+    # (write_warc has overwrite semantics) instead of leaking one corpus
+    # copy per run; removed at interpreter exit (the result is lazy, so the
+    # files must outlive this function call)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"warc_rt_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     write_warc(docs, out, status_col="status")
     rec = read_warc(spark, out)
     return rec.select(
@@ -1689,6 +1701,160 @@ def q_url_trap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _view(spark, sf_dir, "documents")
     return spark.sql(_TRAP_URLS_SQL).select("url", *trap_signal_cols())
+
+
+# -- curation: per-host boilerplate line removal (the "chrome" pass) ----------
+# The corpus has no site chrome, so the fixture plants two banners per doc:
+# a nav line in EVERY doc of the source (df ratio 100% → dropped at the 60%
+# threshold) and a promo line in even doc_ids only (50% → kept) — the same
+# concat on both engines, exercising both sides of the ratio threshold.
+_BOILER_TEXT_DD = (
+    f"'nav bar for ' || source || chr(10) || "
+    f"CASE WHEN doc_id % 2 = 0 THEN 'promo banner ' || source || chr(10) "
+    f"ELSE '' END || {{lines}}"
+)
+
+
+@_q(
+    "host_boilerplate",
+    f"""WITH lined AS (
+  SELECT doc_id, source,
+    {_BOILER_TEXT_DD.format(lines=ts.lines_sql('text', _DD))} AS btext
+  FROM documents),
+L AS (SELECT doc_id, source,
+        unnest(string_split(btext, chr(10))) AS line,
+        generate_subscripts(string_split(btext, chr(10)), 1) AS pos
+      FROM lined),
+H AS (SELECT doc_id, source, pos, line,
+        coalesce({ts.text_hash_sql('line', _DD)}, 0) AS lh FROM L),
+DFQ AS (SELECT source, lh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+        FROM H GROUP BY source, lh),
+HD AS (SELECT source, CAST(count(*) AS BIGINT) AS host_docs
+       FROM lined GROUP BY source),
+B AS (SELECT DFQ.source AS bsource, DFQ.lh AS blh
+      FROM DFQ JOIN HD USING (source)
+      WHERE df_docs * 100 >= 60 * host_docs AND df_docs >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN blh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+  coalesce(string_agg(CASE WHEN blh IS NULL THEN line END,
+                      chr(10) ORDER BY pos), '') AS kept_text
+FROM H LEFT JOIN B ON H.source = B.bsource AND H.lh = B.blh
+GROUP BY doc_id""",
+)
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop lines appearing in ≥60% of a host's docs; reassemble survivors."""
+    from scrape_spark.operators.corpus import host_boilerplate
+
+    btext = F.concat(
+        F.lit("nav bar for "),
+        F.col("source"),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("promo banner "), F.col("source"), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.expr(ts.lines_sql("text", _SD)),
+    )
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", "source", btext.alias("text")
+    )
+    return host_boilerplate(lined, host_col="source")
+
+
+# -- crawl scheduling: freshness-driven re-crawl priority ----------------------
+# Capture lake forged like warc_latest_capture's, but with a per-URL change
+# pattern: doc_id % 3 == 0 never changes (n_versions=1), == 1 changes every
+# capture (3), == 2 changes once (2) — the marker formula is the same exact
+# integer expression in both engines.
+_RECRAWL_NOW = 1700100000
+_RECRAWL_CAPS_DD = """SELECT
+  'http://host' || CAST(doc_id % 8 AS VARCHAR) || '.test/p/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  CAST(1700000000 + doc_id * 10 + v AS BIGINT) AS warc_ts,
+  text || ' v' || CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0
+                       WHEN 1 THEN v ELSE v // 2 END AS VARCHAR) AS text
+FROM documents, (SELECT unnest([0, 1, 2]) AS v)"""
+
+
+def _recrawl_oracle() -> str:
+    from scrape_spark.operators.recrawl import recrawl_priority_sql
+
+    return recrawl_priority_sql(_RECRAWL_CAPS_DD, _RECRAWL_NOW)
+
+
+@_q("recrawl_priority", _recrawl_oracle())
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate × staleness priority per URL over the capture lake."""
+    from scrape_spark.operators.recrawl import recrawl_priority
+
+    d = F.col("doc_id")
+    marker = F.expr(
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0 "
+        "WHEN 1 THEN v ELSE v div 2 END"
+    )
+    caps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            F.concat(
+                F.lit("http://host"),
+                (d % 8).cast("string"),
+                F.lit(".test/p/"),
+                d.cast("string"),
+            ).alias("url"),
+            (F.lit(1700000000) + d * 10 + F.col("v"))
+            .cast("long")
+            .alias("warc_ts"),
+            F.concat(F.col("text"), F.lit(" v"), marker.cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    return recrawl_priority(caps, now=_RECRAWL_NOW)
+
+
+# -- webgraph: per-target anchor-text aggregation ------------------------------
+_ANCHOR_EDGES_DD = """SELECT
+  'http://t.test/' || CAST((doc_id * 3 + v) % 40 AS VARCHAR) AS link_url,
+  'anchor-' || CAST((doc_id + v) % 4 AS VARCHAR) AS anchor
+FROM documents, (SELECT unnest([0, 1, 2]) AS v)"""
+
+
+@_q(
+    "anchor_text_agg",
+    f"""WITH E AS ({_ANCHOR_EDGES_DD}),
+PA AS (SELECT link_url AS url, anchor, CAST(count(*) AS BIGINT) AS cnt
+       FROM E GROUP BY link_url, anchor),
+R AS (SELECT url, anchor, cnt,
+        row_number() OVER (PARTITION BY url
+                           ORDER BY cnt DESC, anchor DESC) AS rn,
+        CAST(sum(cnt) OVER (PARTITION BY url) AS BIGINT) AS n_inlinks,
+        CAST(count(*) OVER (PARTITION BY url) AS BIGINT) AS n_anchors
+      FROM PA)
+SELECT url, n_inlinks, n_anchors, anchor AS top_anchor,
+       cnt AS top_anchor_count
+FROM R WHERE rn = 1""",
+)
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent anchor + inlink counts per link target."""
+    from scrape_spark.operators.webrank import anchor_text_agg
+
+    d = F.col("doc_id")
+    edges = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            F.concat(
+                F.lit("http://t.test/"), ((d * 3 + F.col("v")) % 40).cast("string")
+            ).alias("link_url"),
+            F.concat(
+                F.lit("anchor-"), ((d + F.col("v")) % 4).cast("string")
+            ).alias("anchor"),
+        )
+    )
+    return anchor_text_agg(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -717,3 +717,84 @@ def split_assign_sql(weights: dict[str, int], id_col: str = "doc_id") -> str:
         cases.append(f"WHEN {bucket} < {acc} THEN '{name}'")
     case = "CASE " + " ".join(cases) + " END"
     return f"CAST({bucket} AS BIGINT) AS split_bucket, {case} AS split"
+
+
+def host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio_pct: int = 60,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-host boilerplate line removal (the CC-pipeline "chrome" pass).
+
+    A line is boilerplate WITHIN a host when it appears in at least
+    ``min_ratio_pct`` percent of the host's documents (and in at least
+    ``min_docs`` of them — tiny hosts must not flag everything): nav bars,
+    cookie banners, per-site footers. This is the host-scoped complement of
+    :func:`line_dedup` — corpus-wide occurrence counting only catches a
+    site's chrome once the site dominates the corpus, while the per-host
+    document-frequency RATIO catches it at any host size, and never drops a
+    quote that merely recurs across unrelated hosts. Returns
+    (doc_id, n_lines, n_boiler, kept_text) with survivors in original order.
+
+    Scale shape: lines explode to (host, doc_id, pos, line, lh int64);
+    document frequency is distinct-then-count — one shuffle on
+    (host, doc_id, lh) for the distinct, one map-side-combined agg on
+    (host, lh) — both carrying int64 keys only, never line text. Per-host
+    doc totals ride a broadcast (host-count rows). The boilerplate set is
+    joined back on (host, lh); by construction it holds only lines crossing
+    the ratio threshold — a few rows per host — so AQE resolves the join
+    broadcast-side in practice, without this code hard-wiring an estimate.
+    The threshold compare is exact integer arithmetic
+    (``df_docs*100 >= pct*host_docs``), identical in both dialects.
+    Reassembly shuffles (doc_id, pos, line) once — inherent, the output
+    needs doc locality (same as line_dedup).
+    """
+    lines = docs.select(
+        F.col(host_col).alias("_host"),
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    ).withColumn(
+        # non-nullable key: the joins' isnotnull obligations fold away
+        # instead of re-evaluating the O(len) rolling hash (see line_dedup)
+        "lh",
+        F.coalesce(
+            F.expr(ts.text_hash_sql("line", ts.SPARK_DIALECT)), F.lit(0)
+        ),
+    )
+    dfreq = (
+        lines.select("_host", id_col, "lh")
+        .distinct()
+        .groupBy("_host", "lh")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
+    )
+    host_docs = docs.groupBy(F.col(host_col).alias("_host")).agg(
+        F.count(F.lit(1)).cast("long").alias("host_docs")
+    )
+    boiler = (
+        dfreq.join(F.broadcast(host_docs), "_host")
+        .where(
+            (F.col("df_docs") * 100 >= F.lit(min_ratio_pct) * F.col("host_docs"))
+            & (F.col("df_docs") >= min_docs)
+        )
+        .select("_host", "lh", F.lit(True).alias("is_boiler"))
+    )
+    joined = lines.join(boiler, on=["_host", "lh"], how="left")
+    kept = F.when(F.col("is_boiler").isNull(), F.struct("pos", "line"))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_boiler").isNotNull().cast("long")).alias("n_boiler"),
+        F.coalesce(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )

@@ -1,0 +1,104 @@
+"""Freshness-driven re-crawl scheduling over a multi-capture page lake.
+
+The reference crawls each URL once and relies on manual admin resets to
+re-crawl (models.py:195-204 reset_all_processed); a production crawler
+instead re-visits URLs on a schedule driven by how often each page has
+CHANGED across its capture history (Cho & Garcia-Molina's uniform/
+proportional revisit policies). This operator derives that signal from the
+same capture lake ``latest_capture`` reads: per URL, how many captures
+exist, how many DISTINCT contents they held, and how stale the newest one
+is — combined into an integer priority that plugs straight into the
+frontier's priority dequeue (operators/politeness.py ``priority_expr``),
+exactly like the PageRank authority signal (operators/webrank.py).
+
+The kernel is exact int64 arithmetic end to end (dialect-templating
+discipline): ``priority = age`` for single-capture URLs (change rate
+unknown → neutral), else ``age * ((nc-1) + 9*(nv-1)) div (nc-1)`` — a
+linear boost from 1× (never changed) to 10× (changed on every capture).
+Content identity is the rolling text hash both engines share, so a
+collision degrades both sides identically.
+
+Scale shape: the distinct-count expands to Spark's standard two-phase
+aggregate — a partial agg + shuffle on (url, text_hash), then the final
+agg + shuffle on url — both map-side combined and both carrying int64
+keys only: the capture text never rides a shuffle (the hash is computed
+in the scan projection). Output is URL-sized, not capture-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scrape_spark.functions import textstats as ts
+
+
+def recrawl_priority(
+    caps: DataFrame,
+    now: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """(url, n_caps, n_versions, last_ts, age, priority) per URL.
+
+    ``now`` is the scheduling instant as an epoch-seconds literal — passed
+    in, never read from the clock, so a plan is reproducible (and the
+    DuckDB oracle can run the identical formula). ``age`` clamps at 0 for
+    captures stamped after ``now``.
+    """
+    h = F.coalesce(
+        F.expr(ts.text_hash_sql(text_col, ts.SPARK_DIALECT)), F.lit(0)
+    )
+    per = (
+        caps.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).cast("long").alias("ts"),
+            h.alias("th"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_caps"),
+            F.countDistinct("th").cast("long").alias("n_versions"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    age = F.greatest(F.lit(0).cast("long"), F.lit(int(now)) - F.col("last_ts"))
+    priority = F.when(F.col("n_caps") <= 1, age).otherwise(
+        F.expr(
+            f"(greatest(0L, {int(now)} - last_ts) * "
+            f"((n_caps - 1) + 9 * (n_versions - 1))) div (n_caps - 1)"
+        )
+    )
+    return per.select(
+        "url",
+        "n_caps",
+        "n_versions",
+        "last_ts",
+        age.alias("age"),
+        priority.cast("long").alias("priority"),
+    )
+
+
+def recrawl_priority_sql(
+    caps_sql: str,
+    now: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> str:
+    """The identical kernel as portable SQL (the DuckDB oracle side)."""
+    th = ts.text_hash_sql(text_col, ts.DUCK_DIALECT)
+    return f"""WITH _caps AS ({caps_sql}),
+_per AS (SELECT {url_col} AS url,
+  CAST(count(*) AS BIGINT) AS n_caps,
+  CAST(count(DISTINCT coalesce({th}, 0)) AS BIGINT) AS n_versions,
+  CAST(max(CAST({ts_col} AS BIGINT)) AS BIGINT) AS last_ts
+FROM _caps GROUP BY {url_col})
+SELECT url, n_caps, n_versions, last_ts,
+  CAST(greatest(0, {int(now)} - last_ts) AS BIGINT) AS age,
+  CAST(CASE WHEN n_caps <= 1 THEN greatest(0, {int(now)} - last_ts)
+       ELSE (greatest(0, {int(now)} - last_ts)
+             * ((n_caps - 1) + 9 * (n_versions - 1))) // (n_caps - 1)
+  END AS BIGINT) AS priority
+FROM _per"""

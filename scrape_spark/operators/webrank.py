@@ -74,6 +74,8 @@ def pagerank_int(
     )
     n_nodes = nodes.count()  # tiny job; doubles as the overflow guard input
     if damping_pct * n_nodes * scale >= 2**63:
+        ed.unpersist()  # the guard path must not pin caches for the session
+        nodes.unpersist()
         raise ValueError(
             f"scale={scale} overflows int64 at {n_nodes} nodes; "
             f"use scale <= {2**63 // (damping_pct * max(n_nodes, 1))}"
@@ -161,3 +163,51 @@ def pagerank_py(
             sums[d] += rank[s] // outdeg[s]
         rank = {v: base + (damping_pct * sums[v]) // 100 for v in nodes}
     return rank
+
+
+def anchor_text_agg(
+    links: DataFrame,
+    dst_col: str = "link_url",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text index over the webgraph's (src → dst, anchor)
+    edges: (url, n_inlinks, n_anchors, top_anchor, top_anchor_count).
+
+    Anchor text is the classic off-page relevance signal (it describes the
+    TARGET) — search pipelines aggregate it per destination URL; the
+    reference extracts per-link anchor text (link_extractor.py, the F5
+    kernel) but never aggregates it. ``top_anchor`` is the most frequent
+    anchor for the target, ties broken by lexicographically LARGEST anchor —
+    a total order, so the result is deterministic and oracle-checkable.
+
+    Scale shape: one map-side-combined count on (dst, anchor) — shuffle
+    bytes are per-distinct-pair, not per-edge — then a window partitioned
+    by dst over the already-aggregated rows for the top-1 pick and the
+    per-target totals. Mega-targets skew the FIRST aggregation's keyspace
+    ((dst, anchor) pairs — already salted by the anchor), not the window:
+    the window input is distinct-anchor-sized, bounded per target by its
+    anchor vocabulary.
+    """
+    from pyspark.sql import Window
+
+    per = links.groupBy(
+        F.col(dst_col).alias("url"), F.col(anchor_col).alias("anchor")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("url")
+    ranked = per.select(
+        "url",
+        "anchor",
+        "cnt",
+        F.row_number()
+        .over(w.orderBy(F.col("cnt").desc(), F.col("anchor").desc()))
+        .alias("rn"),
+        F.sum("cnt").over(w).alias("n_inlinks"),
+        F.count(F.lit(1)).over(w).alias("n_anchors"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "url",
+        F.col("n_inlinks").cast("long").alias("n_inlinks"),
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("anchor").alias("top_anchor"),
+        F.col("cnt").alias("top_anchor_count"),
+    )

@@ -394,3 +394,65 @@ def test_line_dedup_keeps_null_text_docs(spark):
     rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
     assert set(rows) == {1, 2}
     assert rows[2]["kept_text"] == "" and rows[2]["n_dropped"] == 0
+
+
+def test_host_boilerplate_ratio_semantics(spark):
+    """Nav line in 3/3 docs of a host is dropped at the 60% threshold; a
+    promo line in 1/3 is kept; another host's docs are never affected by
+    the first host's chrome."""
+    from scrape_spark.operators.corpus import host_boilerplate
+
+    rows = [
+        (0, "a.test", "NAV\nalpha one\nfooter"),
+        (1, "a.test", "NAV\nbeta two\nfooter"),
+        (2, "a.test", "NAV\ngamma three"),
+        (3, "b.test", "NAV\ndelta four"),  # NAV on b.test: 1/1 but min_docs=2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in host_boilerplate(docs, min_ratio_pct=60, min_docs=2).collect()
+    }
+    # a.test: NAV (3/3) and footer (2/3 = 66%) dropped, bodies kept in order
+    assert out[0]["kept_text"] == "alpha one"
+    assert out[0]["n_lines"] == 3 and out[0]["n_boiler"] == 2
+    assert out[1]["kept_text"] == "beta two"
+    assert out[2]["kept_text"] == "gamma three" and out[2]["n_boiler"] == 1
+    # b.test has a single doc: min_docs=2 protects it entirely
+    assert out[3]["kept_text"] == "NAV\ndelta four" and out[3]["n_boiler"] == 0
+
+
+def test_host_boilerplate_all_boiler_and_null_text(spark):
+    from scrape_spark.operators.corpus import host_boilerplate
+
+    rows = [
+        (0, "h", "SAME"),
+        (1, "h", "SAME"),
+        (2, "h", None),  # null-text doc must survive as an empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in host_boilerplate(docs, min_ratio_pct=60, min_docs=2).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["kept_text"] == "" and out[0]["n_boiler"] == 1
+    assert out[2]["n_lines"] == 1  # the empty line of the null doc
+
+
+def test_host_boilerplate_keeps_cross_host_quotes(spark):
+    """A quote recurring across UNRELATED hosts (each below its host's
+    ratio) is kept — the exact case corpus-wide line_dedup over-drops."""
+    from scrape_spark.operators.corpus import host_boilerplate
+
+    quote = "to be or not to be"
+    rows = []
+    for h in range(4):
+        rows.append((h * 10, f"h{h}", f"{quote}\nunique body {h}"))
+        rows.append((h * 10 + 1, f"h{h}", f"other {h}\nmore {h}"))
+        rows.append((h * 10 + 2, f"h{h}", f"third {h}"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = host_boilerplate(docs, min_ratio_pct=60, min_docs=2)
+    kept = {r["doc_id"]: r["kept_text"] for r in out.collect()}
+    for h in range(4):
+        assert quote in kept[h * 10]  # 1/3 of each host — kept everywhere

@@ -1,0 +1,67 @@
+"""recrawl_priority: change-rate × staleness scheduling semantics."""
+
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.recrawl import recrawl_priority
+
+NOW = 2_000_000
+
+
+def _caps(spark, rows):
+    return spark.createDataFrame(rows, "url string, warc_ts long, text string")
+
+
+def test_static_page_priority_equals_age(spark):
+    caps = _caps(
+        spark,
+        [("http://s.test/", 1_000_000 + i, "same content") for i in range(4)],
+    )
+    row = recrawl_priority(caps, now=NOW).collect()[0]
+    assert row["n_caps"] == 4 and row["n_versions"] == 1
+    assert row["age"] == NOW - 1_000_003
+    assert row["priority"] == row["age"]  # boost = (nc-1)+0 over (nc-1) = 1x
+
+
+def test_always_changing_page_gets_10x_boost(spark):
+    caps = _caps(
+        spark,
+        [("http://c.test/", 1_000_000 + i, f"version {i}") for i in range(4)],
+    )
+    row = recrawl_priority(caps, now=NOW).collect()[0]
+    assert row["n_versions"] == 4
+    # boost = ((4-1) + 9*(4-1)) / (4-1) = 10x, exact integer
+    assert row["priority"] == row["age"] * 10
+
+
+def test_single_capture_is_neutral_and_future_ts_clamps(spark):
+    caps = _caps(
+        spark,
+        [("http://one.test/", 1_500_000, "x"),
+         ("http://future.test/", NOW + 999, "y")],
+    )
+    got = {r["url"]: r for r in recrawl_priority(caps, now=NOW).collect()}
+    one = got["http://one.test/"]
+    assert one["n_caps"] == 1 and one["priority"] == one["age"] == 500_000
+    fut = got["http://future.test/"]
+    assert fut["age"] == 0 and fut["priority"] == 0
+
+
+def test_priority_orders_changed_above_static_at_equal_age(spark):
+    rows = []
+    for i in range(3):
+        rows.append(("http://stat.test/", 1_000_000 + i, "fixed"))
+        rows.append(("http://chg.test/", 1_000_000 + i, f"v{i}"))
+    out = {
+        r["url"]: r["priority"]
+        for r in recrawl_priority(_caps(spark, rows), now=NOW).collect()
+    }
+    assert out["http://chg.test/"] > out["http://stat.test/"]
+
+
+def test_plan_no_python_and_two_phase_distinct(spark):
+    caps = _caps(spark, [("http://s.test/", 1, "t")])
+    plan = recrawl_priority(caps, now=NOW)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    # the distinct-count's standard expansion: (url, th) partial, then url
+    assert plan.count("Exchange") <= 2
+    assert "Scan" in plan and plan.count("Join") == 0  # single-pass, no join

@@ -67,3 +67,28 @@ def test_dangling_mass_decays_not_crashes(spark):
     assert got == pagerank_py(edges)
     assert set(got) == {0, 1, 2}
     assert got[0] == SCALE * 15 // 100  # nothing links to 0 after step 1
+
+
+def test_anchor_text_agg_counts_and_tiebreak(spark):
+    from scrape_spark.operators.webrank import anchor_text_agg
+
+    rows = (
+        [("u1", "click here")] * 3
+        + [("u1", "spark docs")] * 3  # tie with 'click here' → lexi-largest
+        + [("u1", "misc")]
+        + [("u2", "solo")]
+    )
+    links = spark.createDataFrame(rows, "link_url string, anchor string")
+    out = {r["url"]: r for r in anchor_text_agg(links).collect()}
+    u1 = out["u1"]
+    assert u1["n_inlinks"] == 7 and u1["n_anchors"] == 3
+    assert u1["top_anchor"] == "spark docs" and u1["top_anchor_count"] == 3
+    assert out["u2"]["top_anchor"] == "solo" and out["u2"]["n_inlinks"] == 1
+
+
+def test_anchor_text_agg_no_python_and_single_window(spark):
+    from scrape_spark.operators.webrank import anchor_text_agg
+
+    links = spark.createDataFrame([("u", "a")], "link_url string, anchor string")
+    plan = anchor_text_agg(links)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
