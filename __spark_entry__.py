@@ -1600,8 +1600,6 @@ FROM documents""",
 )
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
-    import hashlib
-    import os
     import shutil
     import tempfile
 
@@ -1615,14 +1613,11 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_WARC_DATE_SQL).alias("warc_date"),
         (F.lit(200) + (F.col("doc_id") % 3).cast("int")).alias("status"),
     )
-    # deterministic per-input scratch dir: repeated invocations REUSE it
-    # (write_warc has overwrite semantics) instead of leaking one corpus
-    # copy per run; removed at interpreter exit (the result is lazy, so the
-    # files must outlive this function call)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"warc_rt_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
-    )
+    # per-process-unique scratch dir (mkdtemp: concurrent harness processes
+    # must not overwrite/rmtree each other's lake mid-read), removed at
+    # interpreter exit — the result is lazy, so the files must outlive this
+    # function call, but not the process
+    out = tempfile.mkdtemp(prefix="warc_rt_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     write_warc(docs, out, status_col="status")
     rec = read_warc(spark, out)
@@ -1722,8 +1717,8 @@ _BOILER_TEXT_DD = (
     {_BOILER_TEXT_DD.format(lines=ts.lines_sql('text', _DD))} AS btext
   FROM documents),
 L AS (SELECT doc_id, source,
-        unnest(string_split(btext, chr(10))) AS line,
-        generate_subscripts(string_split(btext, chr(10)), 1) AS pos
+        unnest(string_split(coalesce(btext, ''), chr(10))) AS line,
+        generate_subscripts(string_split(coalesce(btext, ''), chr(10)), 1) AS pos
       FROM lined),
 H AS (SELECT doc_id, source, pos, line,
         coalesce({ts.text_hash_sql('line', _DD)}, 0) AS lh FROM L),

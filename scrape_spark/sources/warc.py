@@ -35,10 +35,11 @@ import gzip
 import io
 import os
 import uuid
+import zlib
 from typing import IO, Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
@@ -180,7 +181,11 @@ def decode_records(blob: bytes) -> Iterator[dict]:
         buf = io.BytesIO(blob)
     try:
         yield from _scan_records(buf)
-    except (EOFError, OSError):  # truncated gzip member / BadGzipFile tail
+    except (EOFError, OSError, zlib.error):
+        # truncated member (EOFError), BadGzipFile tail (OSError), or
+        # corrupt bytes mid-member (zlib.error — bit-rot, an external
+        # writer's partial overwrite): the file yields its complete
+        # leading records either way
         return
 
 

@@ -216,3 +216,13 @@ def test_null_body_status_date_roundtrip(spark, tmp_path):
     assert r["text"] is None and r["http_status"] is None and r["warc_date"] is None
     r = got["http://n.test/none"]
     assert r["text"] == "y" and r["http_status"] == 503 and r["warc_date"] == _DATE
+
+
+def test_decode_tolerates_corrupt_gzip_member():
+    """Bit-rot mid-member (zlib.error, not just truncation) must end the
+    scan after the complete leading records, never crash the task."""
+    r1 = gzip.compress(encode_record("http://t.test/ok", b"whole", _DATE))
+    r2 = bytearray(gzip.compress(encode_record("http://t.test/rot", b"x" * 200, _DATE)))
+    r2[len(r2) // 2] ^= 0xFF  # flip a byte mid-member
+    recs = list(decode_records(r1 + bytes(r2)))
+    assert [r["target_uri"] for r in recs] == ["http://t.test/ok"]
