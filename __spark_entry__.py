@@ -1852,6 +1852,128 @@ def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_agg(edges)
 
 
+# -- crawl seeding: sitemap XML parse ------------------------------------------
+# Sitemaps are forged from documents (4 entries per sitemap, every 3rd entry
+# carrying a <lastmod>), assembled with the SAME ordered concat on both
+# engines, then parsed back by the shared regex kernel — the roundtrip
+# value-checks loc/lastmod extraction and document-order positions.
+_SITEMAP_ENTRY_DD = """'<url><loc>http://site' || CAST(doc_id // 4 AS VARCHAR)
+  || '.test/p/' || CAST(doc_id AS VARCHAR) || '</loc>'
+  || CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2025-01-'
+       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+     ELSE '' END || '</url>'"""
+
+
+def _sitemap_oracle() -> str:
+    from scrape_spark.sources.sitemap import LASTMOD_RE, LOC_RE, URL_BLOCK_RE
+
+    return f"""WITH E AS (SELECT doc_id // 4 AS sm_id, doc_id,
+    {_SITEMAP_ENTRY_DD} AS entry FROM documents),
+X AS (SELECT sm_id,
+        '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>'
+          AS xml
+      FROM E GROUP BY sm_id),
+S AS (SELECT 'http://site' || CAST(sm_id AS VARCHAR) || '.test/sitemap.xml'
+        AS sitemap_url, xml FROM X),
+B AS (SELECT sitemap_url,
+        unnest(regexp_extract_all(xml, '{URL_BLOCK_RE}', 1)) AS block,
+        generate_subscripts(
+          regexp_extract_all(xml, '{URL_BLOCK_RE}', 1), 1) AS entry_pos
+      FROM S)
+SELECT sitemap_url, CAST(entry_pos AS BIGINT) AS entry_pos,
+  regexp_extract(block, '{LOC_RE}', 1) AS loc,
+  nullif(regexp_extract(block, '{LASTMOD_RE}', 1), '') AS lastmod
+FROM B WHERE regexp_extract(block, '{LOC_RE}', 1) <> ''"""
+
+
+@_q("sitemap_entries", _sitemap_oracle())
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forge sitemaps from documents, parse back (loc, lastmod, order)."""
+    from scrape_spark.sources.sitemap import sitemap_entries
+
+    d = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>http://site"),
+        F.expr("doc_id div 4").cast("string"),
+        F.lit(".test/p/"),
+        d.cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<lastmod>2025-01-"),
+                F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    per = _docs(spark, sf_dir).select(
+        F.expr("doc_id div 4").alias("sm_id"), d.alias("doc_id"), entry.alias("entry")
+    )
+    xml = per.groupBy("sm_id").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda s: s["entry"],
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    sitemaps = xml.select(
+        F.concat(
+            F.lit("http://site"), F.col("sm_id").cast("string"),
+            F.lit(".test/sitemap.xml"),
+        ).alias("sitemap_url"),
+        "xml",
+    )
+    return sitemap_entries(sitemaps)
+
+
+# -- crawl scheduling: global round-budget apportionment across hosts ----------
+_BUDGET = 1000
+_HOST_COUNTS_DD = """SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+  CAST(sum(doc_id % 13 + 1) AS BIGINT) AS pending
+FROM documents GROUP BY doc_id % 7"""
+
+
+@_q(
+    "host_budget_alloc",
+    f"""WITH HC AS ({_HOST_COUNTS_DD}),
+W AS (SELECT CAST(sum(pending) AS BIGINT) AS w FROM HC),
+S AS (SELECT host, pending,
+        ({_BUDGET} * pending) // w AS base,
+        ({_BUDGET} * pending) % w AS rem
+      FROM HC, W),
+R AS (SELECT host, pending, base,
+        row_number() OVER (ORDER BY rem DESC, host ASC) AS seat_rank,
+        CAST(sum(base) OVER () AS BIGINT) AS base_sum
+      FROM S)
+SELECT host, pending,
+  CAST(least(base + CASE WHEN seat_rank <= {_BUDGET} - base_sum
+                    THEN 1 ELSE 0 END, pending) AS BIGINT) AS alloc
+FROM R""",
+)
+def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton apportionment of a global fetch budget over host demand."""
+    from scrape_spark.operators.politeness import allocate_host_budget
+
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy(
+            F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+                "host"
+            )
+        )
+        .agg(F.sum(F.col("doc_id") % 13 + 1).cast("long").alias("pending"))
+    )
+    return allocate_host_budget(counts, budget=_BUDGET)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -159,3 +159,78 @@ def assign_fetch_slots(
         slot_col,
         F.timestamp_seconds(F.unix_timestamp(round_start) + offset.cast("long")),
     )
+
+
+def allocate_host_budget(
+    host_counts: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    count_col: str = "pending",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global per-round
+    fetch budget across hosts, capped by each host's pending count.
+
+    The per-host politeness quota (``host_quota_expr``) bounds each host
+    INDIVIDUALLY; a production crawl also has a GLOBAL round budget (fetch
+    fleet capacity). Proportional-to-pending shares keep big hosts from
+    starving small ones and vice versa; Hamilton's method makes the integer
+    split exact and deterministic: ``base_i = floor(B*p_i/W)``, then the
+    ``B - Σbase`` leftover seats go to the largest fractional remainders
+    (ties broken by host ascending — a total order).
+
+    Returns (host, pending, alloc) with ``Σ alloc ≤ budget`` and
+    ``alloc ≤ pending``. The cap is applied AFTER seat assignment in one
+    pass — capped surplus is NOT redistributed (iterative water-filling
+    would add a loop of shuffles for a vanishing gain when ``W ≥ B``, the
+    regime a 10^10-URL frontier is always in; when pending < budget
+    globally, every host simply gets its full pending).
+
+    Scale shape: one map-side-combined count feeds this (host-sized input,
+    not URL-sized); the single window is partitionless BY DESIGN — it ranks
+    hosts, and the host dimension (~10^7 at CC scale) fits one task. For a
+    larger host table, rank via two-stage top-R instead. Exact int64:
+    ``B * p_i`` must fit int64 — guarded below, same discipline as
+    ``pagerank_int``.
+    """
+    h = F.col(host_col)
+    p = F.col(count_col).cast("long")
+    tot = host_counts.agg(
+        F.sum(p).alias("w"), F.max(p).alias("pmax")
+    ).collect()[0]
+    w, pmax = int(tot["w"] or 0), int(tot["pmax"] or 0)
+    if w == 0:
+        return host_counts.select(
+            h.alias("host"), p.alias("pending"), F.lit(0).cast("long").alias("alloc")
+        ).where(F.lit(False))
+    if budget * pmax >= 2**63:
+        raise ValueError(
+            f"budget={budget} overflows int64 against max pending {pmax}; "
+            f"use budget <= {2**63 // max(pmax, 1)}"
+        )
+    shares = host_counts.select(
+        h.alias("host"),
+        p.alias("pending"),
+        F.expr(f"({int(budget)} * CAST({count_col} AS BIGINT)) div {w}").alias(
+            "base"
+        ),
+        F.expr(f"({int(budget)} * CAST({count_col} AS BIGINT)) % {w}").alias(
+            "rem"
+        ),
+    )
+    wnd = Window.orderBy(F.col("rem").desc(), F.col("host").asc())
+    total_base = Window.partitionBy()  # running constants via window sum
+    ranked = shares.select(
+        "host",
+        "pending",
+        "base",
+        F.row_number().over(wnd).alias("seat_rank"),
+        F.sum("base").over(total_base).alias("base_sum"),
+    )
+    alloc = F.col("base") + (
+        F.col("seat_rank") <= (F.lit(int(budget)) - F.col("base_sum"))
+    ).cast("long")
+    return ranked.select(
+        "host",
+        "pending",
+        F.least(alloc, F.col("pending")).cast("long").alias("alloc"),
+    )
