@@ -55,6 +55,7 @@ import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from scrape_spark.functions.udfs import parse_page_expr, title_with_fallback
@@ -311,54 +312,127 @@ class CrawlJob:
                 rows.append(
                     (url, (method or "GET").upper(), payload, referrer, i)
                 )
-        seeds = (
-            local_df(
-                self.spark,
-                rows,
-                "url string, method string, payload string, "
-                "referrer string, _ord int",
-            )
-            .select(
-                "url",
-                url_hash("url").alias("url_hash"),
-                url_host("url").alias("host"),
-                url_path("url").alias("path"),
-                "referrer",
-                F.lit(None).cast("string").alias("title"),
-                F.lit(0).alias("depth"),
-                F.lit(-1).cast("long").alias("parent_seq"),
-                F.col("_ord").alias("link_pos"),
-                F.col("_ord").cast("long").alias("seq"),
-                "method",
-                "payload",
-                F.lit("pending").alias("status"),
-                *[
-                    F.lit(None).cast(t).alias(c)
-                    for c, t in [
-                        ("error_message", "string"),
-                        ("status_code", "int"),
-                        ("content_hash", "string"),
-                        ("page_title", "string"),
-                        ("text_sha", "string"),
-                        ("text_match", "boolean"),
-                        ("fetch_slot", "timestamp"),
-                        ("round", "int"),
-                    ]
-                ]
-            )
-            .drop("_ord")
+        seeds = local_df(
+            self.spark,
+            rows,
+            "url string, method string, payload string, "
+            "referrer string, _ord int",
+        ).select(
+            "url", "method", "payload", "referrer",
+            F.col("_ord").cast("long").alias("seq"),
         )
+        self._finish_seed(self._seed_projection(seeds), n=len(urls))
+
+    def seed_frame(
+        self,
+        seeds: DataFrame,
+        order_cols: list | None = None,
+        dedup: bool = True,
+    ) -> int:
+        """Distributed seeding from a DataFrame — the sitemap-bootstrap path.
+
+        ``seed()`` takes a driver-side list, which is right for the
+        reference-parity CLI but cannot carry a 10^8-row seed set (e.g.
+        every ``loc`` of a domain's sitemaps, sources/sitemap.py). This
+        variant stays distributed end to end: ordering comes from
+        ``assign_global_seq`` (range-partitioned ranking, never a global
+        single-task sort at scale), first-occurrence dedup is a per-url
+        window (the frontier's unique-url invariant — sitemaps repeat URLs
+        across files), and the counts the snapshot meta needs fall out of
+        one small aggregate. Returns the number of rows seeded.
+
+        ``seeds`` columns: ``url`` required; ``method``/``payload``/
+        ``referrer`` optional (defaulted like the list path). ``order_cols``
+        defines the seq order (default: url ascending — deterministic for
+        any input partitioning; sitemap callers pass
+        ``[sitemap_url, entry_pos]`` to keep document order).
+        """
+        self._ensure_reconciled()
+        cols = set(seeds.columns)
+        norm = seeds.select(
+            F.col("url"),
+            (
+                F.upper(F.coalesce(F.col("method"), F.lit("GET")))
+                if "method" in cols
+                else F.lit("GET")
+            ).alias("method"),
+            (
+                F.col("payload") if "payload" in cols
+                else F.lit(None).cast("string")
+            ).alias("payload"),
+            (
+                F.col("referrer") if "referrer" in cols
+                else F.lit(None).cast("string")
+            ).alias("referrer"),
+            *[F.col(c) for c in (order_cols or []) if c not in
+              ("url", "method", "payload", "referrer")],
+        )
+        order = [F.col(c) if isinstance(c, str) else c
+                 for c in (order_cols or ["url"])]
+        if dedup:
+            w = Window.partitionBy("url").orderBy(*order)
+            norm = (
+                norm.withColumn("_first", F.row_number().over(w))
+                .where(F.col("_first") == 1)
+                .drop("_first")
+            )
+        seqd = assign_global_seq(norm, order, seq_col="seq").select(
+            "url", "method", "payload", "referrer", "seq"
+        )
+        proj = self._seed_projection(seqd).persist(StorageLevel.MEMORY_AND_DISK)
+        n = proj.count()  # one job; seeding is a once-per-crawl admin cost
+        try:
+            self._finish_seed(proj, n=n)
+        finally:
+            proj.unpersist()
+        return n
+
+    def _seed_projection(self, seeds: DataFrame) -> DataFrame:
+        """(url, method, payload, referrer, seq) → full frontier row shape."""
+        return seeds.select(
+            "url",
+            url_hash("url").alias("url_hash"),
+            url_host("url").alias("host"),
+            url_path("url").alias("path"),
+            "referrer",
+            F.lit(None).cast("string").alias("title"),
+            F.lit(0).alias("depth"),
+            F.lit(-1).cast("long").alias("parent_seq"),
+            F.col("seq").cast("int").alias("link_pos"),
+            F.col("seq").cast("long").alias("seq"),
+            "method",
+            "payload",
+            F.lit("pending").alias("status"),
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in [
+                    ("error_message", "string"),
+                    ("status_code", "int"),
+                    ("content_hash", "string"),
+                    ("page_title", "string"),
+                    ("text_sha", "string"),
+                    ("text_match", "boolean"),
+                    ("fetch_slot", "timestamp"),
+                    ("round", "int"),
+                ]
+            ],
+        )
+
+    def _finish_seed(self, seeds: DataFrame, n: int) -> None:
+        """Shared tail of both seed paths: the (frontier, seen) commit pair
+        plus the robots coverage invariant (see ``_reconcile_seen_refs`` for
+        the crash-repair contract this pair participates in)."""
         self.store.write(
             "frontier",
             seeds,
-            coalesce=SnapshotStore.partitions_for(len(urls)),
+            coalesce=SnapshotStore.partitions_for(n),
             meta={
                 "event": "seed",
                 "base": True,
-                "urls": len(urls),
-                "next_seq": len(urls),
+                "urls": n,
+                "next_seq": n,
                 "n_rounds": 0,
-                "pending": len(urls),
+                "pending": n,
             },
         )
         self.seen.add(seeds.select("url"), meta={"round": -1})

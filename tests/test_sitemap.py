@@ -94,3 +94,68 @@ def test_budget_overflow_guard_and_empty(spark):
     with pytest.raises(ValueError):
         allocate_host_budget(_counts(spark, [("a", 2**40)]), budget=2**40)
     assert allocate_host_budget(_counts(spark, []), budget=10).count() == 0
+
+
+def _job(spark, tmp_path, name):
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.sources.webgraph import generate_pages, robots_source_df
+
+    return CrawlJob(
+        spark,
+        SnapshotStore(spark, str(tmp_path / name)),
+        generate_pages(spark, 2, 8, 3, mega_host=None),
+        robots_source_df(spark, 2, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+    )
+
+
+def test_seed_frame_matches_seed_list(spark, tmp_path):
+    """Distributed seeding is a pure physical-strategy switch: same urls in
+    the same order produce an identical frontier to the list path."""
+    from scrape_spark.sources.webgraph import seed_urls
+
+    urls = sorted(seed_urls(2))
+    a = _job(spark, tmp_path, "list")
+    a.seed(urls)
+    b = _job(spark, tmp_path, "frame")
+    n = b.seed_frame(spark.createDataFrame([(u,) for u in urls], "url string"))
+    assert n == len(urls)
+    cols = ["url", "seq", "link_pos", "status", "method", "payload", "referrer"]
+    assert sorted(map(tuple, a.frontier().select(cols).collect())) == sorted(
+        map(tuple, b.frontier().select(cols).collect())
+    )
+
+
+def test_seed_frame_from_sitemap_drives_crawl(spark, tmp_path):
+    """The bootstrap path end-to-end: sitemap XML → entries → seed_frame
+    (document order, cross-file dup collapsed, referrer = sitemap) → a real
+    crawl round."""
+    xml0 = (
+        "<urlset><url><loc>http://host0.test/p/0</loc></url>"
+        "<url><loc>http://host1.test/p/0</loc></url></urlset>"
+    )
+    xml1 = "<urlset><url><loc>http://host1.test/p/0</loc></url></urlset>"  # dup
+    sitemaps = spark.createDataFrame(
+        [("http://host0.test/sitemap.xml", xml0),
+         ("http://host1.test/sitemap.xml", xml1)],
+        "sitemap_url string, xml string",
+    )
+    entries = sitemap_entries(sitemaps)
+    job = _job(spark, tmp_path, "sm")
+    n = job.seed_frame(
+        entries.select(
+            F.col("loc").alias("url"),
+            F.col("sitemap_url").alias("referrer"),
+            "entry_pos",
+        ),
+        order_cols=["referrer", "entry_pos"],
+    )
+    assert n == 2  # the cross-sitemap duplicate collapsed, first wins
+    rows = {r["url"]: r for r in job.frontier().collect()}
+    assert rows["http://host0.test/p/0"]["seq"] == 0
+    assert rows["http://host1.test/p/0"]["seq"] == 1
+    assert rows["http://host1.test/p/0"]["referrer"] == "http://host0.test/sitemap.xml"
+    stats = job.run_round()
+    assert stats is not None and stats["fetched"] == 2 and stats["new_urls"] > 0
