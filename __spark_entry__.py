@@ -1698,6 +1698,89 @@ def q_url_trap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRAP_URLS_SQL).select("url", *trap_signal_cols())
 
 
+# -- lake index: SURT canonicalization + CDX-style prefix lookup --------------
+# Messy-input fixture: mixed-case hosts, userinfo, www., default and explicit
+# ports, unsorted query params, fragments — every rule of the SURT transform
+# exercised. Dialect-neutral SQL text shared by both engines.
+_SURT_URLS_SQL = """\
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'https://WWW.Host' || CAST(doc_id % 20 AS STRING) ||
+                '.Test/Dir/Page?b=' || CAST(doc_id AS STRING) || '&a=1#frag'
+    WHEN 1 THEN 'http://reader@host' || CAST(doc_id % 20 AS STRING) ||
+                '.test:8080/p/' || CAST(doc_id AS STRING)
+    WHEN 2 THEN 'http://www.host' || CAST(doc_id % 20 AS STRING) || '.test:80/'
+    WHEN 3 THEN 'https://host' || CAST(doc_id % 20 AS STRING) || '.test:443'
+    WHEN 4 THEN 'http://sub.host' || CAST(doc_id % 20 AS STRING) ||
+                '.test/a?z=9&y=8&x=7'
+    ELSE 'http://host' || CAST(doc_id % 20 AS STRING) || '.test/doc/' ||
+         CAST(doc_id AS STRING)
+  END AS url
+FROM documents"""
+
+
+def _surt_oracle() -> str:
+    from scrape_spark.functions.surt import surt_duck_sql
+
+    return (
+        f"WITH u AS ({_SURT_URLS_SQL})\n"
+        f"SELECT doc_id, url, {surt_duck_sql('url')} AS surt_key FROM u"
+    )
+
+
+@_q("surt_canonical", _surt_oracle())
+def q_surt_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT key (CDX sort key) — map-only JVM expression, no UDF, no shuffle."""
+    from scrape_spark.functions.surt import surt_key_col
+
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_SURT_URLS_SQL).select(
+        "doc_id", "url", surt_key_col("url").alias("surt_key")
+    )
+
+
+# Captures: 1 + doc_id % 3 captures per URL; ts is unique per (doc, capture)
+# so replay rank is a total order (row_number ties would be nondeterministic
+# across engines). Portable row-multiplier join instead of explode/unnest.
+_CDX_CAPTURES_SQL = f"""\
+SELECT u.url,
+       CAST(1600000000 + u.doc_id * 1000 + r.i * 7 AS BIGINT) AS ts
+FROM ({_SURT_URLS_SQL}) u
+JOIN (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2) r
+  ON r.i <= u.doc_id % 3"""
+
+
+def _cdx_oracle() -> str:
+    from scrape_spark.functions.surt import surt_duck_sql
+
+    return f"""WITH c AS ({_CDX_CAPTURES_SQL}),
+k AS (SELECT url, ts, {surt_duck_sql('url')} AS surt_key FROM c)
+SELECT surt_key, ts, url,
+       CAST(row_number() OVER (PARTITION BY surt_key ORDER BY ts) AS BIGINT)
+         AS capture_rank
+FROM k WHERE surt_key LIKE 'test,host1%'"""
+
+
+@_q("cdx_prefix_lookup", _cdx_oracle())
+def q_cdx_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX probe: range-sorted SURT index, prefix predicate, replay rank.
+
+    'test,host1' (no closing paren) deliberately spans host1 AND host10..19 —
+    the domain-subtree semantics the sorted layout exists for.
+    """
+    from scrape_spark.operators.cdx import build_cdx_index, prefix_lookup
+
+    _view(spark, sf_dir, "documents")
+    caps = spark.sql(_CDX_CAPTURES_SQL)
+    index = build_cdx_index(caps, url_col="url", ts_col="ts", num_ranges=8)
+    return prefix_lookup(index, "test,host1").select(
+        "surt_key",
+        "ts",
+        "url",
+        F.col("capture_rank").cast("long").alias("capture_rank"),
+    )
+
+
 # -- curation: per-host boilerplate line removal (the "chrome" pass) ----------
 # The corpus has no site chrome, so the fixture plants two banners per doc:
 # a nav line in EVERY doc of the source (df ratio 100% → dropped at the 60%

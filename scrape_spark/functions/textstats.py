@@ -59,6 +59,11 @@ SPARK_DIALECT = {
     "ajoin": "array_join({arr}, {sep})",
     "amax": "array_max({arr})",
     "adistinct": "array_distinct({arr})",
+    "areverse": "reverse({arr})",
+    "asort": "array_sort({arr})",
+    # a literal '.' separator for splitc (Spark split() is regex-based)
+    "dot": r"'\\.'",
+    "mkarr": "array({x})",  # 1-element array (the let-binding carrier)
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -77,6 +82,10 @@ DUCK_DIALECT = {
     "ajoin": "array_to_string({arr}, {sep})",
     "amax": "list_max({arr})",
     "adistinct": "list_distinct({arr})",
+    "areverse": "list_reverse({arr})",
+    "asort": "list_sort({arr})",
+    "dot": "'.'",
+    "mkarr": "[{x}]",
 }
 
 

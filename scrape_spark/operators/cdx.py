@@ -1,0 +1,106 @@
+"""CDX-style capture index — globally sorted SURT layout + prefix probes.
+
+Common Crawl publishes its URL index as CDX shards: capture records sorted
+by (SURT key, timestamp), so every per-host / per-domain / per-path-subtree
+question is a CONTIGUOUS RANGE of one sorted file set instead of a 10^10-row
+scan. This module is that layout on Spark primitives:
+
+- ``build_cdx_index``   — stamp the SURT key (map-only JVM expression,
+  functions/surt.py) and produce a GLOBALLY sorted frame:
+  ``repartitionByRange`` on the key gives disjoint, ordered partition
+  ranges (one range-exchange — the unavoidable sort shuffle), then
+  ``sortWithinPartitions`` orders inside each. Written as parquet, every
+  file covers a disjoint key range and carries min/max footer stats.
+- ``write_cdx_index`` / ``read_cdx_index`` — persist/open the sorted shards.
+- ``prefix_lookup``     — a SURT-prefix probe as a ``startswith`` predicate.
+  Spark pushes ``StringStartsWith`` into the parquet scan (visible as
+  ``PushedFilters`` in the formatted plan), and because the layout is
+  range-sorted the footer stats prune every non-overlapping file: the probe
+  reads O(matching captures), not O(index). That pruning is the entire
+  reason the index exists at 100 TB.
+
+The reference has no index (raw ``url(255)`` unique key only,
+schema/scraped_pages.sql:14); this is the lake-side read path a crawl at
+frontier scale needs for dedup lookups, recrawl policies and WARC replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scrape_spark.functions.surt import surt_key_col
+
+#: upper bound on a SURT prefix range — one code point above any ASCII key
+#: byte, so ``prefix <= key < prefix + SENTINEL`` is the startswith range.
+_SENTINEL = '\uffff'
+
+
+def build_cdx_index(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """SURT-key and globally sort a capture frame.
+
+    One range exchange (sampled split points, so mega-hosts spread across
+    several ranges instead of hot-spotting one task — range partitioning is
+    the skew-safe choice for sorted output), then a partition-local sort.
+    Output column order: (surt_key, ts, *payload).
+    """
+    keyed = df.withColumn("surt_key", surt_key_col(url_col))
+    cols = ["surt_key", ts_col] + [
+        c for c in df.columns if c not in (ts_col, "surt_key")
+    ]
+    keyed = keyed.select(*cols)
+    if num_ranges is not None:
+        keyed = keyed.repartitionByRange(num_ranges, "surt_key", ts_col)
+    else:
+        keyed = keyed.repartitionByRange("surt_key", ts_col)
+    return keyed.sortWithinPartitions("surt_key", ts_col)
+
+
+def write_cdx_index(index: DataFrame, path: str) -> None:
+    """Persist the sorted shards (order preserved within each file)."""
+    index.write.mode("overwrite").parquet(path)
+
+
+def read_cdx_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def prefix_range_pred(prefix: str, key_col: str = "surt_key") -> Column:
+    """``startswith`` as a closed-open key range.
+
+    Expressed as a range (not just ``startswith``) so BOTH pushdown forms
+    are available to the scan: ``StringStartsWith`` plus ``GreaterThanOrEqual/
+    LessThan`` — the latter is what prunes row groups on engines that only
+    evaluate min/max against comparison predicates.
+    """
+    c = F.col(key_col)
+    return (
+        c.startswith(F.lit(prefix))
+        & (c >= F.lit(prefix))
+        & (c < F.lit(prefix + _SENTINEL))
+    )
+
+
+def prefix_lookup(
+    index: DataFrame,
+    prefix: str,
+    key_col: str = "surt_key",
+    ts_col: str = "ts",
+    with_rank: bool = True,
+) -> DataFrame:
+    """All captures whose SURT key starts with ``prefix``, replay-ordered.
+
+    ``capture_rank`` numbers captures per key by timestamp (the CDX replay
+    order). The rank window shuffles ONLY the matched rows — pruning has
+    already cut the scan to the overlapping shards.
+    """
+    hits = index.where(prefix_range_pred(prefix, key_col))
+    if not with_rank:
+        return hits
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    return hits.withColumn("capture_rank", F.row_number().over(w))

@@ -148,6 +148,70 @@ def gopher_rules(
 
 
 # ---------------------------------------------------------------------------
+# C4-style line filters (Raffel et al. 2020, §2.2) — dialect-templated
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5  # "only retained lines that contained at least 5 words"
+C4_MIN_KEPT_LINES = 3  # "discarded any page with fewer than 3 sentences"
+
+
+def c4_rules_sql(text: str, d: dict) -> dict[str, str]:
+    """C4 cleaning rules over newline-delimited ``text``, keyed by column.
+
+    The line-granular complement to ``gopher_rules_sql`` (word statistics)
+    and ``line_dedup`` (cross-corpus duplicate lines): C4 keeps a LINE only
+    if it ends in terminal punctuation, has >= 5 words, and does not mention
+    'javascript'; it drops the whole PAGE when fewer than 3 lines survive
+    (each kept line ends in a terminal mark, so kept-line count is the
+    paper's sentence count) or when the page contains 'lorem ipsum' or a
+    curly brace. The paper's policy-word list is a deployment input, not an
+    algorithm — slot a blocklist via ``blocklist_filter`` terms instead.
+
+    Every rule is one pure SQL expression over the shared dialect tables:
+    map-only, zero shuffle, identical text on the Spark and DuckDB sides.
+    """
+    nl = "chr(10)"
+    lines = d["splitc"].format(s=f"({text})", sep=nl)
+    last = "substring(__l, length(__l), 1)"
+    nwords = d["size"].format(
+        arr=d["filter"].format(
+            arr=d["split"].format(s="__l"), lam="__w -> __w <> ''"
+        )
+    )
+    keep_line = (
+        f"__l -> ({last} IN ('.', '!', '?', '\"')"
+        f" AND {nwords} >= {C4_MIN_LINE_WORDS}"
+        f" AND position('javascript' IN lower(__l)) = 0)"
+    )
+    kept = d["filter"].format(arr=lines, lam=keep_line)
+    n_lines = f"CAST({d['size'].format(arr=lines)} AS BIGINT)"
+    n_kept = f"CAST({d['size'].format(arr=kept)} AS BIGINT)"
+    has_lorem = f"(position('lorem ipsum' IN lower({text})) > 0)"
+    has_brace = f"(position('{{' IN ({text})) > 0)"
+    return {
+        "n_lines": n_lines,
+        "n_kept_lines": n_kept,
+        "kept_text": d["ajoin"].format(arr=kept, sep=nl),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "keep_doc": (
+            f"({n_kept} >= {C4_MIN_KEPT_LINES} AND NOT {has_lorem} "
+            f"AND NOT {has_brace})"
+        ),
+    }
+
+
+def c4_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc C4 rule columns + page verdict (map-only JVM expressions)."""
+    exprs = c4_rules_sql(text_col, ts.SPARK_DIALECT)
+    return docs.select(
+        F.col(id_col), *[F.expr(e).alias(c) for c, e in exprs.items()]
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup cluster resolution
 # ---------------------------------------------------------------------------
 
