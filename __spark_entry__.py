@@ -1781,6 +1781,88 @@ def q_cdx_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- curation: C4 line filters (terminal punct / 5 words / js / lorem / {) ----
+# Five planted lines exercise every rule on both branches: line 1 always
+# retained; line 2 word-count rule (doc%3); line 3 javascript rule (doc%5);
+# line 4 lorem page-drop (doc%7; the lorem LINE itself passes the line rules
+# — the drop is page-level); line 5 brace page-drop (doc%11) vs no-terminal-
+# punctuation line drop. Docs with doc%15 == 0 keep only 2 lines -> dropped
+# by the 3-sentence floor.
+_C4_TEXT_SQL = """\
+SELECT doc_id,
+  'This is a good retained sentence with punctuation.' || chr(10) ||
+  CASE WHEN doc_id % 3 = 0 THEN 'too short line.'
+       ELSE 'Here is another sufficiently long retained sentence!' END
+  || chr(10) ||
+  CASE WHEN doc_id % 5 = 0
+       THEN 'Please enable javascript to continue reading this.'
+       ELSE 'A third fine sentence keeps this page above threshold?' END
+  || chr(10) ||
+  CASE WHEN doc_id % 7 = 0
+       THEN 'lorem ipsum dolor sit amet consectetur adipiscing.'
+       ELSE 'Terminal quote line is also retained by the filter."' END
+  || chr(10) ||
+  CASE WHEN doc_id % 11 = 0 THEN 'function f() { return 1; }'
+       ELSE 'this line has no terminal punctuation and is dropped' END
+  AS page_text
+FROM documents"""
+
+
+def _c4_oracle() -> str:
+    from scrape_spark.operators.corpus import c4_rules_sql
+
+    exprs = c4_rules_sql("page_text", _DD)
+    cols = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"WITH t AS ({_C4_TEXT_SQL})\nSELECT doc_id, {cols} FROM t"
+
+
+@_q("c4_quality_rules", _c4_oracle())
+def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filters + page verdict — map-only, zero shuffle."""
+    from scrape_spark.operators.corpus import c4_rules
+
+    _view(spark, sf_dir, "documents")
+    return c4_rules(spark.sql(_C4_TEXT_SQL), id_col="doc_id", text_col="page_text")
+
+
+# -- lake hygiene: redirect-chain resolution (pointer doubling) ----------------
+# Functional redirect graph planted over doc ids: within each decade,
+# d -> d-1 chains to the decade head; heads with d%20 == 0 are terminal,
+# heads with d%20 == 10 point at d+1 (which points back) — a 2-cycle. Chain
+# length 9 > hop cap 8 exercises the cap; the cycle exercises nontermination.
+_REDIRECT_EDGES_SQL = """\
+SELECT 'http://site.test/p/' || CAST(doc_id AS STRING) AS src,
+       'http://site.test/p/' || CAST(doc_id - 1 AS STRING) AS dst
+FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT 'http://site.test/p/' || CAST(doc_id AS STRING) AS src,
+       'http://site.test/p/' || CAST(doc_id + 1 AS STRING) AS dst
+FROM documents WHERE doc_id % 20 = 10"""
+
+_REDIRECT_ORACLE = f"""WITH RECURSIVE e AS ({_REDIRECT_EDGES_SQL}),
+walk AS (
+  SELECT src, dst AS resolved, CAST(1 AS BIGINT) AS hops FROM e
+  UNION ALL
+  SELECT w.src, e2.dst, w.hops + 1
+  FROM walk w JOIN e e2 ON w.resolved = e2.src
+  WHERE w.hops < 8),
+lastw AS (SELECT src, resolved, hops,
+                 row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+          FROM walk)
+SELECT l.src, l.resolved, l.hops, (h.src IS NULL) AS terminal
+FROM lastw l LEFT JOIN (SELECT DISTINCT src FROM e) h ON l.resolved = h.src
+WHERE rn = 1"""
+
+
+@_q("redirect_resolve", _REDIRECT_ORACLE)
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain collapse in log2(cap) self-joins vs the oracle's hop-by-hop CTE."""
+    from scrape_spark.operators.redirects import resolve_redirects
+
+    _view(spark, sf_dir, "documents")
+    return resolve_redirects(spark.sql(_REDIRECT_EDGES_SQL), max_hops=8)
+
+
 # -- curation: per-host boilerplate line removal (the "chrome" pass) ----------
 # The corpus has no site chrome, so the fixture plants two banners per doc:
 # a nav line in EVERY doc of the source (df ratio 100% → dropped at the 60%

@@ -456,3 +456,61 @@ def test_host_boilerplate_keeps_cross_host_quotes(spark):
     kept = {r["doc_id"]: r["kept_text"] for r in out.collect()}
     for h in range(4):
         assert quote in kept[h * 10]  # 1/3 of each host — kept everywhere
+
+
+def test_c4_rules_line_and_page_verdicts(spark):
+    from scrape_spark.operators.corpus import c4_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 3 clean retained lines -> kept page
+            (1, 'One fine sentence with plenty of words here.\n'
+                'Another fine sentence with plenty of words too!\n'
+                'A third fine sentence closes out the page?'),
+            # only 2 retained (middle line: 4 words) -> dropped page
+            (2, 'One fine sentence with plenty of words here.\n'
+                'Too few words here.\n'
+                'A third fine sentence closes out the page?'),
+            # javascript line dropped -> 2 retained -> dropped page
+            (3, 'One fine sentence with plenty of words here.\n'
+                'You must enable javascript to see this content.\n'
+                'A third fine sentence closes out the page?'),
+            # lorem ipsum anywhere kills the page even with 3 good lines
+            (4, 'One fine sentence with plenty of words here.\n'
+                'Another fine sentence with plenty of words too!\n'
+                'A third fine sentence mentions lorem ipsum sadly.'),
+            # curly brace kills the page
+            (5, 'One fine sentence with plenty of words here.\n'
+                'Another fine sentence with plenty of words too!\n'
+                'if (x) { return; } but this line also ends fine.'),
+            # no terminal punctuation on any line
+            (6, 'no punctuation at the end of this line\n'
+                'and none here either so nothing is retained'),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_rules(docs).collect()}
+    assert got[1].keep_doc and got[1].n_kept_lines == 3
+    assert not got[2].keep_doc and got[2].n_kept_lines == 2
+    assert not got[3].keep_doc and got[3].n_kept_lines == 2
+    assert not got[4].keep_doc and got[4].has_lorem
+    assert not got[5].keep_doc and got[5].has_brace
+    assert got[6].n_kept_lines == 0 and not got[6].keep_doc
+    # kept_text joins only the surviving lines, in document order
+    assert got[2].kept_text.split("\n") == [
+        "One fine sentence with plenty of words here.",
+        "A third fine sentence closes out the page?",
+    ]
+
+
+def test_c4_rules_quote_terminal_and_case_insensitive_js(spark):
+    from scrape_spark.operators.corpus import c4_rules
+
+    docs = spark.createDataFrame(
+        [(1, 'He said the whole thing was "finished."\n'
+             'A quoted ending counts as terminal punctuation she said."\n'
+             'But JAVASCRIPT in upper case is still caught here.')],
+        "doc_id long, text string",
+    )
+    row = c4_rules(docs).collect()[0]
+    assert row.n_kept_lines == 2  # js line dropped despite terminal '.'
