@@ -1665,6 +1665,23 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(spark.sql(_PR_EDGES_SQL), iterations=3)
 
 
+# -- webgraph: HITS hubs & authorities (same edge fixture as PageRank) --------
+def _hits_oracle() -> str:
+    from scrape_spark.operators.webrank import hits_sql
+
+    return hits_sql(_PR_EDGES_SQL, iterations=3)
+
+
+@_q("link_hits", _hits_oracle())
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg hubs/authorities — the directional complement to PageRank
+    (a hub-heavy frontier favors index pages; authority feeds priority)."""
+    from scrape_spark.operators.webrank import hits_int
+
+    _view(spark, sf_dir, "documents")
+    return hits_int(spark.sql(_PR_EDGES_SQL), iterations=3)
+
+
 # -- crawl-trap detection: URL anomaly signals before enqueue ------------------
 # Fixture injects the four classic trap shapes (segment loop, deep path,
 # param explosion, oversized URL) into otherwise-clean doc URLs; the signal

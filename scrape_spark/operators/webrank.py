@@ -165,6 +165,187 @@ def pagerank_py(
     return rank
 
 
+def _hits_norm_divisor(scale: int, idiv: str) -> str:
+    """Shared formula text: divisor that caps a score vector at ~scale.
+
+    Division-only normalization — ``x div max(1, ceil(m / scale))`` — keeps
+    every intermediate inside int64 (values only shrink), unlike the
+    ``x * scale div m`` form whose product overflows at crawl-scale node
+    counts. ``{m}`` is the vector max; ``idiv`` is the dialect's integer
+    division template (Spark ``div``, DuckDB ``//`` — identical on the
+    non-negative values here).
+    """
+    q = idiv.format(a=f"({{m}} + {scale - 1})", b=str(scale))
+    return f"greatest(CAST(1 AS BIGINT), {q})"
+
+
+def hits_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """HITS hubs & authorities — fixed-point int64, like :func:`pagerank_int`.
+
+    Kleinberg's mutual recursion: ``a_{t+1}(v) = Σ_{u→v} h_t(u)`` then
+    ``h_{t+1}(u) = Σ_{u→v} a_{t+1}(v)``, each vector renormalized to ~scale
+    by the division-only rule of ``_hits_norm_divisor`` (the float version
+    normalizes by L2; any fixed norm yields the same ORDERING, which is the
+    signal a frontier prioritizer consumes). All sums are int64 — partial
+    aggregation order cannot perturb the result — and the DuckDB oracle
+    (:func:`hits_sql`) replays the identical formulas.
+
+    Scale shape per iteration: two shuffles (one per direction's groupBy),
+    both on node keys with map-side combine; the edge table is partitioned
+    once on ``src`` and reused (the dst-keyed aggregation re-shuffles edge
+    CONTRIBUTIONS, not payloads). The per-vector max rides a broadcast
+    1-row frame — no driver action inside the loop, the whole ladder stays
+    one lazy plan.
+
+    Overflow bound: scores are ≤ ~scale after each normalization, so a sum
+    is ≤ n_nodes * scale; asserted against the real node count below.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ed = e.repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    # post-normalization scores can reach 2*scale-1 (ceil division), so the
+    # mass bound is 2 * n_nodes * scale
+    if 2 * n_nodes * scale >= 2**63:
+        ed.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"scale={scale} overflows int64 at {n_nodes} nodes; "
+            f"use scale <= {2**63 // (2 * max(n_nodes, 1))}"
+        )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        from scrape_spark.functions import textstats as ts
+
+        m = df.agg(F.max(col).alias("_m"))
+        div = _hits_norm_divisor(scale, ts.SPARK_DIALECT["idiv"]).format(m="_m")
+        return (
+            df.crossJoin(F.broadcast(m))
+            .select("node", F.expr(f"{col} div ({div})").alias(col))
+        )
+
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auths = None
+    for _ in range(iterations):
+        a = (
+            ed.join(hubs, ed["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auths = _norm(
+            nodes.join(a, "node", "left").select(
+                "node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
+            ),
+            "auth",
+        )
+        h = (
+            ed.join(auths, ed["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hubs = _norm(
+            nodes.join(h, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
+            ),
+            "hub",
+        )
+    out = (
+        hubs.join(auths, "node")
+        .select("node", "hub", "auth")
+        .localCheckpoint(eager=True)
+    )
+    ed.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hits_sql(edges_sql: str, iterations: int = 3, scale: int = SCALE) -> str:
+    """The SAME HITS ladder as chained CTEs for the DuckDB oracle."""
+    from scrape_spark.functions import textstats as ts
+
+    div = _hits_norm_divisor(scale, ts.DUCK_DIALECT["idiv"])
+    parts = [
+        f"WITH _ht_e AS ({edges_sql})",
+        "_ht_nodes AS (SELECT src AS node FROM _ht_e"
+        " UNION SELECT dst AS node FROM _ht_e)",
+        f"_ht_h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM _ht_nodes)",
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"_ht_ar{t} AS (SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT)"
+            f" AS auth FROM _ht_nodes n LEFT JOIN"
+            f" (SELECT e.dst AS node, SUM(h.hub) AS s FROM _ht_e e"
+            f" JOIN _ht_h{t} h ON h.node = e.src GROUP BY e.dst) s"
+            f" USING (node))"
+        )
+        parts.append(
+            f"_ht_am{t} AS (SELECT MAX(auth) AS m FROM _ht_ar{t})"
+        )
+        parts.append(
+            f"_ht_a{t + 1} AS (SELECT node, CAST(auth //"
+            f" ({div.format(m='m')}) AS BIGINT) AS auth"
+            f" FROM _ht_ar{t}, _ht_am{t})"
+        )
+        parts.append(
+            f"_ht_hr{t} AS (SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT)"
+            f" AS hub FROM _ht_nodes n LEFT JOIN"
+            f" (SELECT e.src AS node, SUM(a.auth) AS s FROM _ht_e e"
+            f" JOIN _ht_a{t + 1} a ON a.node = e.dst GROUP BY e.src) s"
+            f" USING (node))"
+        )
+        parts.append(f"_ht_hm{t} AS (SELECT MAX(hub) AS m FROM _ht_hr{t})")
+        parts.append(
+            f"_ht_h{t + 1} AS (SELECT node, CAST(hub //"
+            f" ({div.format(m='m')}) AS BIGINT) AS hub"
+            f" FROM _ht_hr{t}, _ht_hm{t})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node, h.hub, a.auth FROM _ht_h{iterations} h"
+        f" JOIN _ht_a{iterations} a USING (node)"
+    )
+
+
+def hits_py(
+    edges: list[tuple[int, int]],
+    iterations: int = 3,
+    scale: int = SCALE,
+) -> dict[int, tuple[int, int]]:
+    """Pure-Python executable spec of the same kernel (test oracle)."""
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+
+    def norm(vec: dict[int, int]) -> dict[int, int]:
+        m = max(vec.values())
+        div = max(1, (m + scale - 1) // scale)
+        return {v: x // div for v, x in vec.items()}
+
+    hub = {v: scale for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        auth = {v: 0 for v in nodes}
+        for s, d in edges:
+            auth[d] += hub[s]
+        auth = norm(auth)
+        hub = {v: 0 for v in nodes}
+        for s, d in edges:
+            hub[s] += auth[d]
+        hub = norm(hub)
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
 def anchor_text_agg(
     links: DataFrame,
     dst_col: str = "link_url",

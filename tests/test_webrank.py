@@ -92,3 +92,37 @@ def test_anchor_text_agg_no_python_and_single_window(spark):
     links = spark.createDataFrame([("u", "a")], "link_url string, anchor string")
     plan = anchor_text_agg(links)._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hits_matches_py_spec(spark):
+    from scrape_spark.operators.webrank import hits_int, hits_py
+
+    edges = [(1, 2), (1, 3), (4, 2), (4, 3), (2, 5), (3, 5), (5, 1), (6, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in hits_int(df, iterations=3).collect()}
+    assert got == hits_py(edges, iterations=3)
+
+
+def test_hits_hub_authority_separation(spark):
+    from scrape_spark.operators.webrank import hits_int
+
+    # pure bipartite: 1,2 are hubs pointing at 3,4,5 (authorities)
+    edges = [(h, a) for h in (1, 2) for a in (3, 4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in hits_int(df, iterations=2).collect()}
+    for h in (1, 2):
+        assert got[h][0] > 0 and got[h][1] == 0, got
+    for a in (3, 4, 5):
+        assert got[a][0] == 0 and got[a][1] > 0, got
+
+
+def test_hits_guards(spark):
+    import pytest
+
+    from scrape_spark.operators.webrank import hits_int
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        hits_int(df, iterations=0)
+    with pytest.raises(ValueError, match="overflows"):
+        hits_int(df, scale=2**62)
