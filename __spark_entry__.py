@@ -1665,6 +1665,46 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(spark.sql(_PR_EDGES_SQL), iterations=3)
 
 
+# -- sitemap discovery: robots.txt `Sitemap:` directives ----------------------
+# One robots body per host; every line shape exercised: canonical key,
+# indented UPPERCASE key, directive mixed among user-agent groups.
+_ROBOTS_BODY_SQL = """\
+SELECT 'host' || CAST(h AS STRING) || '.test' AS host,
+  '# robots for host' || CAST(h AS STRING) || chr(10) ||
+  'User-agent: *' || chr(10) ||
+  'Disallow: /private' || chr(10) ||
+  'Sitemap: http://host' || CAST(h AS STRING) || '.test/sitemap-a.xml'
+  || chr(10) ||
+  CASE WHEN h % 2 = 0
+       THEN '  SITEMAP:  http://cdn.test/host' || CAST(h AS STRING) ||
+            '-extra.xml' || chr(10)
+       ELSE '' END ||
+  'Crawl-delay: 2' AS body
+FROM (SELECT DISTINCT doc_id % 20 AS h FROM documents)"""
+
+
+def _robots_sitemaps_oracle() -> str:
+    from scrape_spark.sources.sitemap import ROBOTS_SITEMAP_RE
+
+    return f"""WITH R AS ({_ROBOTS_BODY_SQL}),
+B AS (SELECT host,
+        unnest(regexp_extract_all(body, '{ROBOTS_SITEMAP_RE}', 1))
+          AS sitemap_url,
+        generate_subscripts(
+          regexp_extract_all(body, '{ROBOTS_SITEMAP_RE}', 1), 1) AS ref_pos
+      FROM R)
+SELECT host, CAST(ref_pos AS BIGINT) AS ref_pos, sitemap_url FROM B"""
+
+
+@_q("robots_sitemap_refs", _robots_sitemaps_oracle())
+def q_robots_sitemap_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery off the already-fetched robots bodies (map-only)."""
+    from scrape_spark.sources.sitemap import robots_sitemap_refs
+
+    _view(spark, sf_dir, "documents")
+    return robots_sitemap_refs(spark.sql(_ROBOTS_BODY_SQL))
+
+
 # -- webgraph: HITS hubs & authorities (same edge fixture as PageRank) --------
 def _hits_oracle() -> str:
     from scrape_spark.operators.webrank import hits_sql

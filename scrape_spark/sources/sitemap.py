@@ -92,3 +92,49 @@ def sitemap_index_refs(
         )
         .where(F.col("child_loc") != "")
     )
+
+
+#: ``Sitemap:`` directive of robots.txt — case-insensitive key, one per
+#: line, host-wide (the spec places it outside user-agent groups). The
+#: value pattern stops at whitespace so a trailing ``\\r`` never leaks in.
+#: RAW regex (python-string form): Spark SQL string literals unescape
+#: backslashes, DuckDB's do not, so each side escapes it for its own
+#: literal syntax (`_sql_regex_literal` below for Spark; verbatim for
+#: DuckDB oracles).
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+
+
+def _sql_regex_literal(pattern: str) -> str:
+    """Escape a raw regex for a Spark SQL single-quoted string literal."""
+    return pattern.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def robots_sitemap_refs(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, ref_pos, sitemap_url) per ``Sitemap:`` directive.
+
+    The discovery half of sitemap bootstrap: robots.txt is fetched anyway
+    for the politeness gate (operators/robots.py), and its ``Sitemap:``
+    lines are how a crawl finds the sitemap set without guessing
+    ``/sitemap.xml``. Map-side regexp over the already-fetched bodies —
+    no extra fetch, no shuffle; feed the refs to the fetch stage, then
+    ``sitemap_entries`` → ``CrawlJob.seed_frame``.
+
+    The stdlib ``RobotFileParser`` used by the rules kernel
+    (operators/robots.py parse_robots_body) exposes ``site_maps()`` with
+    the same line semantics — this expression is the distributed twin so
+    discovery needs no Python worker; parity is pinned in tests.
+    """
+    pat = _sql_regex_literal(ROBOTS_SITEMAP_RE)
+    refs = F.expr(f"regexp_extract_all({body_col}, '{pat}', 1)")
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(refs).alias("pos", "sitemap_url"),
+    ).select(
+        "host",
+        (F.col("pos") + 1).cast("long").alias("ref_pos"),
+        "sitemap_url",
+    )

@@ -159,3 +159,62 @@ def test_seed_frame_from_sitemap_drives_crawl(spark, tmp_path):
     assert rows["http://host1.test/p/0"]["referrer"] == "http://host0.test/sitemap.xml"
     stats = job.run_round()
     assert stats is not None and stats["fetched"] == 2 and stats["new_urls"] > 0
+
+
+def test_robots_sitemap_refs_matches_stdlib(spark):
+    """The JVM regexp twin vs RobotFileParser.site_maps() line semantics."""
+    from urllib.robotparser import RobotFileParser
+
+    from scrape_spark.sources.sitemap import robots_sitemap_refs
+
+    bodies = {
+        "a.test": "User-agent: *\nDisallow: /x\n"
+                  "Sitemap: http://a.test/s1.xml\r\n"
+                  "sitemap: http://a.test/s2.xml\n",
+        "b.test": "  SITEMAP:\thttp://b.test/all.xml\nUser-agent: *\n",
+        "c.test": "User-agent: *\nDisallow: /\n",  # none
+    }
+    df = spark.createDataFrame(list(bodies.items()), "host string, body string")
+    got: dict[str, list] = {h: [] for h in bodies}
+    for r in robots_sitemap_refs(df).collect():
+        got[r.host].append((r.ref_pos, r.sitemap_url))
+    for host, body in bodies.items():
+        rp = RobotFileParser()
+        rp.parse(body.splitlines())
+        expect = rp.site_maps() or []
+        assert [u for _, u in sorted(got[host])] == list(expect), host
+    assert got["c.test"] == []
+
+
+def test_robots_discovery_to_seed_frame(spark, tmp_path):
+    """Discovery end-to-end: robots bodies → Sitemap refs → (join the
+    fetched XML) → entries → seed_frame, referrer = the sitemap URL."""
+    from scrape_spark.sources.sitemap import robots_sitemap_refs
+
+    robots = spark.createDataFrame(
+        [("host0.test", "User-agent: *\nSitemap: http://host0.test/sm.xml\n")],
+        "host string, body string",
+    )
+    fetched = spark.createDataFrame(
+        [("http://host0.test/sm.xml",
+          "<urlset><url><loc>http://host0.test/p/0</loc></url>"
+          "<url><loc>http://host0.test/p/1</loc></url></urlset>")],
+        "url string, xml string",
+    )
+    refs = robots_sitemap_refs(robots)
+    xml = refs.join(fetched, refs["sitemap_url"] == fetched["url"]).select(
+        "sitemap_url", "xml"
+    )
+    entries = sitemap_entries(xml)
+    job = _job(spark, tmp_path, "disc")
+    n = job.seed_frame(
+        entries.select(
+            F.col("loc").alias("url"),
+            F.col("sitemap_url").alias("referrer"),
+            "entry_pos",
+        ),
+        order_cols=["referrer", "entry_pos"],
+    )
+    assert n == 2
+    rows = {r["url"]: r for r in job.frontier().collect()}
+    assert rows["http://host0.test/p/1"]["referrer"] == "http://host0.test/sm.xml"
