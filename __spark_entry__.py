@@ -1882,6 +1882,53 @@ def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules(spark.sql(_C4_TEXT_SQL), id_col="doc_id", text_col="page_text")
 
 
+# -- lake hygiene: rel=canonical dedup -----------------------------------------
+# Four page shapes: rel-first declaration, href-first declaration (both
+# pointing at the vigesimal group head), explicit self-canonical in
+# UPPERCASE, and no declaration. Group heads are %4 == 0, so each head
+# declares ITSELF canonical — the representative-priority rule
+# (canonical-member-first) is exercised, not just min-url fallback.
+_CANON_PAGES_SQL = """\
+SELECT 'http://site.test/p/' || CAST(doc_id AS STRING) AS url,
+  CASE doc_id % 4
+    WHEN 0 THEN '<html><head><link rel="canonical" href="http://site.test/p/'
+                || CAST(doc_id - doc_id % 20 AS STRING)
+                || '"/></head><body>x</body></html>'
+    WHEN 1 THEN '<html><head><link href="http://site.test/p/'
+                || CAST(doc_id - doc_id % 20 AS STRING)
+                || '" rel="canonical"/></head></html>'
+    WHEN 2 THEN '<html><head><LINK REL="canonical" HREF="http://site.test/p/'
+                || CAST(doc_id AS STRING) || '"/></head></html>'
+    ELSE '<html><head><title>t</title></head><body>no canonical</body></html>'
+  END AS html
+FROM documents"""
+
+
+def _canonical_oracle() -> str:
+    from scrape_spark.functions.canonical import canonical_sql
+
+    return f"""WITH P AS ({_CANON_PAGES_SQL}),
+K AS (SELECT url, COALESCE({canonical_sql('html', _DD)}, url)
+        AS canonical_url FROM P),
+R AS (SELECT url, canonical_url,
+        row_number() OVER (PARTITION BY canonical_url
+          ORDER BY CASE WHEN url = canonical_url THEN 0 ELSE 1 END, url)
+          AS rn,
+        CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+          AS cluster_size
+      FROM K)
+SELECT url, canonical_url, (rn = 1) AS is_rep, cluster_size FROM R"""
+
+
+@_q("canonical_dedup", _canonical_oracle())
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-declared logical dedup: one shuffle on the canonical key."""
+    from scrape_spark.operators.dedup import canonical_dedup
+
+    _view(spark, sf_dir, "documents")
+    return canonical_dedup(spark.sql(_CANON_PAGES_SQL))
+
+
 # -- lake hygiene: redirect-chain resolution (pointer doubling) ----------------
 # Functional redirect graph planted over doc ids: within each decade,
 # d -> d-1 chains to the decade head; heads with d%20 == 0 are terminal,

@@ -196,3 +196,55 @@ def latest_capture(
         .agg(F.max_by(packed, tie).alias("_r"))
         .select(key, ts_col, *[F.col(f"_r.{c}").alias(c) for c in others])
     )
+
+
+def canonical_dedup(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Collapse pages onto their declared ``rel=canonical`` target.
+
+    Cluster key = the page's canonical declaration
+    (functions/canonical.py), or its own URL when none is declared
+    (every page is self-canonical by default). Per page:
+
+    - ``canonical_url``  — the cluster key;
+    - ``is_rep``         — representative flag: the member whose URL equals
+      the key (the canonical page itself, when captured), else the
+      lexicographically smallest member URL — a total order, so exactly
+      one representative per cluster, deterministically;
+    - ``cluster_size``   — members sharing the key.
+
+    Scale shape: one map-side regexp to stamp the key, then a single
+    window over the key (equivalently one groupBy+join) — the same
+    one-shuffle profile as ``exact_dedup``, keyed on canonical URL instead
+    of content hash. The two compose: content dedup removes byte-identical
+    captures, canonical dedup removes page-declared logical duplicates
+    that differ in bytes.
+    """
+    from pyspark.sql import Window
+
+    from scrape_spark.functions.canonical import canonical_col
+
+    keyed = pages.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(canonical_col(html_col), F.col(url_col)).alias(
+            "canonical_url"
+        ),
+    )
+    w = Window.partitionBy("canonical_url")
+    ranked = keyed.select(
+        "url",
+        "canonical_url",
+        F.row_number()
+        .over(
+            w.orderBy(
+                (F.col("url") != F.col("canonical_url")).cast("int"), "url"
+            )
+        )
+        .alias("_rn"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
+    return ranked.select(
+        "url", "canonical_url", (F.col("_rn") == 1).alias("is_rep"),
+        "cluster_size",
+    )

@@ -553,3 +553,50 @@ def test_latest_capture_rejects_unknown_tiebreak_col(spark):
     with pytest.raises(ValueError, match="tiebreak_col"):
         latest_capture(caps, tiebreak_col="url")
     assert latest_capture(caps, tiebreak_col=None).count() == 1
+
+
+def test_canonical_extraction_variants(spark):
+    from scrape_spark.functions.canonical import canonical_col
+
+    pages = [
+        # attribute orders, case, self-closing, single vs double spacing
+        ('<link rel="canonical" href="http://a.test/x"/>', "http://a.test/x"),
+        ('<link href="http://a.test/y" rel="canonical">', "http://a.test/y"),
+        ('<LINK REL="canonical" HREF="http://a.test/z">', "http://a.test/z"),
+        ('<link rel="stylesheet" href="http://a.test/css">', None),
+        ("<head><title>no link at all</title></head>", None),
+        ('<link rel="canonical" href="">', None),  # empty declaration
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(pages)], "i long, html string"
+    )
+    got = {r.i: r.c for r in df.select("i", canonical_col().alias("c")).collect()}
+    for i, (_, want) in enumerate(pages):
+        assert got[i] == want, (i, pages[i])
+
+
+def test_canonical_dedup_representative_rules(spark):
+    from scrape_spark.operators.dedup import canonical_dedup
+
+    rows = [
+        # cluster with its canonical page captured -> that page is rep
+        ("http://s.test/a", '<link rel="canonical" href="http://s.test/a">'),
+        ("http://s.test/a?p=2", '<link rel="canonical" href="http://s.test/a">'),
+        # cluster whose canonical target was never captured -> min url is rep
+        ("http://s.test/m2", '<link rel="canonical" href="http://s.test/m">'),
+        ("http://s.test/m1", '<link rel="canonical" href="http://s.test/m">'),
+        # undeclared -> self-cluster of one
+        ("http://s.test/solo", "<html>plain</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r.url: r for r in canonical_dedup(df).collect()}
+    assert got["http://s.test/a"].is_rep and got["http://s.test/a"].cluster_size == 2
+    assert not got["http://s.test/a?p=2"].is_rep
+    assert got["http://s.test/m1"].is_rep  # min url wins when target absent
+    assert not got["http://s.test/m2"].is_rep
+    assert got["http://s.test/m2"].cluster_size == 2
+    assert got["http://s.test/solo"].is_rep
+    assert got["http://s.test/solo"].cluster_size == 1
+    # exactly one rep per cluster
+    reps = [r for r in got.values() if r.is_rep]
+    assert len(reps) == len({r.canonical_url for r in got.values()})
