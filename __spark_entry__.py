@@ -1630,6 +1630,90 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- CC derivatives: WET (conversion/text) and WAT (metadata/JSON) roundtrips --
+@_q(
+    "wet_roundtrip",
+    f"""SELECT 'http://docs.test/' || CAST(doc_id AS STRING) AS target_uri,
+  'conversion' AS warc_type, 'text/plain' AS content_type,
+  text AS body_text FROM documents""",
+)
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages → WET sink → WARC source: extracted text survives byte-exactly
+    as conversion records (the file set text pipelines read instead of
+    payload HTML)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from scrape_spark.sources.warc import read_warc, write_wet
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://docs.test/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "text",
+        F.expr(_WARC_DATE_SQL).alias("warc_date"),
+    )
+    out = tempfile.mkdtemp(prefix="wet_rt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    write_wet(docs, out)
+    rec = read_warc(spark, out)
+    return rec.select(
+        "target_uri",
+        "warc_type",
+        "content_type",
+        F.col("body").cast("string").alias("body_text"),
+    )
+
+
+@_q(
+    "wat_roundtrip",
+    """SELECT 'http://docs.test/' || CAST(doc_id AS STRING) AS target_uri,
+  'metadata' AS warc_type,
+  CAST(200 + doc_id % 3 AS INT) AS status,
+  'Doc ' || CAST(doc_id AS STRING) AS title,
+  CAST(1 + doc_id % 2 AS BIGINT) AS n_links,
+  'http://docs.test/' || CAST((doc_id * 7 + 1) % 500 AS STRING)
+    AS first_link
+FROM documents""",
+)
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages → WAT sink → WARC source → JSON fields re-extracted: the
+    metadata envelope (status, title, out-links) survives the trip."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from scrape_spark.sources.warc import read_warc, write_wat
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://docs.test/"), d.cast("string")).alias("url"),
+        F.expr(_WARC_DATE_SQL).alias("warc_date"),
+        (F.lit(200) + (d % 3)).cast("int").alias("status"),
+        F.concat(F.lit("Doc "), d.cast("string")).alias("title"),
+        F.expr(
+            "transform(sequence(0, doc_id % 2), "
+            "i -> 'http://docs.test/' || CAST((doc_id * 7 + 1 + i) % 500"
+            " AS STRING))"
+        ).alias("links"),
+    )
+    out = tempfile.mkdtemp(prefix="wat_rt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    write_wat(
+        docs, out, status_col="status", title_col="title", links_col="links"
+    )
+    rec = read_warc(spark, out)
+    body = F.col("body").cast("string")
+    return rec.select(
+        "target_uri",
+        "warc_type",
+        F.get_json_object(body, "$.status").cast("int").alias("status"),
+        F.get_json_object(body, "$.title").alias("title"),
+        F.get_json_object(body, "$.n_links").cast("long").alias("n_links"),
+        F.get_json_object(body, "$.links[0]").alias("first_link"),
+    )
+
+
 # -- link-graph authority: integer PageRank over a synthetic webgraph ---------
 # Edges are derived from documents by two affine maps plus a hub edge every
 # 10th doc — a deterministic scale-free-ish graph, the same fixture string in

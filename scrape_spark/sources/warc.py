@@ -197,6 +197,8 @@ def write_warc(
     body_col: str = "body",
     date_col: str = "warc_date",
     status_col: str | None = None,
+    warc_type: str = "response",
+    http_content_type: str = "text/html",
 ) -> int:
     """Write one ``.warc.gz`` per partition; returns the record count.
 
@@ -256,7 +258,9 @@ def write_warc(
                             getattr(row, uri_col),
                             body,
                             date,
+                            warc_type=warc_type,
                             http_status=int(status),
+                            http_content_type=http_content_type,
                             null_fields=tuple(nulls),
                         )
                         fh.write(gzip.compress(rec))
@@ -323,4 +327,82 @@ def warc_pages_view(records: DataFrame) -> DataFrame:
             F.col("http_status").alias("status_code"),
             F.col("warc_date").alias("fetched_at"),
         )
+    )
+
+
+# -- Common-Crawl derivative record sets (WET / WAT) ---------------------------
+# CC publishes three parallel file sets per crawl: WARC (captures), WET
+# (conversion records: extracted plain text) and WAT (metadata records:
+# JSON envelopes — links, title, HTTP info). Downstream text pipelines read
+# WET/WAT and never touch payload HTML; the engine produces both from its
+# pages frame with pure column ops + the same executor-side sink.
+
+
+def wet_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """``conversion``-record frame (the WET shape) from extracted text."""
+    return pages.select(
+        F.col(url_col).alias("target_uri"),
+        F.col(text_col).alias("body"),
+        F.col(date_col).alias("warc_date"),
+    )
+
+
+def write_wet(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str = "warc_date",
+) -> int:
+    """One ``.warc.gz`` of ``conversion``/``text/plain`` records per
+    partition — NULL text survives the trip (X-Scrape-Null, as the WARC
+    sink), so curation ops downstream of a WET read see the same rows."""
+    return write_warc(
+        wet_records(pages, url_col, text_col, date_col),
+        out_dir,
+        warc_type="conversion",
+        http_content_type="text/plain",
+    )
+
+
+def wat_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    status_col: str | None = None,
+    title_col: str | None = None,
+    links_col: str | None = None,
+) -> DataFrame:
+    """``metadata``-record frame (the WAT shape): one compact JSON body per
+    capture — url, http status, title, out-link list and count. Optional
+    columns are included only when the caller has them (``to_json`` of one
+    struct; the body never leaves the JVM)."""
+    fields = [F.col(url_col).alias("url")]
+    if status_col:
+        fields.append(F.col(status_col).cast("int").alias("status"))
+    if title_col:
+        fields.append(F.col(title_col).alias("title"))
+    if links_col:
+        fields.append(F.col(links_col).alias("links"))
+        fields.append(F.size(F.col(links_col)).cast("long").alias("n_links"))
+    return pages.select(
+        F.col(url_col).alias("target_uri"),
+        F.to_json(F.struct(*fields)).alias("body"),
+        F.col(date_col).alias("warc_date"),
+    )
+
+
+def write_wat(pages: DataFrame, out_dir: str, **cols) -> int:
+    """One ``.warc.gz`` of ``metadata``/``application/json`` records per
+    partition."""
+    return write_warc(
+        wat_records(pages, **cols),
+        out_dir,
+        warc_type="metadata",
+        http_content_type="application/json",
     )

@@ -226,3 +226,45 @@ def test_decode_tolerates_corrupt_gzip_member():
     r2[len(r2) // 2] ^= 0xFF  # flip a byte mid-member
     recs = list(decode_records(r1 + bytes(r2)))
     assert [r["target_uri"] for r in recs] == ["http://t.test/ok"]
+
+
+def test_wet_roundtrip_preserves_null_text(spark, tmp_path):
+    from scrape_spark.sources.warc import read_warc, write_wet
+
+    docs = spark.createDataFrame(
+        [("http://t/1", "hello text", "2026-01-01T00:00:00Z"),
+         ("http://t/2", None, "2026-01-01T00:00:01Z")],
+        "url string, text string, warc_date string",
+    )
+    out = str(tmp_path / "wet")
+    assert write_wet(docs, out) == 2
+    rec = {r.target_uri: r for r in read_warc(spark, out).collect()}
+    assert rec["http://t/1"].warc_type == "conversion"
+    assert rec["http://t/1"].content_type == "text/plain"
+    assert bytes(rec["http://t/1"].body) == b"hello text"
+    assert rec["http://t/2"].body is None  # X-Scrape-Null survives
+
+
+def test_wat_records_minimal_and_full(spark, tmp_path):
+    import json
+
+    from scrape_spark.sources.warc import read_warc, wat_records, write_wat
+
+    docs = spark.createDataFrame(
+        [("http://t/1", "2026-01-01T00:00:00Z", 200, "T1",
+          ["http://t/2", "http://t/3"])],
+        "url string, warc_date string, status int, title string, "
+        "links array<string>",
+    )
+    # minimal: url only in the envelope
+    body = json.loads(wat_records(docs).collect()[0].body)
+    assert body == {"url": "http://t/1"}
+    # full envelope through the sink and back
+    out = str(tmp_path / "wat")
+    write_wat(docs, out, status_col="status", title_col="title",
+              links_col="links")
+    r = read_warc(spark, out).collect()[0]
+    assert r.warc_type == "metadata" and r.content_type == "application/json"
+    got = json.loads(bytes(r.body))
+    assert got == {"url": "http://t/1", "status": 200, "title": "T1",
+                   "links": ["http://t/2", "http://t/3"], "n_links": 2}
