@@ -1966,6 +1966,70 @@ def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules(spark.sql(_C4_TEXT_SQL), id_col="doc_id", text_col="page_text")
 
 
+# -- lake policy keys: registered domain (eTLD+1) + per-domain stats ----------
+# Host shapes: multi-label PSL suffix (co.uk), plain TLD with www, nested
+# subdomains under a private-registry suffix (github.io), an unlisted TLD
+# (PSL default-rule fallback), a host that IS a bare suffix, a single label.
+_DOMAIN_HOSTS_SQL = """\
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'a.example' || CAST(doc_id % 5 AS STRING) || '.co.uk'
+    WHEN 1 THEN 'www.example' || CAST(doc_id % 5 AS STRING) || '.com'
+    WHEN 2 THEN 'deep.sub.site' || CAST(doc_id % 5 AS STRING) || '.github.io'
+    WHEN 3 THEN 'example' || CAST(doc_id % 5 AS STRING) || '.unknown'
+    WHEN 4 THEN 'co.uk'
+    ELSE 'single'
+  END AS host
+FROM documents"""
+
+
+def _domain_stats_oracle() -> str:
+    from scrape_spark.operators.corpus import PSL_CORE
+
+    psl_vals = ", ".join(f"'{s}'" for s in PSL_CORE)
+    return f"""WITH F0 AS ({_DOMAIN_HOSTS_SQL}),
+H AS (SELECT DISTINCT host FROM F0),
+HP AS (SELECT host, string_split(host, '.') AS parts FROM H),
+S0 AS (SELECT host, parts,
+         unnest(generate_series(1, len(parts))) AS gs FROM HP),
+S AS (SELECT host, array_to_string(parts[gs:len(parts)], '.') AS sfx
+      FROM S0),
+P AS (SELECT unnest([{psl_vals}]) AS sfx),
+BEST AS (SELECT s.host, arg_max(s.sfx, length(s.sfx)) AS sfx
+         FROM S s JOIN P p ON s.sfx = p.sfx GROUP BY s.host),
+R AS (SELECT hp.host,
+        CASE WHEN b.sfx IS NULL THEN
+               array_to_string(
+                 parts[greatest(len(parts) - 1, 1):len(parts)], '.')
+             WHEN len(string_split(b.sfx, '.')) >= len(parts) THEN hp.host
+             ELSE parts[len(parts) - len(string_split(b.sfx, '.'))]
+                  || '.' || b.sfx END AS registered_domain
+      FROM HP hp LEFT JOIN BEST b USING (host))
+SELECT r.registered_domain,
+       CAST(count(DISTINCT f.host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM F0 f JOIN R r USING (host)
+GROUP BY r.registered_domain"""
+
+
+@_q("domain_stats", _domain_stats_oracle())
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 resolution (PSL longest-match over distinct hosts) + the
+    per-domain rollup every crawl budget / dedup ratio keys on."""
+    from scrape_spark.operators.corpus import registered_domain
+
+    _view(spark, sf_dir, "documents")
+    docs = spark.sql(_DOMAIN_HOSTS_SQL)
+    return (
+        registered_domain(docs, host_col="host")
+        .groupBy("registered_domain")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+
+
 # -- lake hygiene: rel=canonical dedup -----------------------------------------
 # Four page shapes: rel-first declaration, href-first declaration (both
 # pointing at the vigesimal group head), explicit self-canonical in

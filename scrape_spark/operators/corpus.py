@@ -862,3 +862,90 @@ def host_boilerplate(
             F.lit(""),
         ).alias("kept_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# registered domain (eTLD+1) — public-suffix-list semantics
+# ---------------------------------------------------------------------------
+
+#: Built-in PSL core — a deployment swaps in the full Mozilla list (~9k
+#: exact rules) as a DataFrame; semantics are identical because matching is
+#: a broadcast join either way. Subset: exact rules only (wildcard `*.ck`
+#: and exception `!www.ck` rules are out of scope, documented).
+PSL_CORE = [
+    "com", "org", "net", "edu", "gov", "io", "dev", "app", "test",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "github.io", "blogspot.com",
+]
+
+
+def registered_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    psl: DataFrame | list[str] | None = None,
+) -> DataFrame:
+    """Add ``registered_domain`` — the eTLD+1 every per-site policy keys on.
+
+    Crawl budgets, blocklists, dedup ratios and skew stats all group by
+    REGISTRABLE domain, not hostname ('a.example.co.uk' and
+    'b.example.co.uk' are one site, 'example.co.uk'; grouping by the
+    2-label tail would wrongly fuse every .co.uk site). PSL longest-match:
+
+    - expand the host into its dot-suffix array (``host_suffixes_expr`` —
+      the blocklist key expansion, reused);
+    - equi-join candidates against the suffix list (broadcast — the full
+      PSL is ~9k rows) and keep the LONGEST match per host;
+    - registered domain = one label + the matched suffix; a host that IS
+      a bare suffix yields itself; an unlisted TLD falls back to the PSL
+      default rule (top label is the suffix → last two labels).
+
+    Scale shape: resolution runs over DISTINCT hosts (the host set is
+    orders of magnitude smaller than the row set), suffix explode is
+    <= ~10 rows per host, the PSL join is broadcast, the longest-match
+    pick is a max_by aggregation keyed on host, and results attach back
+    to the input by one host-keyed join — payload columns never enter
+    the explode.
+    """
+    if psl is None:
+        psl = PSL_CORE
+    if isinstance(psl, list):
+        psl_df = df.sparkSession.createDataFrame(
+            [(s,) for s in psl], "_psl_suffix string"
+        )
+    else:
+        psl_df = psl.select(F.col(psl.columns[0]).alias("_psl_suffix"))
+    hosts = df.select(F.col(host_col).alias("_rd_host")).distinct()
+    cand = hosts.select(
+        "_rd_host",
+        F.explode(host_suffixes_expr("_rd_host")).alias("_psl_suffix"),
+    )
+    best = (
+        cand.join(F.broadcast(psl_df.distinct()), "_psl_suffix")
+        .groupBy("_rd_host")
+        .agg(F.max_by("_psl_suffix", F.length("_psl_suffix")).alias("_sfx"))
+    )
+    labels = F.split(F.col("_rd_host"), "[.]")
+    n = F.size(labels)
+    sfx_labels = F.size(F.split(F.col("_sfx"), "[.]"))
+    resolved = hosts.join(best, "_rd_host", "left").select(
+        "_rd_host",
+        F.when(
+            F.col("_sfx").isNull(),
+            # PSL default rule: unlisted top label acts as the suffix
+            F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), "."),
+        )
+        .when(sfx_labels >= n, F.col("_rd_host"))  # host IS a suffix
+        .otherwise(
+            F.concat(
+                F.element_at(labels, (n - sfx_labels).cast("int")),
+                F.lit("."),
+                F.col("_sfx"),
+            )
+        )
+        .alias("registered_domain"),
+    )
+    return df.join(
+        resolved.withColumnRenamed("_rd_host", host_col), host_col, "left"
+    )

@@ -514,3 +514,36 @@ def test_c4_rules_quote_terminal_and_case_insensitive_js(spark):
     )
     row = c4_rules(docs).collect()[0]
     assert row.n_kept_lines == 2  # js line dropped despite terminal '.'
+
+
+def test_registered_domain_psl_semantics(spark):
+    from scrape_spark.operators.corpus import registered_domain
+
+    cases = {
+        "a.b.example.co.uk": "example.co.uk",   # multi-label suffix
+        "www.example.com": "example.com",
+        "user.github.io": "user.github.io",     # private-registry suffix
+        "deep.sub.user.github.io": "user.github.io",
+        "example.unknowntld": "example.unknowntld",  # PSL default rule
+        "x.y.example.unknowntld": "example.unknowntld",
+        "co.uk": "co.uk",                        # host IS a suffix
+        "single": "single",                      # one unlisted label
+        "io": "io",                              # bare listed TLD
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r.host: r.registered_domain for r in registered_domain(df).collect()}
+    assert got == cases
+
+
+def test_registered_domain_dataframe_psl_and_passthrough(spark):
+    from scrape_spark.operators.corpus import registered_domain
+
+    df = spark.createDataFrame(
+        [("a.example.custom", 1), ("b.other.com", 2)],
+        "host string, payload long",
+    )
+    psl = spark.createDataFrame([("custom",), ("com",)], "suffix string")
+    got = {r.host: r for r in registered_domain(df, psl=psl).collect()}
+    assert got["a.example.custom"].registered_domain == "example.custom"
+    assert got["b.other.com"].registered_domain == "other.com"
+    assert got["a.example.custom"].payload == 1  # payload columns survive
