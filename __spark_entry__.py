@@ -1966,6 +1966,49 @@ def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules(spark.sql(_C4_TEXT_SQL), id_col="doc_id", text_col="page_text")
 
 
+# -- lake delta: crawl-to-crawl capture diff -----------------------------------
+# Old crawl = all docs; new crawl drops doc%7 (removed), rewrites content
+# for doc%5 (changed), and adds a shifted id block (added). Content identity
+# is the shared rolling text hash so both engines agree bit-for-bit.
+_DIFF_OLD_SQL = """\
+SELECT 'http://site.test/p/' || CAST(doc_id AS STRING) AS url,
+       {h} AS content_hash
+FROM documents"""
+_DIFF_NEW_SQL = """\
+SELECT 'http://site.test/p/' || CAST(doc_id AS STRING) AS url,
+       CASE WHEN doc_id % 5 = 0 THEN {h} + 1 ELSE {h} END AS content_hash
+FROM documents WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT 'http://site.test/p/' || CAST(doc_id + 100000 AS STRING) AS url,
+       {h} AS content_hash
+FROM documents WHERE doc_id % 11 = 0"""
+
+
+def _capture_diff_oracle() -> str:
+    h = ts.text_hash_sql("text", _DD)
+    return f"""WITH O AS ({_DIFF_OLD_SQL.format(h=h)}),
+N AS ({_DIFF_NEW_SQL.format(h=h)})
+SELECT COALESCE(o.url, n.url) AS url,
+  CASE WHEN o.url IS NULL THEN 'added'
+       WHEN n.url IS NULL THEN 'removed'
+       WHEN o.content_hash = n.content_hash THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  o.content_hash AS old_hash, n.content_hash AS new_hash
+FROM O o FULL OUTER JOIN N n ON o.url = n.url"""
+
+
+@_q("capture_diff", _capture_diff_oracle())
+def q_capture_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl delta (added/removed/changed/unchanged) — one url join."""
+    from scrape_spark.operators.recrawl import capture_diff
+
+    _view(spark, sf_dir, "documents")
+    h = ts.text_hash_sql("text", _SD)
+    old = spark.sql(_DIFF_OLD_SQL.format(h=h))
+    new = spark.sql(_DIFF_NEW_SQL.format(h=h))
+    return capture_diff(old, new)
+
+
 # -- lake policy keys: registered domain (eTLD+1) + per-domain stats ----------
 # Host shapes: multi-label PSL suffix (co.uk), plain TLD with www, nested
 # subdomains under a private-registry suffix (github.io), an unlisted TLD

@@ -102,3 +102,43 @@ SELECT url, n_caps, n_versions, last_ts,
              * ((n_caps - 1) + 9 * (n_versions - 1))) // (n_caps - 1)
   END AS BIGINT) AS priority
 FROM _per"""
+
+
+def capture_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Crawl-to-crawl delta: per URL, ``added|removed|changed|unchanged``.
+
+    The cross-crawl diff every archive publishes alongside the captures
+    (and the input to incremental downstream rebuilds: only ``added`` and
+    ``changed`` rows re-enter dedup/curation; ``removed`` rows tombstone).
+    The reference has no notion of a second crawl at all (one row per URL,
+    forever); this compares any two capture sets by URL and content
+    identity.
+
+    One full outer join on the URL key — both sides shuffle once on
+    ``url``; at lake scale both inputs are already bucketed by url (the
+    statestore layout), so the exchange elides. Content identity compares
+    the caller's hash column (the engine's sha256/text-hash columns — the
+    bytes themselves never move).
+
+    Output: (url, status, old_hash, new_hash) — hashes NULL on the absent
+    side, so downstream filters need no re-join.
+    """
+    o = old.select(
+        F.col(url_col).alias("url"), F.col(hash_col).alias("old_hash")
+    ).dropDuplicates(["url"])
+    n = new.select(
+        F.col(url_col).alias("url"), F.col(hash_col).alias("new_hash")
+    ).dropDuplicates(["url"])
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"), "old_hash", "new_hash")

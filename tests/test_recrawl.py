@@ -65,3 +65,22 @@ def test_plan_no_python_and_two_phase_distinct(spark):
     # the distinct-count's standard expansion: (url, th) partial, then url
     assert plan.count("Exchange") <= 2
     assert "Scan" in plan and plan.count("Join") == 0  # single-pass, no join
+
+
+def test_capture_diff_statuses(spark):
+    from scrape_spark.operators.recrawl import capture_diff
+
+    old = spark.createDataFrame(
+        [("u1", 10), ("u2", 20), ("u3", 30), ("u3", 30)],  # dup collapses
+        "url string, content_hash long",
+    )
+    new = spark.createDataFrame(
+        [("u1", 10), ("u2", 99), ("u4", 40)],
+        "url string, content_hash long",
+    )
+    got = {r.url: r for r in capture_diff(old, new).collect()}
+    assert got["u1"].status == "unchanged"
+    assert got["u2"].status == "changed" and got["u2"].old_hash == 20
+    assert got["u3"].status == "removed" and got["u3"].new_hash is None
+    assert got["u4"].status == "added" and got["u4"].old_hash is None
+    assert len(got) == 4
