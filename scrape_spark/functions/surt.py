@@ -80,8 +80,16 @@ def surt_sql(url: str, d: dict) -> str:
             "ELSE '' END",
         ),
         ("__rst", "CASE WHEN __sp > 0 THEN substring(__nf, __sp + 3) ELSE __nf END"),
-        # authority | path?query
-        ("__slp", "position('/' IN __rst)"),
+        # authority ends at '/' OR '?' (RFC 3986 — a query can follow the
+        # host with no path: 'https://example.com?a=1'); the fragment case
+        # is already stripped. The cut is the smaller positive position.
+        ("__sl0", "position('/' IN __rst)"),
+        ("__qm0", "position('?' IN __rst)"),
+        (
+            "__slp",
+            "CASE WHEN __sl0 > 0 AND (__qm0 = 0 OR __sl0 < __qm0) THEN __sl0 "
+            "WHEN __qm0 > 0 THEN __qm0 ELSE 0 END",
+        ),
         (
             "__ath",
             "CASE WHEN __slp > 0 THEN substring(__rst, 1, __slp - 1) "

@@ -31,9 +31,29 @@ from pyspark.sql import functions as F
 
 from scrape_spark.functions.surt import surt_key_col
 
-#: upper bound on a SURT prefix range — one code point above any ASCII key
-#: byte, so ``prefix <= key < prefix + SENTINEL`` is the startswith range.
-_SENTINEL = '\uffff'
+
+def _next_prefix(prefix: str) -> str | None:
+    """The smallest string greater than every ``prefix``-prefixed string.
+
+    Increment the last code point, carrying over maxed-out ones — correct
+    for ANY continuation (including supplementary-plane characters: SURT
+    keys store URLs verbatim, so non-BMP bytes are possible and a naive
+    ``prefix + chr(0xFFFF)`` bound would EXCLUDE keys whose continuation
+    sorts above it). Comparison semantics match Spark's binary string
+    order because incrementing a code point increments its first differing
+    UTF-8 byte. Returns None when every char is U+10FFFF (no finite upper
+    bound; practically unreachable for SURT keys).
+    """
+    out = list(prefix)
+    while out:
+        cp = ord(out[-1])
+        if cp < 0x10FFFF:
+            # skip the surrogate gap — lone surrogates don't round-trip
+            nxt = 0xE000 if cp == 0xD7FF else cp + 1
+            out[-1] = chr(nxt)
+            return "".join(out)
+        out.pop()
+    return None
 
 
 def build_cdx_index(
@@ -79,11 +99,11 @@ def prefix_range_pred(prefix: str, key_col: str = "surt_key") -> Column:
     evaluate min/max against comparison predicates.
     """
     c = F.col(key_col)
-    return (
-        c.startswith(F.lit(prefix))
-        & (c >= F.lit(prefix))
-        & (c < F.lit(prefix + _SENTINEL))
-    )
+    pred = c.startswith(F.lit(prefix)) & (c >= F.lit(prefix))
+    upper = _next_prefix(prefix)
+    if upper is not None:
+        pred = pred & (c < F.lit(upper))
+    return pred
 
 
 def prefix_lookup(

@@ -109,6 +109,7 @@ def capture_diff(
     new: DataFrame,
     url_col: str = "url",
     hash_col: str = "content_hash",
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Crawl-to-crawl delta: per URL, ``added|removed|changed|unchanged``.
 
@@ -119,6 +120,17 @@ def capture_diff(
     forever); this compares any two capture sets by URL and content
     identity.
 
+    Presence is tracked by an explicit per-side marker, NEVER by hash
+    nullity — the lake stores genuinely NULL content (X-Scrape-Null WARC
+    rows, NULL text hashes), and a data-NULL must not read as "absent
+    from this crawl". NULL-vs-NULL hashes on a both-sides URL compare as
+    ``unchanged`` (null-safe equality).
+
+    Multi-capture inputs reduce deterministically BEFORE the diff: with
+    ``ts_col``, the latest capture per URL wins (max_by, ties by larger
+    hash); without, the smallest hash wins (a stable pick — NOT
+    last-capture semantics; pass ``ts_col`` for those).
+
     One full outer join on the URL key — both sides shuffle once on
     ``url``; at lake scale both inputs are already bucketed by url (the
     statestore layout), so the exchange elides. Content identity compares
@@ -126,19 +138,33 @@ def capture_diff(
     bytes themselves never move).
 
     Output: (url, status, old_hash, new_hash) — hashes NULL on the absent
-    side, so downstream filters need no re-join.
+    side (and for NULL-content captures), so downstream filters need no
+    re-join.
     """
-    o = old.select(
-        F.col(url_col).alias("url"), F.col(hash_col).alias("old_hash")
-    ).dropDuplicates(["url"])
-    n = new.select(
-        F.col(url_col).alias("url"), F.col(hash_col).alias("new_hash")
-    ).dropDuplicates(["url"])
+
+    def _side(df: DataFrame, out: str, mark: str) -> DataFrame:
+        keyed = df.select(
+            F.col(url_col).alias("url"),
+            F.col(hash_col).alias(out),
+            *([F.col(ts_col).alias("_ts")] if ts_col else []),
+        )
+        agg = (
+            F.max_by(out, F.struct("_ts", out))
+            if ts_col
+            else F.min(out)
+        )
+        return keyed.groupBy("url").agg(
+            agg.alias(out), F.lit(True).alias(mark)
+        )
+
+    o = _side(old, "old_hash", "_in_old")
+    n = _side(new, "new_hash", "_in_new")
     j = o.join(n, "url", "full_outer")
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")),
+              F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select("url", status.alias("status"), "old_hash", "new_hash")

@@ -208,7 +208,13 @@ def hits_int(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # SIMPLE-graph semantics: duplicate link rows collapse (crawl link
+    # tables routinely repeat (src,dst)); without the dedup, multiplicity
+    # multiplies the sums PAST the node-count overflow guard below —
+    # n_nodes bounds a simple graph's in-degree, never a multigraph's.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).dropDuplicates(["src", "dst"])
     ed = e.repartition("src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -278,7 +284,8 @@ def hits_sql(edges_sql: str, iterations: int = 3, scale: int = SCALE) -> str:
 
     div = _hits_norm_divisor(scale, ts.DUCK_DIALECT["idiv"])
     parts = [
-        f"WITH _ht_e AS ({edges_sql})",
+        # DISTINCT mirrors hits_int's simple-graph edge dedup
+        f"WITH _ht_e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "_ht_nodes AS (SELECT src AS node FROM _ht_e"
         " UNION SELECT dst AS node FROM _ht_e)",
         f"_ht_h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM _ht_nodes)",
@@ -325,6 +332,7 @@ def hits_py(
     scale: int = SCALE,
 ) -> dict[int, tuple[int, int]]:
     """Pure-Python executable spec of the same kernel (test oracle)."""
+    edges = sorted(set(edges))  # simple-graph semantics, like hits_int
     nodes = {s for s, _ in edges} | {d for _, d in edges}
 
     def norm(vec: dict[int, int]) -> dict[int, int]:

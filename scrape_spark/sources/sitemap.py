@@ -96,12 +96,15 @@ def sitemap_index_refs(
 
 #: ``Sitemap:`` directive of robots.txt — case-insensitive key, one per
 #: line, host-wide (the spec places it outside user-agent groups). The
-#: value pattern stops at whitespace so a trailing ``\\r`` never leaks in.
-#: RAW regex (python-string form): Spark SQL string literals unescape
-#: backslashes, DuckDB's do not, so each side escapes it for its own
-#: literal syntax (`_sql_regex_literal` below for Spark; verbatim for
+#: value stops at whitespace (trailing ``\\r`` never leaks in) AND at
+#: ``#`` — robots.txt comments run to end of line, stripped BEFORE value
+#: parsing (stdlib robotparser does ``line.split('#')[0]``), so a
+#: fully-commented directive yields nothing and a mid-value ``#``
+#: truncates. RAW regex (python-string form): Spark SQL string literals
+#: unescape backslashes, DuckDB's do not, so each side escapes it for its
+#: own literal syntax (`_sql_regex_literal` below for Spark; verbatim for
 #: DuckDB oracles).
-ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap:[ \t]*([^#\s]+)"
 
 
 def _sql_regex_literal(pattern: str) -> str:
@@ -125,8 +128,13 @@ def robots_sitemap_refs(
 
     The stdlib ``RobotFileParser`` used by the rules kernel
     (operators/robots.py parse_robots_body) exposes ``site_maps()`` with
-    the same line semantics — this expression is the distributed twin so
-    discovery needs no Python worker; parity is pinned in tests.
+    the same line semantics (key match, indentation, ``#`` comments) —
+    this expression is the distributed twin so discovery needs no Python
+    worker; parity is pinned in tests. Two documented divergences: the
+    stdlib percent-DECODES values (urllib.parse.unquote) — this kernel
+    returns them verbatim, since fetch keys should stay as-published —
+    and the stdlib surfaces a valueless directive ('Sitemap: #x') as an
+    empty-string entry, which this kernel drops (unfetchable).
     """
     pat = _sql_regex_literal(ROBOTS_SITEMAP_RE)
     refs = F.expr(f"regexp_extract_all({body_col}, '{pat}', 1)")

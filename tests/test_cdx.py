@@ -39,6 +39,9 @@ GOLDENS = {
     "http://host.test/UPPER/Case?Z=9": "test,host)/UPPER/Case?Z=9",
     # empty query after '?' keeps no suffix; root with params
     "http://host.test/?b=2&a=1": "test,host)/?a=1&b=2",
+    # query with NO path: authority ends at '?' (RFC 3986)
+    "https://example.com?a=1&b=2": "com,example)/?a=1&b=2",
+    "http://www.example.com:8080?z=1": "com,example:8080)/?z=1",
 }
 
 
@@ -80,6 +83,7 @@ def test_surt_pyref_parity(spark):
         "http://x.test/a/b/c?m=2&l=10",  # lexical (not numeric) param sort
         "https://x.test:444/nondefault",
         "http://x.test:443/wrong-scheme-default-kept",
+        "https://no.path.test?only=query",
     ]
     got = _spark_keys(spark, urls)
     for u in urls:
@@ -150,3 +154,21 @@ def test_capture_rank_replay_order(spark):
         assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1)), key
         ts = [p[1] for p in pairs]
         assert ts == sorted(ts), key
+
+
+def test_prefix_upper_bound_keeps_supplementary_plane_keys(spark):
+    # keys whose continuation sorts ABOVE U+FFFF (emoji path) must still
+    # match the prefix range — _next_prefix increments the prefix itself
+    from scrape_spark.operators.cdx import _next_prefix
+
+    assert _next_prefix("test,host1)") == "test,host1*"
+    emoji = chr(0x1F600)
+    rows = [
+        ("test,host1)/" + emoji, 1),
+        ("test,host1)/plain", 2),
+        ("test,host2)/other", 3),
+    ]
+    idx = spark.createDataFrame(rows, "surt_key string, ts long")
+    got = {r.surt_key for r in
+           idx.where(prefix_range_pred("test,host1)")).collect()}
+    assert got == {"test,host1)/" + emoji, "test,host1)/plain"}

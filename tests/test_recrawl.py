@@ -84,3 +84,41 @@ def test_capture_diff_statuses(spark):
     assert got["u3"].status == "removed" and got["u3"].new_hash is None
     assert got["u4"].status == "added" and got["u4"].old_hash is None
     assert len(got) == 4
+
+
+def test_capture_diff_null_hashes_are_data_not_absence(spark):
+    from scrape_spark.operators.recrawl import capture_diff
+
+    old = spark.createDataFrame(
+        [("both-null", None), ("null-to-h", None), ("h-to-null", 7),
+         ("gone-null", None)],
+        "url string, content_hash long",
+    )
+    new = spark.createDataFrame(
+        [("both-null", None), ("null-to-h", 5), ("h-to-null", None),
+         ("new-null", None)],
+        "url string, content_hash long",
+    )
+    got = {r.url: r.status for r in capture_diff(old, new).collect()}
+    assert got == {
+        "both-null": "unchanged",   # NULL == NULL null-safely
+        "null-to-h": "changed",     # not 'added' — URL was present
+        "h-to-null": "changed",
+        "gone-null": "removed",     # not 'added'
+        "new-null": "added",
+    }
+
+
+def test_capture_diff_ts_col_latest_wins(spark):
+    from scrape_spark.operators.recrawl import capture_diff
+
+    old = spark.createDataFrame(
+        [("u", 1, 10), ("u", 9, 20)], "url string, content_hash long, ts long"
+    )
+    new = spark.createDataFrame(
+        [("u", 9, 30)], "url string, content_hash long, ts long"
+    )
+    # latest old capture has hash 9 == new -> unchanged (min-hash reduce
+    # would wrongly say changed)
+    r = capture_diff(old, new, ts_col="ts").collect()[0]
+    assert (r.status, r.old_hash) == ("unchanged", 9)

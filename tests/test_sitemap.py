@@ -218,3 +218,27 @@ def test_robots_discovery_to_seed_frame(spark, tmp_path):
     assert n == 2
     rows = {r["url"]: r for r in job.frontier().collect()}
     assert rows["http://host0.test/p/1"]["referrer"] == "http://host0.test/sm.xml"
+
+
+def test_robots_sitemap_refs_comment_semantics(spark):
+    """'#' comments strip before value parsing — stdlib line semantics."""
+    from urllib.robotparser import RobotFileParser
+
+    from scrape_spark.sources.sitemap import robots_sitemap_refs
+
+    bodies = {
+        "a.test": "Sitemap: http://a.test/s.xml#frag\n",   # mid-value '#'
+        "b.test": "Sitemap: # disabled\n",                  # fully commented
+        "c.test": "# Sitemap: http://c.test/hidden.xml\n",  # commented line
+    }
+    df = spark.createDataFrame(list(bodies.items()), "host string, body string")
+    got: dict[str, list] = {h: [] for h in bodies}
+    for r in robots_sitemap_refs(df).collect():
+        got[r.host].append(r.sitemap_url)
+    for host, body in bodies.items():
+        rp = RobotFileParser()
+        rp.parse(body.splitlines())
+        # stdlib surfaces a valueless directive as '' — the kernel drops
+        # empties (an empty ref is unfetchable); otherwise identical
+        expect = [u for u in (rp.site_maps() or []) if u]
+        assert got[host] == expect, host

@@ -126,3 +126,14 @@ def test_hits_guards(spark):
         hits_int(df, iterations=0)
     with pytest.raises(ValueError, match="overflows"):
         hits_int(df, scale=2**62)
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    from scrape_spark.operators.webrank import hits_int, hits_py
+
+    simple = [(1, 2), (2, 3)]
+    multi = simple + [(1, 2)] * 5
+    df = spark.createDataFrame(multi, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in hits_int(df, iterations=2).collect()}
+    assert got == hits_py(simple, iterations=2)
+    assert got == hits_py(multi, iterations=2)  # spec dedupes too
