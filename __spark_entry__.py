@@ -1966,6 +1966,43 @@ def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules(spark.sql(_C4_TEXT_SQL), id_col="doc_id", text_col="page_text")
 
 
+# -- lake ingest: declared-charset sniff ---------------------------------------
+# Variants: HTML5 meta (quoted + unquoted), legacy http-equiv, XML decl,
+# no declaration; meta wins over a later XML decl per precedence.
+_CHARSET_PAGES_SQL = """\
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN '<html><head><meta charset="UTF-8"></head></html>'
+    WHEN 1 THEN '<html><head><meta charset=iso-8859-' ||
+                CAST(1 + doc_id % 9 AS STRING) || '></head></html>'
+    WHEN 2 THEN '<html><head><meta http-equiv="Content-Type" ' ||
+                'content="text/html; charset=Shift_JIS"></head></html>'
+    WHEN 3 THEN '<?xml version="1.0" encoding="KOI8-R"?><feed/>'
+    ELSE '<html><head><title>undeclared</title></head></html>'
+  END AS html
+FROM documents"""
+
+
+def _charset_oracle() -> str:
+    from scrape_spark.functions.canonical import charset_sql
+
+    return (
+        f"WITH P AS ({_CHARSET_PAGES_SQL})\n"
+        f"SELECT doc_id, {charset_sql('html', _DD)} AS charset FROM P"
+    )
+
+
+@_q("charset_sniff", _charset_oracle())
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-encoding detection before decode (map-only JVM regexp)."""
+    from scrape_spark.functions.canonical import charset_col
+
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_CHARSET_PAGES_SQL).select(
+        "doc_id", charset_col("html").alias("charset")
+    )
+
+
 # -- lake delta: crawl-to-crawl capture diff -----------------------------------
 # Old crawl = all docs; new crawl drops doc%7 (removed), rewrites content
 # for doc%5 (changed), and adds a shifted id block (added). Content identity

@@ -1,4 +1,4 @@
-"""``rel=canonical`` extraction — the page-declared dedup key.
+"""Head-metadata extraction kernels: ``rel=canonical`` and charset.
 
 Web pages declare their preferred URL via ``<link rel="canonical"
 href="...">``; at lake scale the declared canonical collapses print views,
@@ -56,3 +56,40 @@ def canonical_col(html_col: str = "html") -> Column:
     from scrape_spark.functions.textstats import SPARK_DIALECT
 
     return F.expr(canonical_sql(html_col, SPARK_DIALECT))
+
+
+#: Declared-charset patterns (WHATWG sniffing, the declared subset):
+#: a ``charset=`` attribute inside any <meta> tag covers BOTH the HTML5
+#: form (<meta charset=utf-8>) and the legacy http-equiv form
+#: (content="text/html; charset=utf-8"); the XML declaration covers XHTML
+#: feeds. Double-quoted and unquoted values supported (single-quoted
+#: attributes would force quote-escaping into both SQL dialects; out of
+#: scope, documented). ``<[?]xml`` — a character class, not an escape —
+#: keeps the pattern backslash-free so one text serves both engines.
+CHARSET_META_RE = '(?i)<meta[^>]*charset=["]?([a-zA-Z0-9_-]+)'
+CHARSET_XML_RE = '(?i)<[?]xml[^>]*encoding=["]?([a-zA-Z0-9_-]+)'
+
+
+def charset_sql(html: str, d: dict) -> str:
+    """NULL-or-lowercase declared charset of HTML column ``html``.
+
+    Precedence: meta declaration (HTML5 or http-equiv) first, XML
+    declaration second — byte-content sniffing (BOMs, chardet-style
+    statistics) is a decode-stage concern (functions/multimodal.py's
+    territory), not a metadata kernel. Dialect-shared like
+    ``canonical_sql``.
+    """
+    del d
+    e1 = f"regexp_extract({html}, '{CHARSET_META_RE}', 1)"
+    e2 = f"regexp_extract({html}, '{CHARSET_XML_RE}', 1)"
+    return (
+        f"lower(CASE WHEN {e1} <> '' THEN {e1} "
+        f"WHEN {e2} <> '' THEN {e2} ELSE NULL END)"
+    )
+
+
+def charset_col(html_col: str = "html") -> Column:
+    """The Spark-side declared-charset column (JVM regexp, map-only)."""
+    from scrape_spark.functions.textstats import SPARK_DIALECT
+
+    return F.expr(charset_sql(html_col, SPARK_DIALECT))

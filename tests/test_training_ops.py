@@ -600,3 +600,24 @@ def test_canonical_dedup_representative_rules(spark):
     # exactly one rep per cluster
     reps = [r for r in got.values() if r.is_rep]
     assert len(reps) == len({r.canonical_url for r in got.values()})
+
+
+def test_charset_sniff_variants_and_precedence(spark):
+    from scrape_spark.functions.canonical import charset_col
+
+    pages = [
+        ('<meta charset="UTF-8">', "utf-8"),           # lowercased
+        ("<meta charset=utf-8>", "utf-8"),              # unquoted
+        ('<meta http-equiv="Content-Type" '
+         'content="text/html; charset=ISO-8859-1">', "iso-8859-1"),
+        ('<?xml version="1.0" encoding="Shift_JIS"?>', "shift_jis"),
+        # meta beats a later xml decl
+        ('<meta charset="UTF-8"><?xml encoding="KOI8-R"?>', "utf-8"),
+        ("<head><title>none</title></head>", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(pages)], "i long, html string"
+    )
+    got = {r.i: r.c for r in df.select("i", charset_col().alias("c")).collect()}
+    for i, (_, want) in enumerate(pages):
+        assert got[i] == want, (i, pages[i])
