@@ -124,3 +124,64 @@ def prefix_lookup(
         return hits
     w = Window.partitionBy(key_col).orderBy(ts_col)
     return hits.withColumn("capture_rank", F.row_number().over(w))
+
+
+# -- multi-run layout (LSM-style: per-crawl sorted runs + compaction) ----------
+# Common Crawl publishes one CDX index PER CRAWL; clients probe every run
+# and merge. The engine mirrors that: each capture batch writes its own
+# sorted run (build_cdx_index + write_cdx_index), probes fan out across
+# runs (each pruned independently — the union preserves per-run pruning),
+# and a periodic compaction folds runs into one index, amortizing the sort
+# the way the statestore's delta compaction amortizes snapshot merges.
+
+
+def prefix_lookup_runs(
+    spark: SparkSession,
+    run_paths: list[str],
+    prefix: str,
+    ts_col: str = "ts",
+    with_rank: bool = True,
+) -> DataFrame:
+    """Probe several sorted runs; rank replays across ALL runs by time.
+
+    Each run's scan gets the same pushdown predicate (pruning happens
+    per-run, before the union); only matched rows reach the rank window.
+    """
+    if not run_paths:
+        raise ValueError("run_paths must be non-empty")
+    hits = None
+    for path in run_paths:
+        h = read_cdx_index(spark, path).where(prefix_range_pred(prefix))
+        hits = h if hits is None else hits.unionByName(h)
+    if not with_rank:
+        return hits
+    w = Window.partitionBy("surt_key").orderBy(ts_col)
+    return hits.withColumn("capture_rank", F.row_number().over(w))
+
+
+def compact_cdx_runs(
+    spark: SparkSession,
+    run_paths: list[str],
+    out_path: str,
+    ts_col: str = "ts",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Fold sorted runs into one globally sorted index at ``out_path``.
+
+    One range exchange over the union — the same cost profile as building
+    from scratch, paid once per compaction cycle instead of per probe.
+    The inputs are already keyed, so the SURT kernel does not re-run.
+    """
+    if not run_paths:
+        raise ValueError("run_paths must be non-empty")
+    merged = None
+    for path in run_paths:
+        df = read_cdx_index(spark, path)
+        merged = df if merged is None else merged.unionByName(df)
+    if num_ranges is not None:
+        merged = merged.repartitionByRange(num_ranges, "surt_key", ts_col)
+    else:
+        merged = merged.repartitionByRange("surt_key", ts_col)
+    out = merged.sortWithinPartitions("surt_key", ts_col)
+    write_cdx_index(out, out_path)
+    return read_cdx_index(spark, out_path)

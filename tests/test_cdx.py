@@ -172,3 +172,43 @@ def test_prefix_upper_bound_keeps_supplementary_plane_keys(spark):
     got = {r.surt_key for r in
            idx.where(prefix_range_pred("test,host1)")).collect()}
     assert got == {"test,host1)/" + emoji, "test,host1)/plain"}
+
+
+def test_multi_run_probe_and_compaction(spark, tmp_path):
+    from scrape_spark.operators.cdx import compact_cdx_runs, prefix_lookup_runs
+
+    # two crawls of the same web, one hour apart
+    runs = []
+    for i, base_ts in enumerate((1_600_000_000, 1_600_003_600)):
+        caps = spark.createDataFrame(
+            [(f"http://host{j % 4}.test/p/{j % 6}", base_ts + j)
+             for j in range(48)],
+            "url string, ts bigint",
+        )
+        path = os.path.join(str(tmp_path), f"run{i}")
+        write_cdx_index(build_cdx_index(caps, num_ranges=2), path)
+        runs.append(path)
+
+    hits = prefix_lookup_runs(spark, runs, "test,host2)").collect()
+    assert hits and all(r.surt_key.startswith("test,host2)") for r in hits)
+    # rank replays ACROSS runs: per key, ranks are 1..n ordered by ts,
+    # interleaving both crawls
+    per_key: dict[str, list] = {}
+    for r in hits:
+        per_key.setdefault(r.surt_key, []).append((r.ts, r.capture_rank))
+    for key, pairs in per_key.items():
+        pairs.sort()
+        assert [p[1] for p in pairs] == list(range(1, len(pairs) + 1)), key
+
+    # compaction folds the runs into one sorted index with the same content
+    out = os.path.join(str(tmp_path), "compacted")
+    idx = compact_cdx_runs(spark, runs, out, num_ranges=3)
+    assert sorted(map(tuple, idx.select("surt_key", "ts").collect())) == sorted(
+        map(tuple,
+            prefix_lookup_runs(spark, runs, "", with_rank=False)
+            .select("surt_key", "ts").collect())
+    )
+    direct = prefix_lookup(idx, "test,host2)").collect()
+    assert sorted((r.surt_key, r.ts, r.capture_rank) for r in direct) == sorted(
+        (r.surt_key, r.ts, r.capture_rank) for r in hits
+    )
