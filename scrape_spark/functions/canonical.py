@@ -58,34 +58,49 @@ def canonical_col(html_col: str = "html") -> Column:
     return F.expr(canonical_sql(html_col, SPARK_DIALECT))
 
 
-#: Declared-charset patterns (WHATWG sniffing, the declared subset):
-#: a ``charset=`` attribute inside any <meta> tag covers BOTH the HTML5
-#: form (<meta charset=utf-8>) and the legacy http-equiv form
-#: (content="text/html; charset=utf-8"); the XML declaration covers XHTML
-#: feeds. Double-quoted and unquoted values supported (single-quoted
-#: attributes would force quote-escaping into both SQL dialects; out of
-#: scope, documented). ``<[?]xml`` — a character class, not an escape —
-#: keeps the pattern backslash-free so one text serves both engines.
-CHARSET_META_RE = '(?i)<meta[^>]*charset=["]?([a-zA-Z0-9_-]+)'
-CHARSET_XML_RE = '(?i)<[?]xml[^>]*encoding=["]?([a-zA-Z0-9_-]+)'
+#: Declared-charset patterns (WHATWG sniffing, the declared subset).
+#: Three meta forms, each anchored so a charset MENTION inside an
+#: unrelated attribute (a description meta saying "set charset=big5")
+#: cannot masquerade as a declaration:
+#: - HTML5: charset as the first attribute of the tag;
+#: - legacy: http-equiv=content-type with the charset parameter in the
+#:   SAME tag's content value, both attribute orders;
+#: - XML declaration for XHTML feeds.
+#: Whitespace around '=' is spec-legal; spaces are accepted everywhere
+#: (tabs would need a backslash escape, which the dialect-shared-verbatim
+#: rule forbids — out of scope, like single-quoted attribute values).
+#: ``<[?]xml`` — a character class, not an escape — keeps the patterns
+#: backslash-free so one text serves both engines.
+CHARSET_HTML5_RE = '(?i)<meta[ ]+charset *= *["]?([a-zA-Z0-9_-]+)'
+CHARSET_EQUIV_RE = (
+    '(?i)<meta[^>]*http-equiv *= *["]?content-type[^>]*'
+    'charset *= *["]?([a-zA-Z0-9_-]+)'
+)
+CHARSET_EQUIV_REV_RE = (
+    '(?i)<meta[^>]*charset *= *["]?([a-zA-Z0-9_-]+)[^>]*'
+    'http-equiv *= *["]?content-type'
+)
+CHARSET_XML_RE = '(?i)<[?]xml[^>]*encoding *= *["]?([a-zA-Z0-9_-]+)'
 
 
 def charset_sql(html: str, d: dict) -> str:
     """NULL-or-lowercase declared charset of HTML column ``html``.
 
-    Precedence: meta declaration (HTML5 or http-equiv) first, XML
-    declaration second — byte-content sniffing (BOMs, chardet-style
-    statistics) is a decode-stage concern (functions/multimodal.py's
-    territory), not a metadata kernel. Dialect-shared like
-    ``canonical_sql``.
+    Precedence: HTML5 meta, http-equiv meta (either attribute order), XML
+    declaration — byte-content sniffing (BOMs, chardet-style statistics)
+    is a decode-stage concern (functions/multimodal.py's territory), not a
+    metadata kernel. Dialect-shared like ``canonical_sql``.
     """
     del d
-    e1 = f"regexp_extract({html}, '{CHARSET_META_RE}', 1)"
-    e2 = f"regexp_extract({html}, '{CHARSET_XML_RE}', 1)"
-    return (
-        f"lower(CASE WHEN {e1} <> '' THEN {e1} "
-        f"WHEN {e2} <> '' THEN {e2} ELSE NULL END)"
-    )
+    order = [
+        CHARSET_HTML5_RE,
+        CHARSET_EQUIV_RE,
+        CHARSET_EQUIV_REV_RE,
+        CHARSET_XML_RE,
+    ]
+    exprs = [f"regexp_extract({html}, '{pat}', 1)" for pat in order]
+    whens = " ".join(f"WHEN {e} <> '' THEN {e}" for e in exprs)
+    return f"lower(CASE {whens} ELSE NULL END)"
 
 
 def charset_col(html_col: str = "html") -> Column:

@@ -73,12 +73,17 @@ def build_cdx_index(
     cols = ["surt_key", ts_col] + [
         c for c in df.columns if c not in (ts_col, "surt_key")
     ]
-    keyed = keyed.select(*cols)
+    return _range_sort(keyed.select(*cols), ts_col, num_ranges)
+
+
+def _range_sort(df: DataFrame, ts_col: str, num_ranges: int | None) -> DataFrame:
+    """The index sort layout — ONE definition, shared by build and compact
+    so a layout change (e.g. a secondary sort column) cannot diverge."""
     if num_ranges is not None:
-        keyed = keyed.repartitionByRange(num_ranges, "surt_key", ts_col)
+        df = df.repartitionByRange(num_ranges, "surt_key", ts_col)
     else:
-        keyed = keyed.repartitionByRange("surt_key", ts_col)
-    return keyed.sortWithinPartitions("surt_key", ts_col)
+        df = df.repartitionByRange("surt_key", ts_col)
+    return df.sortWithinPartitions("surt_key", ts_col)
 
 
 def write_cdx_index(index: DataFrame, path: str) -> None:
@@ -135,6 +140,14 @@ def prefix_lookup(
 # the way the statestore's delta compaction amortizes snapshot merges.
 
 
+def read_cdx_runs(spark: SparkSession, run_paths: list[str]) -> DataFrame:
+    """Open several runs as one frame — a single multi-path scan node, so
+    downstream predicates push into EVERY run's files identically."""
+    if not run_paths:
+        raise ValueError("run_paths must be non-empty")
+    return spark.read.parquet(*run_paths)
+
+
 def prefix_lookup_runs(
     spark: SparkSession,
     run_paths: list[str],
@@ -144,19 +157,15 @@ def prefix_lookup_runs(
 ) -> DataFrame:
     """Probe several sorted runs; rank replays across ALL runs by time.
 
-    Each run's scan gets the same pushdown predicate (pruning happens
-    per-run, before the union); only matched rows reach the rank window.
+    Delegates to :func:`prefix_lookup` over the multi-run scan — the
+    predicate pushes through to each run's files, so pruning is identical
+    to probing the runs one by one; only matched rows reach the rank
+    window.
     """
-    if not run_paths:
-        raise ValueError("run_paths must be non-empty")
-    hits = None
-    for path in run_paths:
-        h = read_cdx_index(spark, path).where(prefix_range_pred(prefix))
-        hits = h if hits is None else hits.unionByName(h)
-    if not with_rank:
-        return hits
-    w = Window.partitionBy("surt_key").orderBy(ts_col)
-    return hits.withColumn("capture_rank", F.row_number().over(w))
+    return prefix_lookup(
+        read_cdx_runs(spark, run_paths), prefix, ts_col=ts_col,
+        with_rank=with_rank,
+    )
 
 
 def compact_cdx_runs(
@@ -170,18 +179,9 @@ def compact_cdx_runs(
 
     One range exchange over the union — the same cost profile as building
     from scratch, paid once per compaction cycle instead of per probe.
-    The inputs are already keyed, so the SURT kernel does not re-run.
+    The inputs are already keyed, so the SURT kernel does not re-run;
+    the sort layout is shared with ``build_cdx_index`` (``_range_sort``).
     """
-    if not run_paths:
-        raise ValueError("run_paths must be non-empty")
-    merged = None
-    for path in run_paths:
-        df = read_cdx_index(spark, path)
-        merged = df if merged is None else merged.unionByName(df)
-    if num_ranges is not None:
-        merged = merged.repartitionByRange(num_ranges, "surt_key", ts_col)
-    else:
-        merged = merged.repartitionByRange("surt_key", ts_col)
-    out = merged.sortWithinPartitions("surt_key", ts_col)
-    write_cdx_index(out, out_path)
+    merged = read_cdx_runs(spark, run_paths)
+    write_cdx_index(_range_sort(merged, ts_col, num_ranges), out_path)
     return read_cdx_index(spark, out_path)

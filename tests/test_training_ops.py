@@ -614,6 +614,16 @@ def test_charset_sniff_variants_and_precedence(spark):
         # meta beats a later xml decl
         ('<meta charset="UTF-8"><?xml encoding="KOI8-R"?>', "utf-8"),
         ("<head><title>none</title></head>", None),
+        # spec-legal whitespace around '='
+        ("<meta charset = utf-8>", "utf-8"),
+        # a charset MENTION in an unrelated meta is NOT a declaration...
+        ('<meta name="description" content="set charset=big5 in PHP">'
+         '<meta charset="utf-8">', "utf-8"),
+        # ...even when no real declaration follows
+        ('<meta name="description" content="charset=big5 tips">', None),
+        # reversed http-equiv attribute order
+        ('<meta content="text/html; charset=Shift_JIS" '
+         'http-equiv="Content-Type">', "shift_jis"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(pages)], "i long, html string"
