@@ -1966,6 +1966,85 @@ def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules(spark.sql(_C4_TEXT_SQL), id_col="doc_id", text_col="page_text")
 
 
+# -- composed: per-domain crawl health report (eTLD+1 x trap detection) --------
+# Hosts span subdomains of shared registered domains, URLs reuse the trap
+# fixture shapes — the report is the composition the frontier's per-domain
+# budget consumes: how much of a domain's URL space is trap-suspect.
+_DOMAIN_REPORT_URLS_SQL = """\
+SELECT 'sub' || CAST(doc_id % 3 AS STRING) || '.host' ||
+         CAST(doc_id % 5 AS STRING) || '.test' AS host,
+  'http://sub' || CAST(doc_id % 3 AS STRING) || '.host' ||
+    CAST(doc_id % 5 AS STRING) || '.test' ||
+  CASE WHEN doc_id % 13 = 0 THEN '/a/b/a/b/a/b/a/b'
+       WHEN doc_id % 19 = 0 THEN '/d/' || repeat('s/', 14) || 'leaf'
+       ELSE '/doc/' || CAST(doc_id AS STRING) END AS url
+FROM documents"""
+
+
+def _domain_report_oracle() -> str:
+    from scrape_spark.functions.urltrap import trap_signals_duck_sql
+    from scrape_spark.operators.corpus import PSL_CORE
+
+    trap = trap_signals_duck_sql("url")["is_trap"]
+    psl_vals = ", ".join(f"'{s}'" for s in PSL_CORE)
+    return f"""WITH F0 AS ({_DOMAIN_REPORT_URLS_SQL}),
+H AS (SELECT DISTINCT host FROM F0),
+HP AS (SELECT host, string_split(host, '.') AS parts FROM H),
+S0 AS (SELECT host, parts,
+         unnest(generate_series(1, len(parts))) AS gs FROM HP),
+S AS (SELECT host, array_to_string(parts[gs:len(parts)], '.') AS sfx
+      FROM S0),
+P AS (SELECT unnest([{psl_vals}]) AS sfx),
+BEST AS (SELECT s.host, arg_max(s.sfx, length(s.sfx)) AS sfx
+         FROM S s JOIN P p ON s.sfx = p.sfx GROUP BY s.host),
+R AS (SELECT hp.host,
+        CASE WHEN b.sfx IS NULL THEN
+               array_to_string(
+                 parts[greatest(len(parts) - 1, 1):len(parts)], '.')
+             WHEN len(string_split(b.sfx, '.')) >= len(parts) THEN hp.host
+             ELSE parts[len(parts) - len(string_split(b.sfx, '.'))]
+                  || '.' || b.sfx END AS registered_domain
+      FROM HP hp LEFT JOIN BEST b USING (host)),
+T AS (SELECT f.host, f.url, CASE WHEN {trap} THEN 1 ELSE 0 END AS trapped
+      FROM F0 f)
+SELECT r.registered_domain,
+       CAST(count(DISTINCT t.host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(t.trapped) AS BIGINT) AS n_trap_urls,
+       CAST(floor(10000.0 * sum(t.trapped) / count(*)) AS BIGINT)
+         AS trap_rate_q4
+FROM T t JOIN R r USING (host)
+GROUP BY r.registered_domain"""
+
+
+@_q("domain_crawl_report", _domain_report_oracle())
+def q_domain_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: trap signals (map-only) -> eTLD+1 (broadcast PSL) ->
+    per-domain rollup — the health view a domain budget allocator reads."""
+    from scrape_spark.functions.urltrap import trap_signals_sql
+    from scrape_spark.operators.corpus import registered_domain
+
+    _view(spark, sf_dir, "documents")
+    urls = spark.sql(_DOMAIN_REPORT_URLS_SQL)
+    is_trap = F.expr(trap_signals_sql("url", _SD)["is_trap"])
+    flagged = urls.select(
+        "host", "url",
+        F.when(is_trap, F.lit(1)).otherwise(F.lit(0)).alias("trapped"),
+    )
+    return (
+        registered_domain(flagged, host_col="host")
+        .groupBy("registered_domain")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("trapped").cast("long").alias("n_trap_urls"),
+            F.floor(
+                F.lit(10000.0) * F.sum("trapped") / F.count(F.lit(1))
+            ).cast("long").alias("trap_rate_q4"),
+        )
+    )
+
+
 # -- lake ingest: declared-charset sniff ---------------------------------------
 # Variants: HTML5 meta (quoted + unquoted), legacy http-equiv, XML decl,
 # no declaration; meta wins over a later XML decl per precedence.
