@@ -191,7 +191,11 @@ def c4_rules_sql(text: str, d: dict) -> dict[str, str]:
     return {
         "n_lines": n_lines,
         "n_kept_lines": n_kept,
-        "kept_text": d["ajoin"].format(arr=kept, sep=nl),
+        # DuckDB's array_to_string([]) is NULL where Spark's array_join([])
+        # is '' — coalesce so both dialects agree when no line survives.
+        "kept_text": "coalesce({}, '')".format(
+            d["ajoin"].format(arr=kept, sep=nl)
+        ),
         "has_lorem": has_lorem,
         "has_brace": has_brace,
         "keep_doc": (

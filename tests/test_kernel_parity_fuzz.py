@@ -72,3 +72,93 @@ def test_kernels_match_duckdb_on_fuzzed_strings(spark):
     assert duck_rows.keys() == spark_rows.keys()
     for i in duck_rows:
         assert duck_rows[i] == spark_rows[i], (i, cases[i], duck_rows[i], spark_rows[i])
+
+
+def test_surt_charset_canonical_c4_parity_on_adversarial_strings(spark):
+    """The session-2 kernels under the same cross-engine fuzz discipline.
+
+    URLs: scheme soup, empty authority pieces, repeated separators, unicode
+    hosts/paths, query-before-path. HTML: attribute-order permutations,
+    charset mentions vs declarations, broken tags, newline bodies.
+    """
+    from scrape_spark.functions.canonical import canonical_sql, charset_sql
+    from scrape_spark.functions.surt import surt_duck_sql, surt_sql
+    from scrape_spark.operators.corpus import c4_rules_sql
+
+    rng = random.Random(7)
+    hosts = ["a.test", "WWW.B.test", "x.y.z.test", "test", "ümlaut.test"]
+    paths = ["", "/", "/p", "/p/q", "/a;b", "/p?z=1&a=2", "?bare=query",
+             "/p?", "/p#f", "#onlyfrag", "/ünïcode/päth"]
+    urls = ["http://" + h + p for h in hosts for p in paths]
+    urls += [
+        "https://u@WWW.Host.TEST:8443/x?b=2&a=1#f",
+        "http://h.test:80?q=1",
+        "h.test/no/scheme",
+        "http://",
+        "",
+        "http:///triple",
+        "http://h.test//double//slash?&&",
+    ]
+    for _ in range(25):
+        urls.append(
+            "http://" + rng.choice(hosts) + rng.choice(paths)
+            + rng.choice(["", "?k=" + str(rng.randint(0, 9)), "#z"])
+        )
+    htmls = [
+        '<meta charset="UTF-8"><link rel="canonical" href="http://a.test/c">',
+        '<link href="http://a.test/c" rel="canonical"><meta charset=utf-8>',
+        '<meta content="charset=big5 how-to" name="d"><meta charset = "latin1">',
+        '<meta content="text/html; charset=Shift_JIS" http-equiv="Content-Type">',
+        "<html><body>plain\nline two with words here.\n{ code }</body></html>",
+        "",
+        "<link rel=\"canonical\" href=\"\">",
+        "<?xml encoding='single-quoted-out-of-scope'?>",
+        "<LINK REL=\"canonical\" HREF=\"http://UP.test/C\">",
+    ]
+    texts = [
+        "", "One good line with enough words here.\nshort.\nlorem ipsum x.",
+        "no terminal punct at all\nanother one",
+        'quoted end counts as terminal she said."\nenable javascript now please.',
+        "a. b. c.",  # 3 terminal lines but each under 5 words
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(i INT, s VARCHAR)")
+    for i, s in enumerate(urls):
+        con.execute("INSERT INTO u VALUES (?, ?)", [i, s])
+    con.execute("CREATE TABLE h(i INT, s VARCHAR)")
+    for i, s in enumerate(htmls):
+        con.execute("INSERT INTO h VALUES (?, ?)", [i, s])
+    con.execute("CREATE TABLE x(i INT, s VARCHAR)")
+    for i, s in enumerate(texts):
+        con.execute("INSERT INTO x VALUES (?, ?)", [i, s])
+
+    duck_surt = {r[0]: r[1] for r in con.sql(
+        f"SELECT i, {surt_duck_sql('s')} FROM u ORDER BY i").fetchall()}
+    duck_html = {r[0]: r[1:] for r in con.sql(
+        f"SELECT i, {canonical_sql('s', ts.DUCK_DIALECT)},"
+        f" {charset_sql('s', ts.DUCK_DIALECT)} FROM h ORDER BY i").fetchall()}
+    c4 = c4_rules_sql("s", ts.DUCK_DIALECT)
+    c4_cols = list(c4)
+    duck_c4 = {r[0]: r[1:] for r in con.sql(
+        "SELECT i, " + ", ".join(c4[c] for c in c4_cols)
+        + " FROM x ORDER BY i").fetchall()}
+
+    sdf = spark.createDataFrame(list(enumerate(urls)), "i int, s string")
+    got_surt = {r["i"]: r["k"] for r in sdf.selectExpr(
+        "i", f"{surt_sql('s', ts.SPARK_DIALECT)} AS k").collect()}
+    hdf = spark.createDataFrame(list(enumerate(htmls)), "i int, s string")
+    got_html = {r["i"]: (r["c1"], r["c2"]) for r in hdf.selectExpr(
+        "i", f"{canonical_sql('s', ts.SPARK_DIALECT)} AS c1",
+        f"{charset_sql('s', ts.SPARK_DIALECT)} AS c2").collect()}
+    xdf = spark.createDataFrame(list(enumerate(texts)), "i int, s string")
+    c4s = c4_rules_sql("s", ts.SPARK_DIALECT)
+    got_c4 = {r["i"]: tuple(r[c] for c in c4_cols) for r in xdf.selectExpr(
+        "i", *[f"{c4s[c]} AS {c}" for c in c4_cols]).collect()}
+
+    for i, u in enumerate(urls):
+        assert got_surt[i] == duck_surt[i], (u, got_surt[i], duck_surt[i])
+    for i, page in enumerate(htmls):
+        assert got_html[i] == duck_html[i], (page, got_html[i], duck_html[i])
+    for i, t in enumerate(texts):
+        assert got_c4[i] == tuple(duck_c4[i]), (t, got_c4[i], duck_c4[i])
