@@ -2550,6 +2550,95 @@ def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocate_host_budget(counts, budget=_BUDGET)
 
 
+# -- lexical retrieval: BM25 top-k + inverted postings -------------------------
+# The literal-query path (two map passes + one scalar agg, no index) is the
+# oracled one; the postings/index path is pinned result-identical in
+# tests/test_ranking.py. Terms chosen to span df regimes in the synthetic
+# corpus (common / medium / rare).
+_BM25_TERMS = ["spark", "window", "merge"]
+_BM25_K = 12
+
+
+def _bm25_oracle() -> str:
+    from scrape_spark.operators.ranking import bm25_topk_sql
+
+    return bm25_topk_sql(
+        "SELECT doc_id, text FROM documents", _BM25_TERMS, k=_BM25_K
+    )
+
+
+@_q("bm25_topk", _bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 lexical ranking of the documents corpus for a term set."""
+    from scrape_spark.operators.ranking import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+@_q(
+    "term_postings",
+    """WITH w AS (SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS doclen,
+         unnest(string_split(lower(text), ' ')) AS term
+       FROM documents)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       CAST(max(doclen) AS BIGINT) AS doclen
+FROM w WHERE term IN ('spark', 'window', 'merge', 'customer') AND term <> ''
+GROUP BY term, doc_id""",
+)
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build, value-checked on a bounded term slice."""
+    from scrape_spark.operators.ranking import term_postings
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return term_postings(docs).where(
+        F.col("term").isin("spark", "window", "merge", "customer")
+    )
+
+
+# -- crawl scheduling: order-aware change-interval estimate --------------------
+# Same forged capture lake as recrawl_priority (three change regimes:
+# never / every capture / once), but the estimator reads the SEQUENCE via a
+# lag window, not the distinct-version count.
+def _change_estimate_oracle() -> str:
+    from scrape_spark.operators.recrawl import change_estimate_sql
+
+    return change_estimate_sql(_RECRAWL_CAPS_DD, _RECRAWL_NOW)
+
+
+@_q("change_estimate", _change_estimate_oracle())
+def q_change_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL observed-change interval + next-due over the capture lake."""
+    from scrape_spark.operators.recrawl import change_estimate
+
+    d = F.col("doc_id")
+    marker = F.expr(
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0 "
+        "WHEN 1 THEN v ELSE v div 2 END"
+    )
+    caps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            F.concat(
+                F.lit("http://host"),
+                (d % 8).cast("string"),
+                F.lit(".test/p/"),
+                d.cast("string"),
+            ).alias("url"),
+            (F.lit(1700000000) + d * 10 + F.col("v"))
+            .cast("long")
+            .alias("warc_ts"),
+            F.concat(F.col("text"), F.lit(" v"), marker.cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    return change_estimate(caps, now=_RECRAWL_NOW)
+
+
 # ---------------------------------------------------------------------------
 
 

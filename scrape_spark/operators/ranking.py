@@ -1,0 +1,255 @@
+"""Lexical retrieval over the crawled corpus: inverted postings + BM25.
+
+The reference stores extracted page text but has no way to QUERY it
+(models.py get_page_by_url is the only read path — key lookup, no ranking).
+Any real crawl corpus grows a lexical search face next to the embedding ANN
+one (operators/similarity.py): an inverted index (term -> postings) and a
+BM25 ranker over it. Both live here, dialect-disciplined like every other
+kernel so DuckDB can replay the exact formula.
+
+Two query shapes, chosen by what exists ahead of time:
+
+* ``bm25_topk`` — query-literal scoring with NO index: the per-term tf
+  counts are map-side array expressions over the tokenized text (the term
+  list is a small literal), corpus stats (N, total length, per-term df)
+  are ONE scalar aggregate broadcast back, and scoring + global top-k is a
+  second map pass ending in TakeOrderedAndProject. Zero wide shuffle: the
+  only exchange is the single-row stats aggregate. This is the right plan
+  for ad-hoc queries — at 100 TB it is two scans, both whole-stage-codegen.
+* ``term_postings`` + ``bm25_over_postings`` — the index build (one
+  map-side-combined shuffle keyed (term, doc)) and the probe path that
+  reads only matching postings (partition-prunable when the postings table
+  is written partitioned/bucketed by term), joins per-term idf, and
+  aggregates scores per doc. This is the right plan for a standing index
+  serving many queries; tests pin it result-identical to ``bm25_topk``.
+
+Scoring is the Lucene BM25 variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+(always positive), tf part = tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl)).
+Scores are IEEE doubles — same float discipline as the cosine kernels
+(operators/similarity.py): both engines evaluate the identical expression
+tree, and the oracle harness renders floats at 6 significant digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scrape_spark.functions import textstats as ts
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _term_literal(term: str) -> str:
+    """A SQL single-quoted literal for a query term (quote-escaped)."""
+    return "'" + term.replace("'", "''") + "'"
+
+
+def _tf_sql(words: str, term: str, d: dict) -> str:
+    """Occurrences of ``term`` in the bound words array — map-side count."""
+    hits = d["filter"].format(arr=words, lam=f"__w -> __w = {_term_literal(term)}")
+    return f"CAST({d['size'].format(arr=hits)} AS BIGINT)"
+
+
+def doc_term_stats_sql(text: str, terms: list[str], d: dict) -> dict[str, str]:
+    """Per-doc map-side columns: doclen + tf per query term.
+
+    One let-binding (``mkarr``/``at``) holds the tokenized array so the
+    split runs once per row, not once per term — the same linearization
+    trick as the SURT kernel (functions/surt.py).
+    """
+    toks = ts.words_sql(f"lower({text})", d)
+    out: dict[str, str] = {}
+    body_len = "CAST({} AS BIGINT)".format(d["size"].format(arr="__ws"))
+    out["doclen"] = ts._bind(body_len, "__ws", toks, d)
+    for i, t in enumerate(terms):
+        out[f"tf_{i}"] = ts._bind(_tf_sql("__ws", t, d), "__ws", toks, d)
+    return out
+
+
+def _idf_sql(df: str, n: str) -> str:
+    """Lucene BM25 idf — identical text on both engines (ln of doubles)."""
+    return (
+        f"ln(1.0 + (CAST({n} AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
+        f" / (CAST({df} AS DOUBLE) + 0.5))"
+    )
+
+
+def _tf_part_sql(tf: str, doclen: str, sumlen: str, n: str, k1: float, b: float) -> str:
+    """BM25 tf saturation with length normalization (avgdl = sumlen/N)."""
+    norm = (
+        f"({k1} * (1.0 - {b} + {b} * CAST({doclen} AS DOUBLE)"
+        f" / (CAST({sumlen} AS DOUBLE) / CAST({n} AS DOUBLE))))"
+    )
+    return (
+        f"(CAST({tf} AS DOUBLE) * ({k1} + 1.0)"
+        f" / (CAST({tf} AS DOUBLE) + {norm}))"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score, rank) for the top-k BM25 matches of ``terms``.
+
+    Plan shape: map pass (doclen + per-term tf, one tokenize per row) →
+    one single-row aggregate (N, sum doclen, per-term df) broadcast back →
+    map-side score → global top-k (orderBy+limit lowers to
+    TakeOrderedAndProject — per-partition heaps, only k rows reach the
+    driver-side merge). Docs matching no term score 0 and are dropped
+    before the top-k. Ties broken by id ascending.
+    """
+    terms = [t.lower() for t in terms]
+    exprs = doc_term_stats_sql(text_col, terms, ts.SPARK_DIALECT)
+    per = docs.select(
+        F.col(id_col),
+        *[F.expr(e).alias(c) for c, e in exprs.items()],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doclen").cast("long").alias("sumlen"),
+    ]
+    for i in range(len(terms)):
+        aggs.append(
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        )
+    stats = per.agg(*aggs)
+    scored = per.crossJoin(F.broadcast(stats))
+    parts = []
+    for i in range(len(terms)):
+        idf = _idf_sql(f"df_{i}", "n_docs")
+        tfp = _tf_part_sql(f"tf_{i}", "doclen", "sumlen", "n_docs", k1, b)
+        parts.append(f"(CASE WHEN tf_{i} > 0 THEN {idf} * {tfp} ELSE 0.0 END)")
+    scored = scored.withColumn("score", F.expr(" + ".join(parts)))
+    top = (
+        scored.where(F.col("score") > 0)
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return _rank_topk(top, id_col)
+
+
+def _rank_topk(top: DataFrame, id_col: str) -> DataFrame:
+    """Attach 1-based rank to an already-limited top-k frame.
+
+    The unpartitioned window sits ABOVE the limit, so it only ever sees
+    the k surviving rows (the planner still prints its single-partition
+    warning — here that single partition is the k-row result, by design);
+    the big scan below ends in TakeOrderedAndProject and stays
+    window-free.
+    """
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bm25_topk_sql(
+    docs_sql: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The identical query as portable SQL (the DuckDB oracle side)."""
+    terms = [t.lower() for t in terms]
+    d = ts.DUCK_DIALECT
+    exprs = doc_term_stats_sql(text_col, terms, d)
+    per_cols = ", ".join(f"{e} AS {c}" for c, e in exprs.items())
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    parts = []
+    for i in range(len(terms)):
+        idf = _idf_sql(f"df_{i}", "n_docs")
+        tfp = _tf_part_sql(f"tf_{i}", "doclen", "sumlen", "n_docs", k1, b)
+        parts.append(f"(CASE WHEN tf_{i} > 0 THEN {idf} * {tfp} ELSE 0.0 END)")
+    return f"""WITH _docs AS ({docs_sql}),
+_per AS (SELECT {id_col}, {per_cols} FROM _docs),
+_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(doclen) AS BIGINT) AS sumlen, {df_cols} FROM _per),
+_scored AS (SELECT {id_col}, {' + '.join(parts)} AS score
+            FROM _per, _stats),
+_ranked AS (SELECT {id_col}, score,
+              row_number() OVER (ORDER BY score DESC, {id_col}) AS rank
+            FROM _scored WHERE score > 0)
+SELECT {id_col}, score, CAST(rank AS BIGINT) AS rank
+FROM _ranked WHERE rank <= {int(k)}"""
+
+
+def term_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted index build: (term, doc_id, tf, doclen) — one shuffle.
+
+    Tokenize + doclen map-side, explode to (doc, term), then a
+    map-side-combined count keyed (term, doc). ``doclen`` rides the
+    grouping as ``max`` (constant within the group) so no second join is
+    needed at query time. Write the result partitioned or bucketed by
+    ``term`` and the probe path becomes a pruned scan.
+    """
+    toks = ts.words_sql(f"lower({text_col})", ts.SPARK_DIALECT)
+    base = docs.select(
+        F.col(id_col),
+        F.expr(toks).alias("_ws"),
+    ).select(
+        F.col(id_col),
+        F.size("_ws").cast("long").alias("doclen"),
+        F.explode("_ws").alias("term"),
+    )
+    return (
+        base.where(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("doclen").alias("doclen"),
+        )
+    )
+
+
+def bm25_over_postings(
+    postings: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    sumlen: int,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served from a standing postings table.
+
+    ``n_docs``/``sumlen`` are corpus constants kept with the index (the
+    stats row every index format stores); df per term is an aggregate over
+    only the MATCHING postings. The term filter is a literal IN — a pruned
+    scan when the table is partitioned by term. The score aggregate
+    shuffles (doc, partial score) pairs for matching docs only.
+    """
+    terms = [t.lower() for t in terms]
+    hits = postings.where(F.col("term").isin(terms))
+    df_tbl = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    joined = hits.join(F.broadcast(df_tbl), on="term")
+    idf = _idf_sql("df", str(int(n_docs)))
+    tfp = _tf_part_sql("tf", "doclen", str(int(sumlen)), str(int(n_docs)), k1, b)
+    scored = joined.withColumn("_part", F.expr(f"{idf} * {tfp}"))
+    top = (
+        scored.groupBy(id_col)
+        .agg(F.sum("_part").alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return _rank_topk(top, id_col)

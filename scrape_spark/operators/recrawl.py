@@ -27,7 +27,7 @@ in the scan projection). Output is URL-sized, not capture-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scrape_spark.functions import textstats as ts
@@ -168,3 +168,114 @@ def capture_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select("url", status.alias("status"), "old_hash", "new_hash")
+
+
+def change_estimate(
+    caps: DataFrame,
+    now: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-aware change-interval estimate + next-due instant per URL.
+
+    ``recrawl_priority`` counts DISTINCT versions; this looks at the
+    capture SEQUENCE: A,B,A,B is four versions of two contents but three
+    observed changes, and the revisit schedule should chase the three.
+    Per URL, captures are ordered by timestamp and each consecutive pair
+    whose text hash differs counts as one observed change (the sampled-
+    observation estimator behind Cho & Garcia-Molina's revisit policies —
+    a change is only OBSERVABLE at a capture boundary, so the estimate is
+    a lower bound on the true rate).
+
+    Exact int64 outputs: ``est_interval = span div n_changes`` (the mean
+    inter-change gap); a URL never seen changing waits out its whole
+    observation span again (``greatest(span, 1)`` — the standard doubling
+    backoff, and a single-capture URL with span 0 comes due immediately —
+    unknown pages are probed eagerly); ``next_due = last_ts +
+    est_interval``; ``overdue = greatest(0, now - next_due)`` plugs into
+    the frontier's priority dequeue exactly like ``priority``.
+
+    Scale shape: the text hash is computed in the scan projection, so the
+    single exchange (hash-partition on url for the lag window) carries
+    (url, ts, int64) only; the follow-on groupBy(url) reuses that
+    partitioning — one shuffle total, output URL-sized. Ties in ts order
+    by hash so the lag is deterministic under duplicate timestamps.
+    """
+    h = F.coalesce(
+        F.expr(ts.text_hash_sql(text_col, ts.SPARK_DIALECT)), F.lit(0)
+    )
+    keyed = caps.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+        h.alias("th"),
+    )
+    w = Window.partitionBy("url").orderBy("ts", "th")
+    lagged = keyed.withColumn(
+        "changed",
+        F.when(F.lag("th").over(w).isNull(), F.lit(0))
+        .when(F.lag("th").over(w) != F.col("th"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    per = lagged.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_caps"),
+        F.sum("changed").alias("n_changes"),
+        (F.max("ts") - F.min("ts")).cast("long").alias("span"),
+        F.max("ts").alias("last_ts"),
+    )
+    interval = F.when(
+        F.col("n_changes") == 0, F.greatest(F.col("span"), F.lit(1).cast("long"))
+    ).otherwise(F.expr("span div n_changes"))
+    out = per.select(
+        "url",
+        "n_caps",
+        "n_changes",
+        "span",
+        "last_ts",
+        interval.cast("long").alias("est_interval"),
+    )
+    next_due = F.col("last_ts") + F.col("est_interval")
+    overdue = F.greatest(
+        F.lit(0).cast("long"), F.lit(int(now)) - next_due
+    )
+    return out.select(
+        "*",
+        next_due.cast("long").alias("next_due"),
+        overdue.cast("long").alias("overdue"),
+    )
+
+
+def change_estimate_sql(
+    caps_sql: str,
+    now: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> str:
+    """The identical kernel as portable SQL (the DuckDB oracle side)."""
+    th = ts.text_hash_sql(text_col, ts.DUCK_DIALECT)
+    return f"""WITH _caps AS ({caps_sql}),
+_keyed AS (SELECT {url_col} AS url, CAST({ts_col} AS BIGINT) AS ts,
+                  coalesce({th}, 0) AS th
+           FROM _caps),
+_lagged AS (SELECT url, ts, th,
+  CAST(CASE WHEN lag(th) OVER (PARTITION BY url ORDER BY ts, th) IS NULL
+            THEN 0
+            WHEN lag(th) OVER (PARTITION BY url ORDER BY ts, th) <> th
+            THEN 1 ELSE 0 END AS BIGINT) AS changed
+  FROM _keyed),
+_per AS (SELECT url, CAST(count(*) AS BIGINT) AS n_caps,
+                CAST(sum(changed) AS BIGINT) AS n_changes,
+                CAST(max(ts) - min(ts) AS BIGINT) AS span,
+                CAST(max(ts) AS BIGINT) AS last_ts
+         FROM _lagged GROUP BY url),
+_est AS (SELECT url, n_caps, n_changes, span, last_ts,
+  CAST(CASE WHEN n_changes = 0 THEN greatest(span, 1)
+       ELSE span // n_changes END AS BIGINT) AS est_interval
+  FROM _per)
+SELECT url, n_caps, n_changes, span, last_ts, est_interval,
+  CAST(last_ts + est_interval AS BIGINT) AS next_due,
+  CAST(greatest(0, {int(now)} - (last_ts + est_interval)) AS BIGINT)
+    AS overdue
+FROM _est"""

@@ -1,0 +1,130 @@
+"""BM25 lexical retrieval: scoring semantics + postings-path equivalence."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.ranking import (
+    bm25_over_postings,
+    bm25_topk,
+    bm25_topk_sql,
+    term_postings,
+)
+
+DOCS = [
+    (1, "spark runs fast and spark scales"),
+    (2, "window functions over sorted frames"),
+    (3, "merge small files then merge again and merge once more"),
+    (4, "nothing relevant here at all"),
+    (5, ""),
+    (6, "SPARK Window MERGE"),  # tokenization lowercases
+    (7, "spark spark spark spark spark spark spark spark"),  # tf saturation
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _duck_topk(terms, k):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for r in DOCS:
+        con.execute("INSERT INTO documents VALUES (?, ?)", list(r))
+    sql = bm25_topk_sql("SELECT doc_id, text FROM documents", terms, k=k)
+    return sorted(con.sql(sql).fetchall())
+
+
+def test_bm25_matches_duckdb_and_drops_nonmatching_docs(spark):
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk(_docs(spark), ["spark", "window", "merge"], k=10)
+        .select("doc_id", "score", "rank")
+        .collect()
+    )
+    assert got == _duck_topk(["spark", "window", "merge"], 10)
+    ids = {r[0] for r in got}
+    assert 4 not in ids and 5 not in ids  # score-0 docs dropped
+    assert 6 in ids  # query and text both lowercased
+
+
+def test_tf_saturation_caps_the_spam_doc(spark):
+    """Doc 7 (8x 'spark') must not score 8x doc 1 (2x 'spark')."""
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(_docs(spark), ["spark"], k=10).collect()
+    }
+    assert rows[7] < 4 * rows[1]
+
+
+def test_rare_term_outscores_common_term_at_equal_tf(spark):
+    """idf ordering: a term in 1 doc beats a term in 3 docs."""
+    docs = spark.createDataFrame(
+        [(i, "common filler") for i in range(1, 4)]
+        + [(4, "common rareword")],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, ["common", "rareword"], k=10).collect()
+    }
+    # doc 4 has both terms; its rareword part alone must beat any
+    # common-only doc (same doclen, same tf).
+    assert scores[4] > 2 * max(scores[i] for i in (1, 2, 3))
+
+
+def test_postings_path_equals_literal_path(spark):
+    docs = _docs(spark)
+    terms = ["spark", "window", "merge"]
+    lit = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_topk(docs, terms, k=10).collect()
+    }
+    post = term_postings(docs)
+    n = docs.count()
+    sumlen = docs.select(
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("s")
+    ).collect()[0]["s"]
+    idx = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_over_postings(post, terms, n, int(sumlen), k=10).collect()
+    }
+    assert idx.keys() == lit.keys()
+    for i in idx:
+        assert idx[i][1] == lit[i][1]
+        assert idx[i][0] == pytest.approx(lit[i][0], rel=1e-12)
+
+
+def test_postings_build_tf_and_doclen(spark):
+    rows = {
+        (r["term"], r["doc_id"]): (r["tf"], r["doclen"])
+        for r in term_postings(_docs(spark)).collect()
+    }
+    assert rows[("spark", 1)] == (2, 6)
+    assert rows[("merge", 3)] == (3, 10)
+    assert ("", 5) not in rows  # empty tokens never indexed
+    assert ("spark", 6) in rows  # lowercased at build time
+
+
+def test_quote_in_term_is_escaped(spark):
+    docs = spark.createDataFrame(
+        [(1, "it's fine"), (2, "its fine")], "doc_id long, text string"
+    )
+    got = bm25_topk(docs, ["it's"], k=5).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_scores_reproduce_the_textbook_formula(spark):
+    """One hand-computed score: doc 2, query 'window' over DOCS."""
+    n, sumlen = len(DOCS), sum(len(t.split(" ")) for _, t in DOCS)
+    df = 2  # docs 2 and 6
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    tf, doclen = 1.0, 5.0
+    tfp = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * doclen / (sumlen / n)))
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(_docs(spark), ["window"], k=5).collect()
+    }
+    assert got[2] == pytest.approx(idf * tfp, rel=1e-12)

@@ -122,3 +122,74 @@ def test_capture_diff_ts_col_latest_wins(spark):
     # would wrongly say changed)
     r = capture_diff(old, new, ts_col="ts").collect()[0]
     assert (r.status, r.old_hash) == ("unchanged", 9)
+
+
+# ---------------------------------------------------------------------------
+# change_estimate: order-aware interval estimation
+# ---------------------------------------------------------------------------
+
+
+def test_change_estimate_counts_sequence_not_versions(spark):
+    """A,B,A,B is 2 distinct versions but 3 observed changes."""
+    from scrape_spark.operators.recrawl import change_estimate
+
+    caps = _caps(
+        spark,
+        [("http://ab.test/", 1_000_000 + 10 * i, t)
+         for i, t in enumerate(["A", "B", "A", "B"])],
+    )
+    row = change_estimate(caps, now=NOW).collect()[0]
+    assert row["n_caps"] == 4 and row["n_changes"] == 3
+    assert row["span"] == 30 and row["est_interval"] == 10
+    assert row["next_due"] == 1_000_030 + 10
+    assert row["overdue"] == NOW - row["next_due"]
+
+
+def test_change_estimate_never_changed_waits_full_span(spark):
+    from scrape_spark.operators.recrawl import change_estimate
+
+    caps = _caps(
+        spark,
+        [("http://s.test/", 1_000_000 + 100 * i, "same") for i in range(3)],
+    )
+    row = change_estimate(caps, now=NOW).collect()[0]
+    assert row["n_changes"] == 0
+    assert row["est_interval"] == row["span"] == 200
+    assert row["next_due"] == 1_000_200 + 200
+
+
+def test_change_estimate_single_capture_due_immediately(spark):
+    from scrape_spark.operators.recrawl import change_estimate
+
+    caps = _caps(spark, [("http://one.test/", 1_500_000, "x")])
+    row = change_estimate(caps, now=NOW).collect()[0]
+    assert row["n_caps"] == 1 and row["span"] == 0
+    assert row["est_interval"] == 1  # greatest(span, 1): unknown -> eager
+    assert row["next_due"] == 1_500_001
+
+
+def test_change_estimate_duplicate_ts_orders_by_hash(spark):
+    """Two captures at the SAME instant: lag order falls back to the hash,
+    so the change count is deterministic regardless of input order."""
+    from scrape_spark.operators.recrawl import change_estimate
+
+    rows = [
+        ("http://d.test/", 1_000_000, "A"),
+        ("http://d.test/", 1_000_000, "B"),
+        ("http://d.test/", 1_000_010, "A"),
+    ]
+    a = change_estimate(_caps(spark, rows), now=NOW).collect()[0]
+    b = change_estimate(_caps(spark, rows[::-1]), now=NOW).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a["n_changes"] == 2  # X -> Y at t0 (hash order), Y -> A at t1
+
+
+def test_change_estimate_future_capture_overdue_clamps_to_zero(spark):
+    from scrape_spark.operators.recrawl import change_estimate
+
+    caps = _caps(
+        spark,
+        [("http://f.test/", NOW + 100, "a"), ("http://f.test/", NOW + 200, "b")],
+    )
+    row = change_estimate(caps, now=NOW).collect()[0]
+    assert row["overdue"] == 0
