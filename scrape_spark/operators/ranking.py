@@ -253,3 +253,56 @@ def bm25_over_postings(
         .limit(k)
     )
     return _rank_topk(top, id_col)
+
+
+def postings_delta(
+    diff: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental index maintenance from a crawl-to-crawl diff.
+
+    ``diff`` is (id, status) in capture_diff's taxonomy
+    (operators/recrawl.py): only ``added``/``changed`` docs are
+    re-tokenized (from ``new_docs``), and only ``changed``/``removed``
+    docs produce tombstones. Returns ``(adds, dels)`` — ``adds`` has
+    term_postings' schema, ``dels`` is a doc-id delete set (a doc-level
+    tombstone deletes every term row of the old version, so no term
+    enumeration of the OLD text is ever needed).
+
+    This is deliberately a DELTA, not a rewritten table: a standing
+    postings table is partitioned by term, and an eager anti-join on doc
+    id would reshuffle all of it per crawl. Publish (adds, dels) as side
+    runs and fold them in at compaction (``apply_postings_delta``) —
+    the same LSM discipline as the CDX multi-run index (operators/cdx.py).
+    """
+    upserted = diff.where(F.col("status").isin("added", "changed")).select(
+        F.col(id_col)
+    )
+    dels = diff.where(F.col("status").isin("changed", "removed")).select(
+        F.col(id_col)
+    )
+    adds = term_postings(
+        new_docs.join(upserted, id_col, "left_semi"),
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return adds, dels
+
+
+def apply_postings_delta(
+    postings: DataFrame,
+    adds: DataFrame,
+    dels: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compaction: fold one (adds, dels) delta into a postings base.
+
+    One anti-join keyed on doc id (the delete set is crawl-delta-sized —
+    broadcast in practice) plus a union with the adds. Result is
+    term_postings(new corpus) exactly; tests pin that equivalence.
+    """
+    # a string-key join moves the key column first — restore the base order
+    kept = postings.join(dels, id_col, "left_anti").select(*postings.columns)
+    return kept.unionByName(adds)

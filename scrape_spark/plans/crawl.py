@@ -1280,6 +1280,53 @@ class CrawlJob:
             meta["base"] = True
         self.store.write("frontier", out.select(*FRONTIER_COLS), meta=meta)
 
+    def reset_due(self, caps: DataFrame, now: int) -> int:
+        """Freshness-driven re-crawl enqueue over a capture lake.
+
+        The scheduling half the reference lacks entirely (its only path
+        back to pending is the manual reset, models.py:195-204): estimate
+        each URL's change interval from its capture history
+        (operators/recrawl.py ``change_estimate``), and re-pend exactly the
+        frontier rows that are past due at ``now`` AND already fully
+        processed (done/error — in-flight pending/blocked rows are never
+        touched). Returns the number of re-pended URLs.
+
+        Cost is O(due), not O(frontier): the due set joins the frontier
+        once on url (broadcast when small, AQE otherwise) and the write is
+        a normal delta — merge-on-read surfaces the new pending status, no
+        base rewrite. The pending cache self-invalidates on the snapshot
+        bump like every admin write.
+        """
+        from scrape_spark.operators.recrawl import change_estimate
+
+        # the count() below materializes the frontier BEFORE _carry_meta
+        # would run the repair gate — gate explicitly first (idempotent).
+        self._ensure_reconciled()
+        due = (
+            change_estimate(caps, now=now)
+            .where(F.col("next_due") <= F.lit(int(now)))
+            .select("url")
+        )
+        delta = (
+            self.frontier()
+            .where(F.col("status").isin("done", "error"))
+            .join(due, "url", "left_semi")
+            .withColumn("status", F.lit("pending"))
+            .withColumn("error_message", F.lit(None).cast("string"))
+        )
+        out = delta.select(*FRONTIER_COLS).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = out.count()
+            if n:
+                self.store.write(
+                    "frontier",
+                    out,
+                    meta=self._carry_meta("admin_reset_due", n_due=n),
+                )
+            return n
+        finally:
+            out.unpersist()
+
     def mark_all_processed(self) -> None:
         """mark_all_as_processed (models.py:350-361): processed=TRUE for every
         row; rows holding an error keep error status (the reference's

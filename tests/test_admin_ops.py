@@ -393,3 +393,79 @@ def test_truncate_crash_window_repaired_on_resume(spark, base_state, crawled, mo
     fresh.run()
     assert fresh.status_counts().get("pending", 0) == 0
     assert fresh.statistics()["total"] > 1
+
+
+# ---------------------------------------------------------------------------
+# reset_due: freshness-driven re-crawl enqueue (change_estimate x frontier)
+# ---------------------------------------------------------------------------
+
+
+def _forge_caps(spark, specs):
+    """Capture rows (url, warc_ts, text) from {url: [(ts, text), ...]}."""
+    rows = [(u, ts, tx) for u, caps in specs.items() for ts, tx in caps]
+    return spark.createDataFrame(rows, "url string, warc_ts long, text string")
+
+
+def test_reset_due_repends_only_due_and_done(spark, crawled):
+    done = sorted(
+        r["url"]
+        for r in crawled.frontier().where(F.col("status") == "done").collect()
+    )
+    assert len(done) >= 4
+    churner, stable = done[0], done[1]
+    now = 1_000_350
+    caps = _forge_caps(
+        spark,
+        {
+            # changed every capture, 100 s apart: next_due 1_000_300 -> due
+            churner: [(1_000_000 + 100 * i, f"v{i}") for i in range(3)],
+            # never changed: doubling backoff puts next_due at 1_000_400
+            stable: [(1_000_000 + 100 * i, "same") for i in range(3)],
+        },
+    )
+    n = crawled.reset_due(caps, now=now)
+    assert n == 1
+    status = {
+        r["url"]: r["status"] for r in crawled.frontier().collect()
+    }
+    assert status[churner] == "pending"
+    assert status[stable] == "done"
+    # everything else untouched
+    assert sum(1 for s in status.values() if s == "pending") == 1
+
+
+def test_reset_due_ignores_urls_outside_frontier_and_is_rerunnable(
+    spark, crawled
+):
+    now = 1_000_400
+    caps = _forge_caps(
+        spark,
+        {"http://never-crawled.test/x": [(1_000_000, "a"), (1_000_100, "b")]},
+    )
+    assert crawled.reset_due(caps, now=now) == 0  # no frontier row -> no-op
+
+    done = [
+        r["url"]
+        for r in crawled.frontier().where(F.col("status") == "done").collect()
+    ]
+    caps2 = _forge_caps(
+        spark, {done[0]: [(1_000_000, "a"), (1_000_100, "b")]}
+    )
+    assert crawled.reset_due(caps2, now=now) == 1
+    # second call: the row is now pending, not done -> not re-pended again
+    assert crawled.reset_due(caps2, now=now) == 0
+
+
+def test_reset_due_then_run_recrawls_and_drains(spark, crawled):
+    done = [
+        r["url"]
+        for r in crawled.frontier().where(F.col("status") == "done").collect()
+    ]
+    caps = _forge_caps(
+        spark, {done[0]: [(1_000_000, "a"), (1_000_100, "b")]}
+    )
+    assert crawled.reset_due(caps, now=1_000_400) == 1
+    crawled.run()
+    status = {r["url"]: r["status"] for r in crawled.frontier().collect()}
+    assert status[done[0]] == "done"
+    assert "pending" not in status.values()

@@ -128,3 +128,36 @@ def test_scores_reproduce_the_textbook_formula(spark):
         for r in bm25_topk(_docs(spark), ["window"], k=5).collect()
     }
     assert got[2] == pytest.approx(idf * tfp, rel=1e-12)
+
+
+def test_postings_delta_matches_full_rebuild(spark):
+    """apply(build(old), delta(old->new)) == build(new), all statuses."""
+    from scrape_spark.operators.ranking import (
+        apply_postings_delta,
+        postings_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma gamma delta"), (3, "kept the same")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "gamma replaced"), (3, "kept the same"), (4, "fresh words")],
+        "doc_id long, text string",
+    )
+    diff = spark.createDataFrame(
+        [(1, "removed"), (2, "changed"), (3, "unchanged"), (4, "added")],
+        "doc_id long, status string",
+    )
+    adds, dels = postings_delta(diff, new)
+    got = sorted(
+        tuple(r)
+        for r in apply_postings_delta(
+            term_postings(old), adds, dels
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in term_postings(new).collect())
+    assert got == want
+    # unchanged docs were never re-tokenized: no doc-3 rows in the delta
+    assert not [r for r in adds.collect() if r["doc_id"] == 3]
+    assert sorted(r["doc_id"] for r in dels.collect()) == [1, 2]
