@@ -2597,6 +2597,48 @@ def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- lexical retrieval: match snippets + PMI co-occurrence ---------------------
+def _snippet_oracle() -> str:
+    from scrape_spark.functions import textstats as ts
+    from scrape_spark.operators.ranking import snippet_sql
+
+    snip = snippet_sql("text", _BM25_TERMS, ts.DUCK_DIALECT, width=3)
+    return (
+        f"SELECT doc_id, {snip} AS snippet FROM documents "
+        "WHERE " + snip + " <> ''"
+    )
+
+
+@_q("search_snippets", _snippet_oracle())
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±3-token match window around the first query-term hit, map-only."""
+    from scrape_spark.operators.ranking import with_snippet
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return (
+        with_snippet(docs, _BM25_TERMS, width=3)
+        .where(F.col("snippet") != "")
+        .select("doc_id", "snippet")
+    )
+
+
+def _cooc_oracle() -> str:
+    from scrape_spark.operators.ranking import term_cooccurrence_sql
+
+    return term_cooccurrence_sql(
+        "SELECT doc_id, text FROM documents", "spark", min_docs=5
+    )
+
+
+@_q("term_cooccurrence", _cooc_oracle())
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI of every term with the seed term 'spark'."""
+    from scrape_spark.operators.ranking import term_cooccurrence
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return term_cooccurrence(docs, "spark", min_docs=5)
+
+
 # -- crawl scheduling: order-aware change-interval estimate --------------------
 # Same forged capture lake as recrawl_priority (three change regimes:
 # never / every capture / once), but the estimator reads the SEQUENCE via a

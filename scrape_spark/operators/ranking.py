@@ -306,3 +306,151 @@ def apply_postings_delta(
     # a string-key join moves the key column first — restore the base order
     kept = postings.join(dels, id_col, "left_anti").select(*postings.columns)
     return kept.unionByName(adds)
+
+
+def snippet_sql(
+    text: str, terms: list[str], d: dict, width: int = 4
+) -> str:
+    """Match snippet: ±``width`` tokens around the first query-term hit.
+
+    Pure map-side array expression (no UDF, no shuffle): tokenize once
+    (let-bound), find the smallest 1-based index whose token is a query
+    term, slice the surrounding window, re-join with spaces. '' when no
+    term matches — and the join is coalesced because an empty slice is
+    NULL on DuckDB but '' on Spark (the array_to_string divergence,
+    operators/corpus.py).
+    """
+    lits = ", ".join(_term_literal(t.lower()) for t in terms)
+    idxs = d["transform"].format(
+        arr=d["seq"].format(a="1", b=d["size"].format(arr="__ws")),
+        lam=(
+            "__i -> CASE WHEN "
+            + d["at"].format(arr="__ws", i="CAST(__i AS INT)")
+            + f" IN ({lits}) THEN __i ELSE NULL END"
+        ),
+    )
+    hit = d["amin"].format(
+        arr=d["filter"].format(arr=idxs, lam="__x -> __x IS NOT NULL")
+    )
+    body = (
+        "CASE WHEN __h IS NULL THEN '' ELSE coalesce("
+        + d["ajoin"].format(
+            arr=d["transform"].format(
+                arr=d["seq"].format(
+                    a=f"greatest(1, __h - {int(width)})",
+                    b=(
+                        "least("
+                        + d["size"].format(arr="__ws")
+                        + f", __h + {int(width)})"
+                    ),
+                ),
+                lam=(
+                    "__j -> "
+                    + d["at"].format(arr="__ws", i="CAST(__j AS INT)")
+                ),
+            ),
+            sep="' '",
+        )
+        + ", '') END"
+    )
+    with_hit = ts._bind(body, "__h", hit, d)
+    toks = ts.words_sql(f"lower({text})", d)
+    return ts._bind(with_hit, "__ws", toks, d)
+
+
+def with_snippet(
+    docs: DataFrame,
+    terms: list[str],
+    width: int = 4,
+    text_col: str = "text",
+    out_col: str = "snippet",
+) -> DataFrame:
+    """Attach the match snippet column (map-only, codegen-friendly)."""
+    return docs.withColumn(
+        out_col,
+        F.expr(snippet_sql(text_col, terms, ts.SPARK_DIALECT, width)),
+    )
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    seed_term: str,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level PMI of every vocabulary term with ``seed_term``.
+
+    pmi(t) = ln( (n_both * N) / (n_term * n_seed) ) over doc-level
+    presence — the standard query-expansion signal. One exploded
+    DISTINCT-terms pass (map-side combined groupBy term; the distinct is
+    per-row array work, so no (doc, term) shuffle dedup), one broadcast
+    of the two scalar counts. ``min_docs`` floors the co-occurrence
+    support to keep the tail of one-off terms out. The seed term itself
+    is excluded from the output.
+    """
+    seed = seed_term.lower()
+    toks = ts.words_sql(f"lower({text_col})", ts.SPARK_DIALECT)
+    base = docs.select(
+        F.col(id_col),
+        F.expr(
+            ts.SPARK_DIALECT["adistinct"].format(arr=toks)
+        ).alias("_terms"),
+    ).withColumn(
+        "_has_seed",
+        F.array_contains("_terms", F.lit(seed)).cast("long"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_has_seed").alias("n_seed"),
+    )
+    per_term = (
+        base.select(
+            F.col("_has_seed"), F.explode("_terms").alias("term")
+        )
+        .where((F.col("term") != "") & (F.col("term") != seed))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_term"),
+            F.sum("_has_seed").alias("n_both"),
+        )
+        .where(F.col("n_both") >= int(min_docs))
+    )
+    return per_term.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_term",
+        "n_both",
+        F.expr(
+            "ln((CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+            " / (CAST(n_term AS DOUBLE) * CAST(n_seed AS DOUBLE)))"
+        ).alias("pmi"),
+    )
+
+
+def term_cooccurrence_sql(
+    docs_sql: str,
+    seed_term: str,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The identical kernel as portable SQL (the DuckDB oracle side)."""
+    seed = seed_term.lower().replace("'", "''")
+    d = ts.DUCK_DIALECT
+    toks = d["adistinct"].format(arr=ts.words_sql(f"lower({text_col})", d))
+    return f"""WITH _docs AS ({docs_sql}),
+_base AS (SELECT {id_col}, {toks} AS _terms,
+    CAST(CASE WHEN list_contains({toks}, '{seed}') THEN 1 ELSE 0 END
+         AS BIGINT) AS _has_seed
+  FROM _docs),
+_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(_has_seed) AS BIGINT) AS n_seed FROM _base),
+_expl AS (SELECT _has_seed, unnest(_terms) AS term FROM _base),
+_per AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term,
+                CAST(sum(_has_seed) AS BIGINT) AS n_both
+         FROM _expl WHERE term <> '' AND term <> '{seed}'
+         GROUP BY term HAVING CAST(sum(_has_seed) AS BIGINT) >= {int(min_docs)})
+SELECT term, n_term, n_both,
+  ln((CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE))
+     / (CAST(n_term AS DOUBLE) * CAST(n_seed AS DOUBLE))) AS pmi
+FROM _per, _stats"""

@@ -161,3 +161,75 @@ def test_postings_delta_matches_full_rebuild(spark):
     # unchanged docs were never re-tokenized: no doc-3 rows in the delta
     assert not [r for r in adds.collect() if r["doc_id"] == 3]
     assert sorted(r["doc_id"] for r in dels.collect()) == [1, 2]
+
+
+def test_snippet_window_edges_and_no_hit(spark):
+    from scrape_spark.operators.ranking import with_snippet
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark at the very start of this line"),
+            (2, "this line ends with the word spark"),
+            (3, "mid one two spark three four tail"),
+            (4, "no match anywhere"),
+            (5, ""),
+            (6, "MERGE uppercase hit"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in with_snippet(docs, ["spark", "merge"], width=2).collect()
+    }
+    assert got[1] == "spark at the"  # window clamps at the left edge
+    assert got[2] == "the word spark"  # clamps at the right edge
+    assert got[3] == "one two spark three four"
+    assert got[4] == "" and got[5] == ""
+    assert got[6] == "merge uppercase hit"  # lowercased tokens
+
+
+def test_snippet_picks_first_hit_of_any_term(spark):
+    from scrape_spark.operators.ranking import with_snippet
+
+    docs = spark.createDataFrame(
+        [(1, "a merge b c d spark e")], "doc_id long, text string"
+    )
+    got = with_snippet(docs, ["spark", "merge"], width=1).collect()[0]
+    assert got["snippet"] == "a merge b"
+
+
+def test_pmi_sign_separates_attractors_from_repellers(spark):
+    """Terms co-occurring above/below chance get positive/negative PMI."""
+    import math
+
+    from scrape_spark.operators.ranking import term_cooccurrence
+
+    # seed in docs 1-4; 'buddy' rides along in all of them (pmi > 0),
+    # 'loner' only ever appears without the seed... but min support needs
+    # n_both >= 1, so give it one overlap out of four occurrences.
+    docs = spark.createDataFrame(
+        [
+            (1, "seed buddy"),
+            (2, "seed buddy"),
+            (3, "seed buddy"),
+            (4, "seed buddy loner"),
+            (5, "loner filler"),
+            (6, "loner filler"),
+            (7, "loner filler"),
+            (8, "filler alone"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: r
+        for r in term_cooccurrence(docs, "seed", min_docs=1).collect()
+    }
+    n = 8
+    n_seed = 4
+    assert got["buddy"]["n_both"] == 4 and got["buddy"]["n_term"] == 4
+    assert got["buddy"]["pmi"] == pytest.approx(
+        math.log((4 * n) / (4 * n_seed)), rel=1e-12
+    )
+    assert got["buddy"]["pmi"] > 0
+    assert got["loner"]["pmi"] < 0  # 1 of 4 with seed vs 4/8 base rate
+    assert "seed" not in got  # seed itself excluded
