@@ -2639,6 +2639,39 @@ def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_cooccurrence(docs, "spark", min_docs=5)
 
 
+# -- focused crawling: anchor+URL topic relevance ------------------------------
+_FOCUS_LINKS_DD = """SELECT
+  'http://t.test/' || CAST(doc_id % 11 AS VARCHAR) || '/topic-'
+    || CAST(doc_id % 3 AS VARCHAR) AS link_url,
+  substr(text, 1, 40) AS anchor
+FROM documents"""
+_FOCUS_TERMS = ["spark", "window", "topic"]
+
+
+def _focused_oracle() -> str:
+    from scrape_spark.operators.webrank import focused_scores_sql
+
+    return focused_scores_sql(_FOCUS_LINKS_DD, _FOCUS_TERMS)
+
+
+@_q("focused_scores", _focused_oracle())
+def q_focused_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shark-search relevance per link target (anchor hits >> URL hits)."""
+    from scrape_spark.operators.webrank import focused_scores
+
+    d = F.col("doc_id")
+    links = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://t.test/"),
+            (d % 11).cast("string"),
+            F.lit("/topic-"),
+            (d % 3).cast("string"),
+        ).alias("link_url"),
+        F.substring("text", 1, 40).alias("anchor"),
+    )
+    return focused_scores(links, _FOCUS_TERMS)
+
+
 # -- crawl scheduling: order-aware change-interval estimate --------------------
 # Same forged capture lake as recrawl_priority (three change regimes:
 # never / every capture / once), but the estimator reads the SEQUENCE via a

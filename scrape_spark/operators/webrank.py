@@ -400,3 +400,120 @@ def anchor_text_agg(
         F.col("anchor").alias("top_anchor"),
         F.col("cnt").alias("top_anchor_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# focused crawling: topic relevance from anchor text + URL tokens
+# ---------------------------------------------------------------------------
+
+
+def _topic_tokens_sql(s: str, d: dict) -> str:
+    """Alphanumeric tokens of ``s`` — regex shared verbatim by both engines.
+
+    The character class carries no backslash escapes, so the Spark-vs-
+    DuckDB string-literal unescaping divergence (functions/textstats.py
+    dialect notes) cannot bite. DuckDB's regexp_replace only rewrites the
+    FIRST match unless given the 'g' flag; Spark's always rewrites all —
+    hence the per-dialect call shape.
+    """
+    from scrape_spark.functions import textstats as ts
+
+    flag = "" if d is ts.SPARK_DIALECT else ", 'g'"
+    cleaned = f"trim(regexp_replace(lower({s}), '[^a-z0-9]+', ' '{flag}))"
+    return d["split"].format(s=cleaned)
+
+
+def topic_hits_sql(s: str, terms: list[str], d: dict) -> str:
+    """Occurrences of any topic term among ``s``'s tokens (exact int64)."""
+    lits = ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in terms
+    )
+    hits = d["filter"].format(
+        arr=_topic_tokens_sql(s, d), lam=f"__w -> __w IN ({lits})"
+    )
+    return f"CAST({d['size'].format(arr=hits)} AS BIGINT)"
+
+
+def topic_url_priority_expr(terms: list[str], url_col: str = "url"):
+    """Shark-search-style dequeue priority over the frontier's own URL.
+
+    Plugs straight into ``CrawlJob(priority=...)`` (plans/crawl.py): the
+    hook ranks ASCENDING, so the topic-hit count is negated — URLs whose
+    path mentions more topic terms dequeue first, FIFO seq breaking ties.
+    Map-side expression over the url column only; no join, no shuffle
+    beyond the dequeue's own ranking.
+    """
+    from scrape_spark.functions import textstats as ts
+
+    return F.expr(
+        f"-({topic_hits_sql(url_col, terms, ts.SPARK_DIALECT)})"
+    )
+
+
+def focused_scores(
+    links: DataFrame,
+    terms: list[str],
+    w_anchor: int = 3,
+    w_url: int = 1,
+    dst_col: str = "link_url",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """(url, anchor_hits, url_hits, relevance) per link target.
+
+    The enqueue-time half of a focused crawler (shark search): anchor
+    text describes the TARGET before it is ever fetched, so topic-term
+    hits over all inlink anchors — weighted above hits in the URL string
+    itself — rank which discovered links deserve fetch slots. Exact
+    int64: relevance = w_anchor*anchor_hits + w_url*url_hits, join it to
+    new links at enqueue or feed a relevance-seeded frontier.
+
+    Scale shape: per-edge hit counts are map-side array expressions; one
+    map-side-combined groupBy(dst) carrying three int64s; the per-URL
+    hits ride the same aggregate as ``max`` (constant within the group).
+    """
+    from scrape_spark.functions import textstats as ts
+
+    d = ts.SPARK_DIALECT
+    per_edge = links.select(
+        F.col(dst_col).alias("url"),
+        F.expr(topic_hits_sql(anchor_col, terms, d)).alias("_ah"),
+        F.expr(topic_hits_sql(dst_col, terms, d)).alias("_uh"),
+    )
+    agg = per_edge.groupBy("url").agg(
+        F.sum("_ah").alias("anchor_hits"),
+        F.max("_uh").alias("url_hits"),
+    )
+    return agg.select(
+        "url",
+        "anchor_hits",
+        "url_hits",
+        (
+            F.lit(int(w_anchor)) * F.col("anchor_hits")
+            + F.lit(int(w_url)) * F.col("url_hits")
+        ).cast("long").alias("relevance"),
+    )
+
+
+def focused_scores_sql(
+    links_sql: str,
+    terms: list[str],
+    w_anchor: int = 3,
+    w_url: int = 1,
+    dst_col: str = "link_url",
+    anchor_col: str = "anchor",
+) -> str:
+    """The identical kernel as portable SQL (the DuckDB oracle side)."""
+    from scrape_spark.functions import textstats as ts
+
+    d = ts.DUCK_DIALECT
+    ah = topic_hits_sql(anchor_col, terms, d)
+    uh = topic_hits_sql(dst_col, terms, d)
+    return f"""WITH _links AS ({links_sql}),
+_per AS (SELECT {dst_col} AS url, {ah} AS _ah, {uh} AS _uh FROM _links),
+_agg AS (SELECT url, CAST(sum(_ah) AS BIGINT) AS anchor_hits,
+                CAST(max(_uh) AS BIGINT) AS url_hits
+         FROM _per GROUP BY url)
+SELECT url, anchor_hits, url_hits,
+  CAST({int(w_anchor)} * anchor_hits + {int(w_url)} * url_hits AS BIGINT)
+    AS relevance
+FROM _agg"""

@@ -120,3 +120,74 @@ def test_priority_order_differs_from_fifo(lifo_crawl):
             inverted = True
             break
     assert inverted, "priority=-seq produced pure FIFO order"
+
+
+# ---------------------------------------------------------------------------
+# focused crawling: topic-relevance priority (operators/webrank.py)
+# ---------------------------------------------------------------------------
+
+
+def test_topic_priority_expr_ranks_hits_first_then_seq(spark):
+    from scrape_spark.operators.webrank import topic_url_priority_expr
+
+    rows = [
+        ("h", 1, "http://h.test/other/page"),
+        ("h", 2, "http://h.test/spark/intro"),
+        ("h", 3, "http://h.test/spark/spark-deep"),  # 3 hits
+        ("h", 4, "http://h.test/misc"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "host string, seq long, url string")
+        .withColumn("quota", F.lit(4))
+        .withColumn("_prio", topic_url_priority_expr(["spark"]))
+    )
+    got = [
+        r["seq"]
+        for r in per_host_take(df, "quota", order_cols=["_prio", "seq"])
+        .orderBy("host_rank")
+        .collect()
+    ]
+    # most hits first; zero-hit rows fall back to FIFO seq order
+    assert got == [3, 2, 1, 4]
+
+
+def test_focused_crawl_schedules_topic_urls_ahead_of_fifo(
+    spark, tmp_path
+):
+    """With priority on URL token '2', some '2'-path URL must overtake a
+    lower-seq sibling without it (the FIFO order is provably broken in the
+    topic's favor), and the crawl still drains completely."""
+    from scrape_spark.operators.webrank import topic_url_priority_expr
+
+    store = SnapshotStore(spark, str(tmp_path / "state"))
+    pages = generate_pages(spark, 1, PAGES_PER_HOST, K, mega_host=None)
+    robots = spark.createDataFrame(
+        [("host0.test", ROBOTS_TXT)], "host string, robots_txt string"
+    )
+    job = CrawlJob(
+        spark,
+        store,
+        pages,
+        robots,
+        round_seconds=60,
+        n_buckets=4,
+        bucket_capacity=1 << 10,
+        priority=topic_url_priority_expr(["2"]),
+    )
+    job.seed(seed_urls(1))
+    job.run(max_rounds=100)
+    fr = job.frontier().select("url", "seq", "status", "round").collect()
+    assert all(r["status"] == "done" for r in fr)
+    rounds = {r["url"]: r["round"] for r in fr}
+    seqs = {r["url"]: r["seq"] for r in fr}
+
+    def hits(u):
+        return sum(1 for t in u.split("/") if t == "2")
+
+    inverted = any(
+        hits(u) > 0 and hits(v) == 0
+        and seqs[u] > seqs[v] and rounds[u] < rounds[v]
+        for u in rounds
+        for v in rounds
+    )
+    assert inverted, "topic priority never overtook FIFO order"
