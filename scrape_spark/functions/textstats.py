@@ -313,11 +313,19 @@ def token_count_sql(text: str, d: dict) -> str:
     return d["size"].format(arr=d["split"].format(s=text))
 
 
+def sql_str_literal(s: str) -> str:
+    """A single-quoted SQL string literal, quote-escaped — the one shared
+    escaping helper for every dialect kernel (both engines double the
+    quote; neither side's literal may contain backslash escapes, see the
+    dialect notes above)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def occurrences_sql(text: str, needle: str) -> str:
     """Occurrence count via length arithmetic — portable across both engines."""
     nlen = len(needle)
-    lit = needle.replace("'", "''")
-    return f"((length({text}) - length(replace({text}, '{lit}', ''))) / {nlen})"
+    lit = sql_str_literal(needle)
+    return f"((length({text}) - length(replace({text}, {lit}, ''))) / {nlen})"
 
 
 # Marker stopwords per language for the stopword lang-ID heuristic. Dict

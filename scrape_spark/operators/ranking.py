@@ -43,7 +43,21 @@ BM25_B = 0.75
 
 def _term_literal(term: str) -> str:
     """A SQL single-quoted literal for a query term (quote-escaped)."""
-    return "'" + term.replace("'", "''") + "'"
+    return ts.sql_str_literal(term)
+
+
+def _norm_terms(terms: list[str]) -> list[str]:
+    """Lowercase + order-preserving dedup; reject an empty query.
+
+    Dedup is load-bearing: a repeated term would otherwise be scored once
+    per occurrence in the literal path but once total in the postings
+    path (its isin() matches each posting row a single time) — silently
+    doubling scores and breaking the two paths' pinned equivalence.
+    """
+    out = list(dict.fromkeys(t.lower() for t in terms))
+    if not out:
+        raise ValueError("terms must be a non-empty list of query terms")
+    return out
 
 
 def _tf_sql(words: str, term: str, d: dict) -> str:
@@ -52,19 +66,27 @@ def _tf_sql(words: str, term: str, d: dict) -> str:
     return f"CAST({d['size'].format(arr=hits)} AS BIGINT)"
 
 
-def doc_term_stats_sql(text: str, terms: list[str], d: dict) -> dict[str, str]:
-    """Per-doc map-side columns: doclen + tf per query term.
+def doc_term_stats_sql(text: str, terms: list[str], d: dict) -> str:
+    """ONE expression: bigint array [doclen, tf_0, ..., tf_{n-1}].
 
-    One let-binding (``mkarr``/``at``) holds the tokenized array so the
-    split runs once per row, not once per term — the same linearization
-    trick as the SURT kernel (functions/surt.py).
+    All per-doc statistics come out of a single let-binding
+    (``transform(array(split(...)), __ws -> array(...))[1]``, the SURT
+    linearization trick — functions/surt.py), so the tokenizing split
+    genuinely runs once per row regardless of term count; callers project
+    the array elements into named columns.
     """
     toks = ts.words_sql(f"lower({text})", d)
-    out: dict[str, str] = {}
-    body_len = "CAST({} AS BIGINT)".format(d["size"].format(arr="__ws"))
-    out["doclen"] = ts._bind(body_len, "__ws", toks, d)
-    for i, t in enumerate(terms):
-        out[f"tf_{i}"] = ts._bind(_tf_sql("__ws", t, d), "__ws", toks, d)
+    cells = ["CAST({} AS BIGINT)".format(d["size"].format(arr="__ws"))]
+    cells.extend(_tf_sql("__ws", t, d) for t in terms)
+    arr = d["mkarr"].format(x=", ".join(cells))
+    return ts._bind(arr, "__ws", toks, d)
+
+
+def _stat_cols(terms: list[str], d: dict, arr: str = "_st") -> dict[str, str]:
+    """Named projections of the stats array (1-based element access)."""
+    out = {"doclen": d["at"].format(arr=arr, i="1")}
+    for i in range(len(terms)):
+        out[f"tf_{i}"] = d["at"].format(arr=arr, i=str(i + 2))
     return out
 
 
@@ -106,11 +128,17 @@ def bm25_topk(
     driver-side merge). Docs matching no term score 0 and are dropped
     before the top-k. Ties broken by id ascending.
     """
-    terms = [t.lower() for t in terms]
-    exprs = doc_term_stats_sql(text_col, terms, ts.SPARK_DIALECT)
+    terms = _norm_terms(terms)
+    d = ts.SPARK_DIALECT
     per = docs.select(
         F.col(id_col),
-        *[F.expr(e).alias(c) for c, e in exprs.items()],
+        F.expr(doc_term_stats_sql(text_col, terms, d)).alias("_st"),
+    ).select(
+        F.col(id_col),
+        *[
+            F.expr(e).alias(c)
+            for c, e in _stat_cols(terms, d).items()
+        ],
     )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -160,10 +188,11 @@ def bm25_topk_sql(
     text_col: str = "text",
 ) -> str:
     """The identical query as portable SQL (the DuckDB oracle side)."""
-    terms = [t.lower() for t in terms]
+    terms = _norm_terms(terms)
     d = ts.DUCK_DIALECT
-    exprs = doc_term_stats_sql(text_col, terms, d)
-    per_cols = ", ".join(f"{e} AS {c}" for c, e in exprs.items())
+    per_cols = ", ".join(
+        f"{e} AS {c}" for c, e in _stat_cols(terms, d).items()
+    )
     df_cols = ", ".join(
         f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
         for i in range(len(terms))
@@ -174,7 +203,9 @@ def bm25_topk_sql(
         tfp = _tf_part_sql(f"tf_{i}", "doclen", "sumlen", "n_docs", k1, b)
         parts.append(f"(CASE WHEN tf_{i} > 0 THEN {idf} * {tfp} ELSE 0.0 END)")
     return f"""WITH _docs AS ({docs_sql}),
-_per AS (SELECT {id_col}, {per_cols} FROM _docs),
+_tok AS (SELECT {id_col},
+           {doc_term_stats_sql(text_col, terms, d)} AS _st FROM _docs),
+_per AS (SELECT {id_col}, {per_cols} FROM _tok),
 _stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(doclen) AS BIGINT) AS sumlen, {df_cols} FROM _per),
 _scored AS (SELECT {id_col}, {' + '.join(parts)} AS score
@@ -235,8 +266,15 @@ def bm25_over_postings(
     only the MATCHING postings. The term filter is a literal IN — a pruned
     scan when the table is partitioned by term. The score aggregate
     shuffles (doc, partial score) pairs for matching docs only.
+
+    The per-doc score folds its ≤|terms| double partials in QUERY-TERM
+    ORDER (collect, sort by term index, fold) — not via F.sum, whose
+    partition-dependent accumulation order would make the result only
+    ulp-approximately equal to ``bm25_topk``. Absent terms contribute an
+    exact +0.0 in the literal path, so the two paths' IEEE sums are
+    bit-identical and the equivalence test pins them with ==.
     """
-    terms = [t.lower() for t in terms]
+    terms = _norm_terms(terms)
     hits = postings.where(F.col("term").isin(terms))
     df_tbl = hits.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -244,10 +282,23 @@ def bm25_over_postings(
     joined = hits.join(F.broadcast(df_tbl), on="term")
     idf = _idf_sql("df", str(int(n_docs)))
     tfp = _tf_part_sql("tf", "doclen", str(int(sumlen)), str(int(n_docs)), k1, b)
-    scored = joined.withColumn("_part", F.expr(f"{idf} * {tfp}"))
+    term_idx = "CASE term " + " ".join(
+        f"WHEN {_term_literal(t)} THEN {i}" for i, t in enumerate(terms)
+    ) + " END"
+    scored = joined.select(
+        F.col(id_col),
+        F.expr(term_idx).alias("_ti"),
+        F.expr(f"{idf} * {tfp}").alias("_part"),
+    )
     top = (
         scored.groupBy(id_col)
-        .agg(F.sum("_part").alias("score"))
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(_ti, _part))), x -> x._part), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("score")
+        )
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
@@ -320,7 +371,7 @@ def snippet_sql(
     NULL on DuckDB but '' on Spark (the array_to_string divergence,
     operators/corpus.py).
     """
-    lits = ", ".join(_term_literal(t.lower()) for t in terms)
+    lits = ", ".join(_term_literal(t) for t in _norm_terms(terms))
     idxs = d["transform"].format(
         arr=d["seq"].format(a="1", b=d["size"].format(arr="__ws")),
         lam=(
@@ -435,12 +486,12 @@ def term_cooccurrence_sql(
     text_col: str = "text",
 ) -> str:
     """The identical kernel as portable SQL (the DuckDB oracle side)."""
-    seed = seed_term.lower().replace("'", "''")
+    seed = ts.sql_str_literal(seed_term.lower())
     d = ts.DUCK_DIALECT
     toks = d["adistinct"].format(arr=ts.words_sql(f"lower({text_col})", d))
     return f"""WITH _docs AS ({docs_sql}),
 _base AS (SELECT {id_col}, {toks} AS _terms,
-    CAST(CASE WHEN list_contains({toks}, '{seed}') THEN 1 ELSE 0 END
+    CAST(CASE WHEN list_contains({toks}, {seed}) THEN 1 ELSE 0 END
          AS BIGINT) AS _has_seed
   FROM _docs),
 _stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -448,7 +499,7 @@ _stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
 _expl AS (SELECT _has_seed, unnest(_terms) AS term FROM _base),
 _per AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term,
                 CAST(sum(_has_seed) AS BIGINT) AS n_both
-         FROM _expl WHERE term <> '' AND term <> '{seed}'
+         FROM _expl WHERE term <> '' AND term <> {seed}
          GROUP BY term HAVING CAST(sum(_has_seed) AS BIGINT) >= {int(min_docs)})
 SELECT term, n_term, n_both,
   ln((CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE))

@@ -205,11 +205,14 @@ def change_estimate(
     h = F.coalesce(
         F.expr(ts.text_hash_sql(text_col, ts.SPARK_DIALECT)), F.lit(0)
     )
+    # NULL-timestamped captures are unorderable (and the two engines
+    # disagree on NULLS FIRST/LAST defaults) — they carry no interval
+    # evidence, so they are dropped on BOTH sides before the lag.
     keyed = caps.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).cast("long").alias("ts"),
         h.alias("th"),
-    )
+    ).where(F.col("ts").isNotNull())
     w = Window.partitionBy("url").orderBy("ts", "th")
     lagged = keyed.withColumn(
         "changed",
@@ -258,7 +261,7 @@ def change_estimate_sql(
     return f"""WITH _caps AS ({caps_sql}),
 _keyed AS (SELECT {url_col} AS url, CAST({ts_col} AS BIGINT) AS ts,
                   coalesce({th}, 0) AS th
-           FROM _caps),
+           FROM _caps WHERE {ts_col} IS NOT NULL),
 _lagged AS (SELECT url, ts, th,
   CAST(CASE WHEN lag(th) OVER (PARTITION BY url ORDER BY ts, th) IS NULL
             THEN 0

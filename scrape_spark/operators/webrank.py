@@ -425,8 +425,12 @@ def _topic_tokens_sql(s: str, d: dict) -> str:
 
 def topic_hits_sql(s: str, terms: list[str], d: dict) -> str:
     """Occurrences of any topic term among ``s``'s tokens (exact int64)."""
+    from scrape_spark.functions import textstats as ts
+
+    if not terms:
+        raise ValueError("terms must be a non-empty list of topic terms")
     lits = ", ".join(
-        "'" + t.lower().replace("'", "''") + "'" for t in terms
+        ts.sql_str_literal(t) for t in dict.fromkeys(t.lower() for t in terms)
     )
     hits = d["filter"].format(
         arr=_topic_tokens_sql(s, d), lam=f"__w -> __w IN ({lits})"

@@ -133,7 +133,7 @@ def test_topic_priority_expr_ranks_hits_first_then_seq(spark):
     rows = [
         ("h", 1, "http://h.test/other/page"),
         ("h", 2, "http://h.test/spark/intro"),
-        ("h", 3, "http://h.test/spark/spark-deep"),  # 3 hits
+        ("h", 3, "http://h.test/spark/spark-deep"),  # 2 hits
         ("h", 4, "http://h.test/misc"),
     ]
     df = (

@@ -91,10 +91,9 @@ def test_postings_path_equals_literal_path(spark):
         r["doc_id"]: (r["score"], r["rank"])
         for r in bm25_over_postings(post, terms, n, int(sumlen), k=10).collect()
     }
-    assert idx.keys() == lit.keys()
-    for i in idx:
-        assert idx[i][1] == lit[i][1]
-        assert idx[i][0] == pytest.approx(lit[i][0], rel=1e-12)
+    # bit-identical, not approx: the postings path folds its partials in
+    # query-term order, matching the literal path's IEEE sum exactly
+    assert idx == lit
 
 
 def test_postings_build_tf_and_doclen(spark):
@@ -233,3 +232,57 @@ def test_pmi_sign_separates_attractors_from_repellers(spark):
     assert got["buddy"]["pmi"] > 0
     assert got["loner"]["pmi"] < 0  # 1 of 4 with seed vs 4/8 base rate
     assert "seed" not in got  # seed itself excluded
+
+
+def test_duplicate_and_mixed_case_terms_score_once(spark):
+    """['Spark','spark','merge'] must equal ['spark','merge'] exactly, on
+    both paths (the duplicate would otherwise double its score part)."""
+    docs = _docs(spark)
+    base = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_topk(docs, ["spark", "merge"], k=10).collect()
+    }
+    dup = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_topk(docs, ["Spark", "spark", "merge"], k=10).collect()
+    }
+    assert dup == base
+    assert _duck_topk(["Spark", "spark", "merge"], 10) == _duck_topk(
+        ["spark", "merge"], 10
+    )
+    post = term_postings(docs)
+    n = docs.count()
+    sumlen = docs.select(
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("s")
+    ).collect()[0]["s"]
+    idx = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_over_postings(
+            post, ["Spark", "spark", "merge"], n, int(sumlen), k=10
+        ).collect()
+    }
+    assert idx == base
+
+
+def test_empty_terms_rejected_everywhere(spark):
+    from scrape_spark.operators.ranking import (
+        bm25_over_postings,
+        snippet_sql,
+        with_snippet,
+    )
+    from scrape_spark.functions import textstats as tstats
+    from scrape_spark.operators.webrank import topic_url_priority_expr
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError):
+        bm25_topk_sql("SELECT 1", [])
+    with pytest.raises(ValueError):
+        bm25_over_postings(term_postings(docs), [], 1, 1)
+    with pytest.raises(ValueError):
+        snippet_sql("text", [], tstats.DUCK_DIALECT)
+    with pytest.raises(ValueError):
+        with_snippet(docs, [])
+    with pytest.raises(ValueError):
+        topic_url_priority_expr([])

@@ -193,3 +193,30 @@ def test_change_estimate_future_capture_overdue_clamps_to_zero(spark):
     )
     row = change_estimate(caps, now=NOW).collect()[0]
     assert row["overdue"] == 0
+
+
+def test_change_estimate_drops_null_timestamp_captures(spark):
+    """NULL-ts captures are unorderable (and the engines disagree on NULL
+    placement in window order) — both sides exclude them entirely."""
+    import duckdb
+
+    from scrape_spark.operators.recrawl import (
+        change_estimate,
+        change_estimate_sql,
+    )
+
+    rows = [
+        ("http://n.test/", None, "A"),
+        ("http://n.test/", 100, "A"),
+        ("http://n.test/", 200, "B"),
+    ]
+    got = change_estimate(_caps(spark, rows), now=NOW).collect()[0]
+    assert got["n_caps"] == 2 and got["n_changes"] == 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(url VARCHAR, warc_ts BIGINT, text VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO c VALUES (?, ?, ?)", list(r))
+    duck = con.sql(
+        change_estimate_sql("SELECT * FROM c", NOW)
+    ).fetchall()[0]
+    assert tuple(got) == duck
