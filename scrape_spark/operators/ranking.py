@@ -505,3 +505,184 @@ SELECT term, n_term, n_both,
   ln((CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE))
      / (CAST(n_term AS DOUBLE) * CAST(n_seed AS DOUBLE))) AS pmi
 FROM _per, _stats"""
+
+
+class PostingsIndex:
+    """A standing BM25 index as one SnapshotStore table — LSM semantics.
+
+    Table ``postings`` holds rows (op, term, doc_id, tf, doclen):
+    ``op='add'`` with a non-empty term is a live posting; ``op='add'``
+    with ``term=''`` is the doc's LENGTH MARKER (exactly one per indexed
+    doc — docs whose every token is empty produce no postings but still
+    have BM25 doclen 1, and without the marker the maintained corpus
+    stats would drift from a full rebuild); ``op='del'`` is a doc-level
+    tombstone deleting every OLDER row of that doc. Each :meth:`update`
+    commits ONE delta (tombstones + re-tokenized rows together), so there
+    is no two-table commit pair to repair after a crash — the atomicity
+    the frontier/seen pair needs epoch markers for (plans/crawl.py) comes
+    free here. Corpus stats (n_docs, sum of doclens — the constants BM25
+    needs besides df) ride the write's snapshot metadata, maintained
+    arithmetically from the marker rows, so :meth:`query` never re-scans
+    the corpus for them.
+
+    Read path (:meth:`postings`): fold the snapshot chain — base, then per
+    delta ``anti-join its tombstones, union its adds`` — the same
+    merge-on-read shape as the frontier store; ``compact()`` materializes
+    the fold as a new base (meta ``base=True`` cuts the chain) when the
+    delta count grows. Tests pin every state against a from-scratch
+    ``term_postings`` rebuild and ``bm25_topk`` on the live corpus.
+    """
+
+    TABLE = "postings"
+    _SCHEMA = ["op", "term", "doc_id", "tf", "doclen"]
+
+    def __init__(self, store, id_col: str = "doc_id", text_col: str = "text"):
+        self.store = store
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # -- stats ----------------------------------------------------------------
+    def stats(self) -> dict:
+        snap = self.store.current_snapshot(self.TABLE)
+        if snap is None:
+            raise KeyError("index not built")
+        m = snap["meta"]
+        return {"n_docs": int(m["n_docs"]), "sumlen": int(m["sumlen"])}
+
+    def _markers(self, docs: DataFrame) -> DataFrame:
+        """One (doc_id, doclen) length-marker row per doc — the same
+        tokenization as term_postings, so the two agree on doclen."""
+        return docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.size(F.split(F.lower(self.text_col), " "))
+            .cast("long")
+            .alias("doclen"),
+        )
+
+    @staticmethod
+    def _marker_stats(markers: DataFrame) -> tuple[int, int]:
+        row = markers.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doclen"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        return int(row["n"]), int(row["s"])
+
+    def _rows(self, op: str, frame: DataFrame) -> DataFrame:
+        cols = [F.lit(op).alias("op")]
+        for c in self._SCHEMA[1:]:
+            if c in frame.columns:
+                cols.append(F.col(c))
+            elif c == "term":
+                cols.append(F.lit("").alias("term"))
+            else:
+                cols.append(F.lit(0).cast("long").alias(c))
+        return frame.select(*cols)
+
+    def _payload(self, post: DataFrame, markers: DataFrame) -> DataFrame:
+        """Add-rows for a (postings, markers) pair of frames."""
+        return self._rows("add", post).unionByName(
+            self._rows("add", markers)
+        )
+
+    # -- writes ---------------------------------------------------------------
+    def build(self, docs: DataFrame) -> None:
+        """Full (re)build: one base snapshot + fresh stats."""
+        markers = self._markers(docs).persist()
+        try:
+            n, s = self._marker_stats(markers)
+            post = term_postings(
+                docs, id_col=self.id_col, text_col=self.text_col
+            ).withColumnRenamed(self.id_col, "doc_id")
+            self.store.write(
+                self.TABLE,
+                self._payload(post, markers),
+                meta={"base": True, "n_docs": n, "sumlen": s},
+            )
+        finally:
+            markers.unpersist()
+
+    def update(self, diff: DataFrame, new_docs: DataFrame) -> None:
+        """Fold one crawl-to-crawl diff in — a single atomic delta commit.
+
+        Stats arithmetic runs over length markers only: the outgoing side
+        aggregates the CURRENT index's markers semi-joined to the
+        tombstone set, the incoming side the re-tokenized docs' markers —
+        exact even for docs that produce no postings.
+        """
+        adds, dels = postings_delta(
+            diff, new_docs, id_col=self.id_col, text_col=self.text_col
+        )
+        adds = adds.withColumnRenamed(self.id_col, "doc_id")
+        dels = dels.withColumnRenamed(self.id_col, "doc_id").persist()
+        upserted = diff.where(
+            F.col("status").isin("added", "changed")
+        ).select(F.col(self.id_col))
+        markers = self._markers(
+            new_docs.join(upserted, self.id_col, "left_semi")
+        ).persist()
+        try:
+            st = self.stats()
+            out_n, out_s = self._marker_stats(
+                self.postings()
+                .where(F.col("term") == "")
+                .join(dels, "doc_id", "left_semi")
+            )
+            in_n, in_s = self._marker_stats(markers)
+            delta = self._rows("del", dels).unionByName(
+                self._payload(adds, markers)
+            )
+            self.store.write(
+                self.TABLE,
+                delta,
+                meta={
+                    "n_docs": st["n_docs"] - out_n + in_n,
+                    "sumlen": st["sumlen"] - out_s + in_s,
+                },
+            )
+        finally:
+            dels.unpersist()
+            markers.unpersist()
+
+    def compact(self) -> None:
+        """Materialize the merge-on-read fold as a new base snapshot."""
+        st = self.stats()
+        self.store.write(
+            self.TABLE,
+            self._rows("add", self.postings()),
+            meta={"base": True, **st},
+        )
+
+    # -- reads ----------------------------------------------------------------
+    def postings(self) -> DataFrame:
+        """Live rows (postings + length markers): fold base + deltas,
+        applying doc tombstones. ``bm25_over_postings`` never sees the
+        markers — no query term is the empty string."""
+        parts = self.store.chain_parts(self.TABLE)
+        cur = None
+        for p in parts:
+            df = self.store.read(self.TABLE, p["id"])
+            adds = df.where(F.col("op") == "add").select(*self._SCHEMA[1:])
+            if cur is None:
+                cur = adds
+                continue
+            dels = df.where(F.col("op") == "del").select("doc_id")
+            cur = (
+                cur.join(dels, "doc_id", "left_anti")
+                .select(*self._SCHEMA[1:])
+                .unionByName(adds)
+            )
+        if cur is None:
+            raise KeyError("index not built")
+        return cur
+
+    def query(self, terms: list[str], k: int = 10, **kw) -> DataFrame:
+        st = self.stats()
+        return bm25_over_postings(
+            self.postings(),
+            terms,
+            n_docs=st["n_docs"],
+            sumlen=st["sumlen"],
+            k=k,
+            id_col="doc_id",
+            **kw,
+        )

@@ -286,3 +286,86 @@ def test_empty_terms_rejected_everywhere(spark):
         with_snippet(docs, [])
     with pytest.raises(ValueError):
         topic_url_priority_expr([])
+
+
+# ---------------------------------------------------------------------------
+# PostingsIndex: standing index lifecycle (build / update / compact / query)
+# ---------------------------------------------------------------------------
+
+
+def _live_topk(spark, corpus_rows, terms, k=10):
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_topk(docs, terms, k=k).collect()
+    }
+
+
+def test_postings_index_lifecycle_tracks_live_corpus(spark, tmp_path):
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.operators.ranking import PostingsIndex
+
+    store = SnapshotStore(spark, str(tmp_path / "idx"))
+    idx = PostingsIndex(store)
+    terms = ["spark", "merge"]
+
+    v1 = [(1, "spark runs"), (2, "merge files"), (3, ""), (4, "plain words")]
+    idx.build(spark.createDataFrame(v1, "doc_id long, text string"))
+    # stats follow the bm25_topk convention: the empty doc counts (doclen 1)
+    assert idx.stats() == {"n_docs": 4, "sumlen": 2 + 2 + 1 + 2}
+    assert {
+        r["doc_id"]: (r["score"], r["rank"]) for r in idx.query(terms).collect()
+    } == _live_topk(spark, v1, terms)
+
+    # update 1: change 1, remove 2, add 5 (empty!) and 6
+    v2 = [(1, "spark spark merge"), (3, ""), (4, "plain words"),
+          (5, ""), (6, "merge me")]
+    diff = spark.createDataFrame(
+        [(1, "changed"), (2, "removed"), (3, "unchanged"),
+         (4, "unchanged"), (5, "added"), (6, "added")],
+        "doc_id long, status string",
+    )
+    idx.update(diff, spark.createDataFrame(v2, "doc_id long, text string"))
+    assert idx.stats() == {"n_docs": 5, "sumlen": 3 + 1 + 2 + 1 + 2}
+    assert {
+        r["doc_id"]: (r["score"], r["rank"]) for r in idx.query(terms).collect()
+    } == _live_topk(spark, v2, terms)
+
+    # compact, then another update on top of the compacted base
+    idx.compact()
+    assert idx.stats() == {"n_docs": 5, "sumlen": 9}
+    assert {
+        r["doc_id"]: (r["score"], r["rank"]) for r in idx.query(terms).collect()
+    } == _live_topk(spark, v2, terms)
+
+    v3 = [(1, "spark spark merge"), (3, "now has spark text"),
+          (4, "plain words"), (6, "merge me")]
+    diff2 = spark.createDataFrame(
+        [(1, "unchanged"), (3, "changed"), (4, "unchanged"),
+         (5, "removed"), (6, "unchanged")],
+        "doc_id long, status string",
+    )
+    idx.update(diff2, spark.createDataFrame(v3, "doc_id long, text string"))
+    assert idx.stats() == {"n_docs": 4, "sumlen": 3 + 4 + 2 + 2}
+    assert {
+        r["doc_id"]: (r["score"], r["rank"]) for r in idx.query(terms).collect()
+    } == _live_topk(spark, v3, terms)
+
+    # the fold equals a from-scratch rebuild, markers included
+    rebuilt = PostingsIndex(SnapshotStore(spark, str(tmp_path / "idx2")))
+    rebuilt.build(spark.createDataFrame(v3, "doc_id long, text string"))
+    assert sorted(
+        tuple(r) for r in idx.postings().collect()
+    ) == sorted(tuple(r) for r in rebuilt.postings().collect())
+    assert rebuilt.stats() == idx.stats()
+
+
+def test_postings_index_query_before_build_raises(spark, tmp_path):
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.operators.ranking import PostingsIndex
+
+    idx = PostingsIndex(SnapshotStore(spark, str(tmp_path / "idx")))
+    with pytest.raises(KeyError):
+        idx.stats()
+    with pytest.raises(KeyError):
+        idx.postings()
