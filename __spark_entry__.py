@@ -2714,6 +2714,62 @@ def q_change_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_estimate(caps, now=_RECRAWL_NOW)
 
 
+# -- anti-spam: TrustRank over the same webgraph fixture -----------------------
+# Seeds = the hub node 0 plus two mid-graph nodes; trust mass propagates
+# forward only, so pages unreachable from the vetted set score 0 — the
+# spam-demotion priority the frontier dequeue consumes.
+_TRUST_SEEDS_SQL = """\
+SELECT CAST(0 AS BIGINT) AS node
+UNION ALL SELECT CAST(17 AS BIGINT)
+UNION ALL SELECT CAST(40 AS BIGINT)"""
+
+
+def _trustrank_oracle() -> str:
+    from scrape_spark.operators.webrank import trustrank_sql
+
+    return trustrank_sql(_PR_EDGES_SQL, _TRUST_SEEDS_SQL, iterations=3)
+
+
+@_q("link_trustrank", _trustrank_oracle())
+def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-personalized PageRank (TrustRank): spam demotion signal."""
+    from scrape_spark.operators.webrank import trustrank_int
+
+    _view(spark, sf_dir, "documents")
+    return trustrank_int(
+        spark.sql(_PR_EDGES_SQL), spark.sql(_TRUST_SEEDS_SQL), iterations=3
+    )
+
+
+# -- domain graph: page edges contracted to eTLD+1 -----------------------------
+# Hosts span subdomains of shared registered domains (the domain_crawl_report
+# shapes) so the contraction must FOLD subdomain pairs and DROP intra-domain
+# navigation edges.
+_HOSTGRAPH_EDGES_SQL = """\
+SELECT 'sub' || CAST(doc_id % 3 AS STRING) || '.site' ||
+         CAST(doc_id % 7 AS STRING) || '.co.uk' AS src_host,
+       CASE WHEN doc_id % 5 = 0
+            THEN 'www.site' || CAST(doc_id % 7 AS STRING) || '.co.uk'
+            ELSE 'host' || CAST(doc_id % 11 AS STRING) || '.test' END
+         AS dst_host
+FROM documents"""
+
+
+def _host_graph_oracle() -> str:
+    from scrape_spark.operators.webrank import host_graph_sql
+
+    return host_graph_sql(_HOSTGRAPH_EDGES_SQL)
+
+
+@_q("host_graph", _host_graph_oracle())
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-edge -> registered-domain-edge contraction with edge weights."""
+    from scrape_spark.operators.webrank import host_graph
+
+    _view(spark, sf_dir, "documents")
+    return host_graph(spark.sql(_HOSTGRAPH_EDGES_SQL))
+
+
 # ---------------------------------------------------------------------------
 
 

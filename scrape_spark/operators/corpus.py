@@ -953,3 +953,38 @@ def registered_domain(
     return df.join(
         resolved.withColumnRenamed("_rd_host", host_col), host_col, "left"
     )
+
+
+def registered_domain_duck_sql(
+    hosts_sql: str, psl: list[str] | None = None
+) -> str:
+    """DuckDB statement mapping DISTINCT hosts of ``hosts_sql`` (one column
+    ``host``) to ``(host, registered_domain)`` — the oracle-side mirror of
+    :func:`registered_domain`, factored so every composed oracle (domain
+    report, host graph) replays ONE copy of the PSL longest-match formula:
+
+    - suffix explode == ``host_suffixes_expr``;
+    - longest listed suffix wins (``arg_max`` on length);
+    - unlisted TLD -> last two labels (PSL default rule);
+    - host that IS a suffix -> itself.
+    """
+    if psl is None:
+        psl = PSL_CORE
+    psl_vals = ", ".join(f"'{s}'" for s in psl)
+    return f"""\
+WITH _rdk_h AS (SELECT DISTINCT host FROM ({hosts_sql})),
+_rdk_hp AS (SELECT host, string_split(host, '.') AS parts FROM _rdk_h),
+_rdk_s0 AS (SELECT host, parts,
+              unnest(generate_series(1, len(parts))) AS gs FROM _rdk_hp),
+_rdk_s AS (SELECT host, array_to_string(parts[gs:len(parts)], '.') AS sfx
+           FROM _rdk_s0),
+_rdk_p AS (SELECT unnest([{psl_vals}]) AS sfx),
+_rdk_best AS (SELECT s.host, arg_max(s.sfx, length(s.sfx)) AS sfx
+              FROM _rdk_s s JOIN _rdk_p p ON s.sfx = p.sfx GROUP BY s.host)
+SELECT hp.host,
+  CASE WHEN b.sfx IS NULL THEN
+         array_to_string(parts[greatest(len(parts) - 1, 1):len(parts)], '.')
+       WHEN len(string_split(b.sfx, '.')) >= len(parts) THEN hp.host
+       ELSE parts[len(parts) - len(string_split(b.sfx, '.'))]
+            || '.' || b.sfx END AS registered_domain
+FROM _rdk_hp hp LEFT JOIN _rdk_best b USING (host)"""

@@ -521,3 +521,261 @@ SELECT url, anchor_hits, url_hits,
   CAST({int(w_anchor)} * anchor_hits + {int(w_url)} * url_hits AS BIGINT)
     AS relevance
 FROM _agg"""
+
+
+# ---------------------------------------------------------------------------
+# TrustRank — seed-personalized PageRank for spam demotion
+# ---------------------------------------------------------------------------
+def trustrank_int(
+    edges: DataFrame,
+    seeds: DataFrame | list[int],
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """(node, trust) — PageRank whose teleport mass lands ONLY on ``seeds``.
+
+    Gyöngyi/Garcia-Molina/Pedersen's TrustRank (VLDB'04): start trust at a
+    hand-vetted seed set and propagate it forward along links with decay;
+    pages unreachable from any trusted page end at trust 0, which is the
+    spam-demotion signal the frontier's priority dequeue consumes
+    (``operators/politeness.py`` ``priority_expr`` takes any numeric
+    column — crawl good-neighborhood pages first). The reference has no
+    graph analytics at all; this extends its stored ``referrer`` lineage
+    (models.py:8-47) the same way :func:`pagerank_int` does.
+
+    Semantics (identical to :func:`trustrank_sql` / :func:`trustrank_py`):
+
+    - ``r_0(v) = scale`` for seeds, else 0;
+    - ``r_{t+1}(v) = base(v) + (damping_pct * S_t(v)) div 100`` with
+      ``S_t(v) = Σ_{u→v} (r_t(u) div outdeg(u))`` and
+      ``base(v) = (scale*(100-damping_pct)) div 100`` for seeds, else 0.
+
+    Unlike uniform PageRank, the total trust mass is bounded by
+    ``n_seeds * scale`` REGARDLESS of graph size (the teleport geometric
+    series sums to n_seeds*base*100/(100-d) = n_seeds*scale, and the
+    r_0 mass only decays), so ``scale=10**12`` survives a 10^10-node
+    graph as long as the vetted seed list stays small — the overflow
+    guard below is on the SEED count, not the node count.
+
+    Scale shape: same as :func:`pagerank_int` — the edge table is
+    hash-partitioned on ``src`` once and reused every iteration; rank
+    frames are node-sized; the seed set rides a broadcast join (a vetted
+    whitelist is O(100s) rows at any crawl scale). One (dst-keyed,
+    map-side-combined) shuffle per iteration.
+    """
+    spark = edges.sparkSession
+    if isinstance(seeds, list):
+        seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "node bigint")
+    else:
+        seeds_df = seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+    seeds_df = seeds_df.distinct().persist()
+    n_seeds = seeds_df.count()
+    if n_seeds == 0:
+        seeds_df.unpersist()
+        raise ValueError("trustrank_int needs a non-empty seed set")
+    if damping_pct * n_seeds * scale >= 2**63:
+        seeds_df.unpersist()
+        raise ValueError(
+            f"scale={scale} overflows int64 at {n_seeds} seeds; "
+            f"use scale <= {2**63 // (damping_pct * n_seeds)}"
+        )
+    base = _base(scale, damping_pct)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seeds_df)
+        .distinct()
+        .persist()
+    )
+    is_seed = F.col("_seed").isNotNull()
+    marked = nodes.join(
+        F.broadcast(seeds_df.select(F.col("node"), F.lit(1).alias("_seed"))),
+        "node",
+        "left",
+    ).persist()
+    rank = marked.select(
+        "node",
+        F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(iterations):
+        sums = (
+            ed.join(rank, ed["src"] == rank["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        rank = marked.join(sums, "node", "left").select(
+            "node",
+            (
+                F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    out = rank.select("node", F.col("rank").alias("trust")).localCheckpoint(
+        eager=True
+    )
+    ed.unpersist()
+    nodes.unpersist()
+    marked.unpersist()
+    seeds_df.unpersist()
+    return out
+
+
+def trustrank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> str:
+    """The SAME TrustRank ladder as chained CTEs for the DuckDB oracle.
+
+    ``edges_sql`` yields BIGINT (src, dst); ``seeds_sql`` yields one
+    BIGINT column ``node``.
+    """
+    base = _base(scale, damping_pct)
+    parts = [
+        f"WITH _tr_e AS ({edges_sql})",
+        f"_tr_seed AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "_tr_deg AS (SELECT src, COUNT(*) AS outdeg FROM _tr_e GROUP BY src)",
+        "_tr_nodes AS (SELECT src AS node FROM _tr_e"
+        " UNION SELECT dst AS node FROM _tr_e"
+        " UNION SELECT node FROM _tr_seed)",
+        "_tr_m AS (SELECT n.node, s.node IS NOT NULL AS is_seed"
+        " FROM _tr_nodes n LEFT JOIN _tr_seed s USING (node))",
+        f"_tr_r0 AS (SELECT node, CAST(CASE WHEN is_seed THEN {scale}"
+        " ELSE 0 END AS BIGINT) AS rank FROM _tr_m)",
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"_tr_s{t} AS (SELECT e.dst AS node,"
+            f" SUM(r.rank // d.outdeg) AS s"
+            f" FROM _tr_e e JOIN _tr_deg d USING (src)"
+            f" JOIN _tr_r{t} r ON r.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"_tr_r{t + 1} AS (SELECT m.node,"
+            f" CAST(CASE WHEN m.is_seed THEN {base} ELSE 0 END"
+            f" + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank"
+            f" FROM _tr_m m LEFT JOIN _tr_s{t} s USING (node))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, rank AS trust FROM _tr_r{iterations}"
+    )
+
+
+def trustrank_py(
+    edges: list[tuple[int, int]],
+    seeds: list[int],
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> dict[int, int]:
+    """Pure-Python executable spec of the same kernel (test oracle)."""
+    base = _base(scale, damping_pct)
+    seed_set = set(seeds)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges} | seed_set
+    rank = {v: scale if v in seed_set else 0 for v in nodes}
+    for _ in range(iterations):
+        sums = {v: 0 for v in nodes}
+        for s, d in edges:
+            sums[d] += rank[s] // outdeg[s]
+        rank = {
+            v: (base if v in seed_set else 0) + (damping_pct * sums[v]) // 100
+            for v in nodes
+        }
+    return rank
+
+
+# ---------------------------------------------------------------------------
+# Host-graph contraction — page edges -> registered-domain edges
+# ---------------------------------------------------------------------------
+def host_graph(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    psl: DataFrame | list[str] | None = None,
+) -> DataFrame:
+    """(src_domain, dst_domain, weight) — the page graph contracted to eTLD+1.
+
+    Domain-level link analysis (domain PageRank/TrustRank, link-farm
+    detection) runs on the CONTRACTED graph: endpoints mapped to their
+    registered domain, intra-domain edges dropped (they are navigation,
+    not endorsement — the standard host-graph construction, e.g. Common
+    Crawl's webgraph releases), parallel edges folded into an int64
+    ``weight``. The output is ~4 orders of magnitude smaller than the
+    page graph, so the iterative rank kernels upstairs run on it at
+    interactive cost even for a 10^10-page crawl.
+
+    Scale shape: domain resolution runs once over the DISTINCT host set
+    (``registered_domain``'s own discipline — broadcast PSL, suffix
+    explode bounded by label count), then attaches to the edge table by
+    two host-keyed joins; the final fold is ONE (src_domain, dst_domain)
+    groupBy with map-side combine. Edge payloads never enter the explode.
+    """
+    from scrape_spark.operators.corpus import registered_domain
+
+    hosts = (
+        edges.select(F.col(src_col).alias("host"))
+        .union(edges.select(F.col(dst_col).alias("host")))
+        .distinct()
+    )
+    rd = registered_domain(hosts, host_col="host").select(
+        "host", "registered_domain"
+    )
+    e = edges.select(F.col(src_col).alias("_hg_src"), F.col(dst_col).alias("_hg_dst"))
+    mapped = (
+        e.join(rd.withColumnRenamed("host", "_hg_src"), "_hg_src")
+        .withColumnRenamed("registered_domain", "src_domain")
+        .join(rd.withColumnRenamed("host", "_hg_dst"), "_hg_dst")
+        .withColumnRenamed("registered_domain", "dst_domain")
+    )
+    return (
+        mapped.where(F.col("src_domain") != F.col("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def host_graph_sql(
+    edges_sql: str, psl: list[str] | None = None
+) -> str:
+    """The SAME contraction for the DuckDB oracle.
+
+    ``edges_sql`` yields (src_host, dst_host) VARCHAR columns.
+    """
+    from scrape_spark.operators.corpus import registered_domain_duck_sql
+
+    rd = registered_domain_duck_sql(
+        f"SELECT src_host AS host FROM ({edges_sql})"
+        f" UNION ALL SELECT dst_host AS host FROM ({edges_sql})",
+        psl,
+    )
+    return f"""\
+WITH _hg_e AS ({edges_sql}),
+_hg_rd AS ({rd})
+SELECT s.registered_domain AS src_domain,
+       d.registered_domain AS dst_domain,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM _hg_e e
+JOIN _hg_rd s ON s.host = e.src_host
+JOIN _hg_rd d ON d.host = e.dst_host
+WHERE s.registered_domain <> d.registered_domain
+GROUP BY s.registered_domain, d.registered_domain"""

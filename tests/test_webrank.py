@@ -137,3 +137,96 @@ def test_hits_duplicate_edges_collapse(spark):
     got = {r.node: (r.hub, r.auth) for r in hits_int(df, iterations=2).collect()}
     assert got == hits_py(simple, iterations=2)
     assert got == hits_py(multi, iterations=2)  # spec dedupes too
+
+
+# ---------------------------------------------------------------------------
+# TrustRank
+# ---------------------------------------------------------------------------
+def _spark_trust(spark, edges, seeds, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from scrape_spark.operators.webrank import trustrank_int
+
+    return {
+        r["node"]: r["trust"]
+        for r in trustrank_int(df, seeds, **kw).collect()
+    }
+
+
+def test_trustrank_matches_python_spec(spark):
+    from scrape_spark.operators.webrank import trustrank_py
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(40)]
+    seeds = [0, 7]
+    got = _spark_trust(spark, edges, seeds, iterations=4)
+    assert got == trustrank_py(edges, seeds, iterations=4)
+
+
+def test_trustrank_unreachable_scores_zero(spark):
+    # two components: seed in {0,1,2}; {10,11} never receives trust
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)]
+    got = _spark_trust(spark, edges, [0])
+    assert got[10] == 0 and got[11] == 0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    # forward-only: node 1 (one hop from the seed) outranks node 2 (two hops)
+    assert got[1] > got[2]
+
+
+def test_trustrank_duckdb_chain_matches_python_spec():
+    from scrape_spark.operators.webrank import trustrank_py, trustrank_sql
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(55)]
+    seeds = [1, 4, 9]
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    seed_sql = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS node" for s in seeds
+    )
+    sql = trustrank_sql(
+        f"SELECT CAST(s AS BIGINT) AS src, CAST(d AS BIGINT) AS dst "
+        f"FROM (VALUES {vals}) t(s, d)",
+        seed_sql,
+        iterations=3,
+    )
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == trustrank_py(edges, seeds, iterations=3)
+
+
+def test_trustrank_guards(spark):
+    from scrape_spark.operators.webrank import trustrank_int
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty seed"):
+        trustrank_int(df, [])
+    with pytest.raises(ValueError, match="overflows int64"):
+        trustrank_int(df, [0, 1], scale=2**62)
+
+
+def test_trustrank_seed_outside_graph_is_kept(spark):
+    # a vetted seed with no edges still appears, holding its teleport mass
+    got = _spark_trust(spark, [(0, 1)], [5], iterations=2)
+    assert 5 in got and got[5] > 0
+    assert got[1] == 0  # not reachable from the seed
+
+
+# ---------------------------------------------------------------------------
+# host_graph contraction
+# ---------------------------------------------------------------------------
+def test_host_graph_folds_subdomains_and_drops_intra(spark):
+    from scrape_spark.operators.webrank import host_graph
+
+    edges = [
+        ("a.example.co.uk", "b.example.co.uk"),   # intra-domain: dropped
+        ("a.example.co.uk", "www.other.test"),
+        ("sub.example.co.uk", "www.other.test"),  # folds with the above
+        ("www.other.test", "x.example.co.uk"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in host_graph(df).collect()
+    }
+    assert got == {
+        ("example.co.uk", "other.test"): 2,
+        ("other.test", "example.co.uk"): 1,
+    }
