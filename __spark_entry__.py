@@ -2770,6 +2770,61 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(spark.sql(_HOSTGRAPH_EDGES_SQL))
 
 
+# -- DUST: learned strip-param rules from same-content URL pairs ---------------
+# Each doc yields a base URL plus a ?sid= alias; 3/4 of the aliases carry the
+# SAME content hash (sid is a session id), 1/4 a different one (sid is
+# content-relevant there) — so the mined rule has real n_tried > support and
+# a confidence below 100.
+_DUST_PAGES_SQL = """\
+SELECT 'http://h' || CAST(doc_id % 7 AS STRING) || '.test/p/'
+         || CAST(doc_id AS STRING) || '?x=1' AS url,
+       md5(text) AS content_sha
+FROM documents
+UNION ALL
+SELECT 'http://h' || CAST(doc_id % 7 AS STRING) || '.test/p/'
+         || CAST(doc_id AS STRING) || '?sid=' || CAST(doc_id AS STRING)
+         || '&x=1' AS url,
+       CASE WHEN doc_id % 4 = 0 THEN md5('variant' || text)
+            ELSE md5(text) END AS content_sha
+FROM documents"""
+
+
+def _dust_rules_oracle() -> str:
+    from scrape_spark.operators.dust import dust_rules_sql
+
+    return dust_rules_sql(_DUST_PAGES_SQL, min_support=2)
+
+
+@_q("dust_rules", _dust_rules_oracle())
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined (host, param) strip rules with support / confidence."""
+    from scrape_spark.operators.dust import dust_rules
+
+    _view(spark, sf_dir, "documents")
+    return dust_rules(spark.sql(_DUST_PAGES_SQL), min_support=2)
+
+
+def _dust_apply_oracle() -> str:
+    from scrape_spark.operators.dust import apply_dust_rules_sql, dust_rules_sql
+
+    rules = dust_rules_sql(_DUST_PAGES_SQL, min_support=2)
+    urls = f"SELECT url FROM ({_DUST_PAGES_SQL})"
+    return apply_dust_rules_sql(urls, rules, min_confidence_pct=50)
+
+
+@_q("dust_canonicalize", _dust_apply_oracle())
+def q_dust_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-collapse rewrite: confident rules broadcast, map-only strip."""
+    from scrape_spark.operators.dust import apply_dust_rules, dust_rules
+
+    _view(spark, sf_dir, "documents")
+    pages = spark.sql(_DUST_PAGES_SQL)
+    rules = dust_rules(pages, min_support=2)
+    return apply_dust_rules(
+        pages.select("url"), rules, min_confidence_pct=50
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -64,6 +64,7 @@ SPARK_DIALECT = {
     # a literal '.' separator for splitc (Spark split() is regex-based)
     "dot": r"'\\.'",
     "mkarr": "array({x})",  # 1-element array (the let-binding carrier)
+    "empty_str_array": "CAST(array() AS array<string>)",
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -86,6 +87,7 @@ DUCK_DIALECT = {
     "asort": "list_sort({arr})",
     "dot": "'.'",
     "mkarr": "[{x}]",
+    "empty_str_array": "CAST([] AS VARCHAR[])",
 }
 
 
