@@ -2825,6 +2825,49 @@ def q_dust_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- lake ingest: MIME sniff over the binary body -------------------------------
+# One blob shape per residue class: every magic signature, tag-after-
+# whitespace HTML, BOM'd XML declaration, plain text, control-byte binary,
+# and empty. hex(text) varies the tail so the hash check sees real data.
+_MIME_BLOBS_SQL = """\
+SELECT doc_id, unhex(
+  CASE CAST(doc_id % 13 AS INT)
+    WHEN 0 THEN '1F8B08' || substr(hex(text), 1, 8)
+    WHEN 1 THEN '255044462D312E34'
+    WHEN 2 THEN '89504E470D0A1A0A' || substr(hex(text), 1, 8)
+    WHEN 3 THEN 'FFD8FFE0'
+    WHEN 4 THEN '474946383961'
+    WHEN 5 THEN '52494646AABBCCDD57454250'
+    WHEN 6 THEN '574152432F312E31'
+    WHEN 7 THEN '504B0304'
+    WHEN 8 THEN hex('<!DOCTYPE html><html>' || substr(text, 1, 10))
+    WHEN 9 THEN hex('  ' || chr(10) || '<HTML lang="en">')
+    WHEN 10 THEN 'EFBBBF' || hex('<?xml version="1.0"?>')
+    WHEN 11 THEN hex(substr(text, 1, 40))
+    ELSE '000102' || substr(hex(text), 1, 6)
+  END) AS html
+FROM documents"""
+
+
+def _mime_oracle() -> str:
+    from scrape_spark.functions.mime import mime_sniff_sql
+    from scrape_spark.functions.textstats import DUCK_DIALECT
+
+    return (
+        f"SELECT doc_id, {mime_sniff_sql('html', DUCK_DIALECT)} AS mime "
+        f"FROM ({_MIME_BLOBS_SQL})"
+    )
+
+
+@_q("mime_sniff", _mime_oracle())
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content routing over the binary body — map-only."""
+    from scrape_spark.functions.mime import with_mime
+
+    _view(spark, sf_dir, "documents")
+    return with_mime(spark.sql(_MIME_BLOBS_SQL)).select("doc_id", "mime")
+
+
 # ---------------------------------------------------------------------------
 
 
