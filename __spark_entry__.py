@@ -2868,6 +2868,41 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_mime(spark.sql(_MIME_BLOBS_SQL)).select("doc_id", "mime")
 
 
+# -- soft 404: 200-status pages that are really error stubs --------------------
+# Three regimes: stub-sized error boilerplate (flags), a long article QUOTING
+# an error phrase (must NOT flag), and ordinary pages.
+_SOFT404_PAGES_SQL = """\
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'Error 404 - the page you requested could not be found.'
+    WHEN 1 THEN 'Oops! Page Not Found. It may have been removed.'
+    WHEN 2 THEN text || ' As the saying goes, page not found is the web''s '
+                || 'tombstone. ' || text
+    ELSE text
+  END AS page_text
+FROM documents"""
+
+
+def _soft404_oracle() -> str:
+    from scrape_spark.functions.textstats import DUCK_DIALECT
+    from scrape_spark.operators.corpus import soft404_signals_sql
+
+    sig = soft404_signals_sql("page_text", DUCK_DIALECT)
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in sig.items())
+    return f"SELECT doc_id, {cols} FROM ({_SOFT404_PAGES_SQL})"
+
+
+@_q("soft404_flags", _soft404_oracle())
+def q_soft404_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-page boilerplate on a stub-sized body — map-only classifier."""
+    from scrape_spark.operators.corpus import soft404_flags
+
+    _view(spark, sf_dir, "documents")
+    return soft404_flags(
+        spark.sql(_SOFT404_PAGES_SQL), text_col="page_text"
+    ).select("doc_id", "n_404_phrases", "n_tokens", "is_soft404")
+
+
 # ---------------------------------------------------------------------------
 
 

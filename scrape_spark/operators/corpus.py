@@ -988,3 +988,65 @@ SELECT hp.host,
        ELSE parts[len(parts) - len(string_split(b.sfx, '.'))]
             || '.' || b.sfx END AS registered_domain
 FROM _rdk_hp hp LEFT JOIN _rdk_best b USING (host)"""
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection — 200-status pages that are really error pages
+# ---------------------------------------------------------------------------
+#: lowercase phrases whose presence marks dead-page boilerplate. Matched as
+#: substrings of the lowercased text (multiword phrases self-delimit).
+SOFT404_PHRASES = [
+    "page not found",
+    "404 not found",
+    "error 404",
+    "could not be found",
+    "no longer exists",
+    "does not exist",
+    "page you requested",
+    "has been removed",
+    "page unavailable",
+]
+#: a real article QUOTING an error phrase is long; true soft-404 bodies are
+#: stub-sized. Pages over this token count never flag.
+SOFT404_MAX_TOKENS = 80
+
+
+def soft404_signals_sql(text: str, d: dict) -> dict[str, str]:
+    """Named soft-404 signals over ``text`` in dialect ``d``.
+
+    Bar-Yossef et al. ("Sic transit gloria telae", WWW'04) detect soft
+    404s by probing a random non-existent sibling URL; offline over a
+    WARC lake there is nothing to probe, so this is the content-side
+    classifier: dead-page boilerplate phrases on a stub-sized body. Used
+    to drop phantom pages before dedup/indexing and to recycle their
+    URLs into the re-crawl queue as suspected-dead.
+
+    Pure dialect arithmetic (occurrences via length difference), map-only.
+    """
+    from scrape_spark.functions.textstats import (
+        occurrences_sql,
+        token_count_sql,
+    )
+
+    low = f"lower({text})"
+    hits = "(" + " + ".join(
+        f"CAST({occurrences_sql(low, p)} AS BIGINT)" for p in SOFT404_PHRASES
+    ) + ")"
+    ntok = f"CAST({token_count_sql(text, d)} AS BIGINT)"
+    return {
+        "n_404_phrases": hits,
+        "n_tokens": ntok,
+        "is_soft404": f"({hits} >= 1 AND {ntok} <= {SOFT404_MAX_TOKENS})",
+    }
+
+
+def soft404_flags(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Attach (n_404_phrases, n_tokens, is_soft404) — zero shuffle."""
+    from scrape_spark.functions.textstats import SPARK_DIALECT
+
+    sig = soft404_signals_sql(text_col, SPARK_DIALECT)
+    return df.select(
+        "*", *(F.expr(expr).alias(name) for name, expr in sig.items())
+    )

@@ -547,3 +547,65 @@ def test_registered_domain_dataframe_psl_and_passthrough(spark):
     assert got["a.example.custom"].registered_domain == "example.custom"
     assert got["b.other.com"].registered_domain == "other.com"
     assert got["a.example.custom"].payload == 1  # payload columns survive
+
+
+# ---------------------------------------------------------------------------
+# soft-404
+# ---------------------------------------------------------------------------
+def test_soft404_classifier(spark):
+    from scrape_spark.operators.corpus import soft404_flags
+
+    rows = [
+        (0, "Error 404 - the page you requested could not be found."),
+        (1, "Oops! Page Not Found."),  # case-folded match
+        (2, "A perfectly fine article about crawling. " * 8),
+        # long article QUOTING an error phrase: must not flag
+        (3, ("This essay about dead links notes that page not found is "
+             "common. ") * 12),
+        # stub-sized but benign: no phrase, no flag
+        (4, "short page"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_404_phrases"], r["is_soft404"])
+        for r in soft404_flags(df).collect()
+    }
+    assert got[0][0] >= 2 and got[0][1] is True
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3][0] >= 1 and got[3][1] is False  # phrase but too long
+    assert got[4] == (0, False)
+
+
+def test_soft404_matches_duckdb(spark):
+    import duckdb
+
+    from scrape_spark.functions.textstats import DUCK_DIALECT
+    from scrape_spark.operators.corpus import (
+        soft404_flags,
+        soft404_signals_sql,
+    )
+
+    rows = [(i, t) for i, t in enumerate([
+        "page not found", "404 not found here and error 404 there",
+        "nothing wrong", "x " * 100 + "does not exist", "",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in soft404_flags(df)
+        .select("doc_id", "n_404_phrases", "n_tokens", "is_soft404")
+        .collect()
+    )
+    sig = soft404_signals_sql("text", DUCK_DIALECT)
+    cols = ", ".join(f"{e} AS {n}" for n, e in sig.items())
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"SELECT doc_id, {cols} FROM (VALUES {vals}) t(doc_id, text)"
+            ).fetchall(),
+        )
+    )
+    assert got == want
