@@ -2903,6 +2903,50 @@ def q_soft404_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_404_phrases", "n_tokens", "is_soft404")
 
 
+# -- exact-substring span dedup (Lee et al., hash-window form) ------------------
+# A 10-token boilerplate sentence is prepended to 2/3 of the docs, so its
+# 8-token windows repeat corpus-wide; 1/3 keep their natural text (any
+# repeated window inside the raw corpus still counts — both engines see it).
+_DUPSPAN_DOCS_SQL = """\
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'all rights reserved terms of use privacy policy apply here ' || text
+       WHEN doc_id % 3 = 1
+       THEN 'all rights reserved terms of use privacy policy apply here again'
+       ELSE text END AS text
+FROM documents"""
+
+
+def _dup_span_oracle() -> str:
+    from scrape_spark.operators.dedup import dup_span_stats_sql
+
+    return dup_span_stats_sql(_DUPSPAN_DOCS_SQL)
+
+
+@_q("dup_span_stats", _dup_span_oracle())
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-duplicated w-token window coverage."""
+    from scrape_spark.operators.dedup import dup_span_stats
+
+    _view(spark, sf_dir, "documents")
+    return dup_span_stats(spark.sql(_DUPSPAN_DOCS_SQL))
+
+
+def _strip_spans_oracle() -> str:
+    from scrape_spark.operators.dedup import strip_dup_spans_sql
+
+    return strip_dup_spans_sql(_DUPSPAN_DOCS_SQL)
+
+
+@_q("strip_dup_spans", _strip_spans_oracle())
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style removal of corpus-duplicated spans per doc."""
+    from scrape_spark.operators.dedup import strip_dup_spans
+
+    _view(spark, sf_dir, "documents")
+    return strip_dup_spans(spark.sql(_DUPSPAN_DOCS_SQL))
+
+
 # ---------------------------------------------------------------------------
 
 

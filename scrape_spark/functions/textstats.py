@@ -65,6 +65,8 @@ SPARK_DIALECT = {
     "dot": r"'\\.'",
     "mkarr": "array({x})",  # 1-element array (the let-binding carrier)
     "empty_str_array": "CAST(array() AS array<string>)",
+    "aflatten": "flatten({arr})",
+    "acontains": "array_contains({arr}, {x})",
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -88,6 +90,8 @@ DUCK_DIALECT = {
     "dot": "'.'",
     "mkarr": "[{x}]",
     "empty_str_array": "CAST([] AS VARCHAR[])",
+    "aflatten": "flatten({arr})",
+    "acontains": "list_contains({arr}, {x})",
 }
 
 

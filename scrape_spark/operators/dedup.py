@@ -248,3 +248,212 @@ def canonical_dedup(
         "url", "canonical_url", (F.col("_rn") == 1).alias("is_rep"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2021, hash-window approximation)
+# ---------------------------------------------------------------------------
+#: duplicate-window width in tokens. Lee et al. use 50-token spans over BPE
+#: ids with a suffix array; this engine marks w-token WORD windows whose
+#: rolling hash repeats corpus-wide — the shuffle-friendly approximation.
+DUP_SPAN_W = 8
+
+
+def window_hashes_sql(text: str, d: dict, w: int = DUP_SPAN_W) -> str:
+    """int64 rolling hash per w-token window (element i = window at token i).
+
+    hash(s) = fold_{j=s..s+w-1} (acc * 1000003 + wordhash_j) mod P — exact
+    int64 (acc < P, so acc*1e6 + h < 2^52), identical on both engines.
+    The word-hash array is let-bound once (the shingle kernel's measured
+    ~100x blowup guard) and each window refolds w elements: O(n*w) ops,
+    map-only, cost capped by w, not document length squared.
+    """
+    wh = ts.word_hashes_sql(text, d, cap=None)
+    n = d["size"].format(arr="__dwh")
+    at_j = d["at"].format(arr="__dwh", i="CAST(_dj AS INT)")
+    fold = d["fold0"].format(
+        arr=d["seq"].format(a="CAST(_ds AS BIGINT)", b=f"CAST(_ds + {w - 1} AS BIGINT)"),
+        lam=f"(_da, _dj) -> (_da * 1000003 + {at_j}) % {ts.HASH_P}",
+    )
+    body = d["transform"].format(
+        arr=d["seq"].format(a="CAST(1 AS BIGINT)", b=f"CAST({n} - {w - 1} AS BIGINT)"),
+        lam=f"_ds -> {fold}",
+    )
+    guarded = (
+        f"CASE WHEN {n} < {w} THEN {d['empty_bigint_array']} ELSE {body} END"
+    )
+    return ts._bind(guarded, "__dwh", wh, d)
+
+
+def _covered_sql(starts: str, d: dict, w: int) -> str:
+    """Distinct token indices covered by dup windows starting at ``starts``."""
+    spans = d["transform"].format(
+        arr=starts,
+        lam=f"_dc -> " + d["seq"].format(a="CAST(_dc AS BIGINT)", b=f"CAST(_dc + {w - 1} AS BIGINT)"),
+    )
+    return d["adistinct"].format(arr=d["aflatten"].format(arr=f"({spans})"))
+
+
+def _dup_starts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+    min_count: int,
+) -> DataFrame:
+    """(id, starts) — sorted distinct start positions of corpus-duplicated
+    windows per doc. The ONE shuffle pair of the operator: a window-hash
+    keyed count (map-side combined; rolling hashes are uniform, no skew)
+    and the hash-keyed join carrying (id, pos) pairs back — int64 triples
+    only, never text."""
+    d = ts.SPARK_DIALECT
+    tok = docs.select(
+        F.col(id_col).alias("_dd_id"),
+        F.posexplode(F.expr(window_hashes_sql(text_col, d, w))).alias(
+            "_dd_p0", "_dd_h"
+        ),
+    ).select("_dd_id", (F.col("_dd_p0") + 1).alias("_dd_pos"), "_dd_h")
+    dup = (
+        tok.groupBy("_dd_h")
+        .agg(F.count(F.lit(1)).alias("_dd_c"))
+        .where(F.col("_dd_c") >= F.lit(int(min_count)))
+        .select("_dd_h")
+    )
+    return (
+        tok.join(dup, "_dd_h")
+        .groupBy("_dd_id")
+        .agg(F.sort_array(F.collect_set("_dd_pos")).alias("_dd_starts"))
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = DUP_SPAN_W,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-doc duplicate-span coverage: (id, n_tokens, n_dup_windows,
+    dup_tokens, dup_frac_q4) — the train-data health metric that decides
+    whether to strip spans or drop the page."""
+    d = ts.SPARK_DIALECT
+    starts = _dup_starts(docs, id_col, text_col, w, min_count)
+    n = d["size"].format(arr=d["split"].format(s=text_col))
+    cov = d["size"].format(arr=_covered_sql("_dd_starts", d, w))
+    return (
+        docs.join(
+            starts.withColumnRenamed("_dd_id", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.expr(f"CAST({n} AS BIGINT)").alias("n_tokens"),
+            F.coalesce(F.size("_dd_starts").cast("long"), F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce(F.expr(f"CAST({cov} AS BIGINT)"), F.lit(0)).alias(
+                "dup_tokens"
+            ),
+        )
+        .withColumn(
+            "dup_frac_q4",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (10000 * dup_tokens) div n_tokens END"
+            ),
+        )
+    )
+
+
+def _kept_text_sql(text: str, starts: str, d: dict, w: int) -> str:
+    """kept_text expression: ``text`` minus the tokens covered by dup
+    windows at ``starts`` (NULL starts -> text unchanged). The word array
+    AND the covered set are each let-bound once — inlining the split per
+    token reference is the O(n^2) blowup the shingle kernel documents."""
+    at_i = d["at"].format(arr="__dwd", i="CAST(_di AS INT)")
+    n = d["size"].format(arr="__dwd")
+    kept = d["ajoin"].format(
+        arr=d["transform"].format(
+            arr=d["filter"].format(
+                arr=d["seq"].format(
+                    a="CAST(1 AS BIGINT)", b=f"CAST({n} AS BIGINT)"
+                ),
+                lam="_di -> NOT " + d["acontains"].format(arr="(__dcv)", x="_di"),
+            ),
+            lam=f"_di -> {at_i}",
+        ),
+        sep="' '",
+    )
+    # empty keep-list joins to NULL on DuckDB (array_to_string divergence)
+    kept = "COALESCE(" + kept + ", '')"
+    body = ts._bind(kept, "__dcv", _covered_sql(starts, d, w), d)
+    body = ts._bind(body, "__dwd", d["split"].format(s=text), d)
+    return f"CASE WHEN {starts} IS NULL THEN {text} ELSE {body} END"
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = DUP_SPAN_W,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, kept_text) — the doc with every corpus-duplicated w-token span
+    removed (Lee et al.'s ExactSubstr dedup, hash-window form). Docs with
+    no duplicated span pass through byte-identical."""
+    d = ts.SPARK_DIALECT
+    starts = _dup_starts(docs, id_col, text_col, w, min_count)
+    expr = _kept_text_sql(text_col, "_dd_starts", d, w)
+    return docs.join(
+        starts.withColumnRenamed("_dd_id", id_col), id_col, "left"
+    ).select(id_col, F.expr(expr).alias("kept_text"))
+
+
+def _dup_span_duck_ctes(docs_sql: str, w: int, min_count: int) -> str:
+    """Shared DuckDB CTE prefix: (doc_id, text) -> _dsp (doc_id, starts)."""
+    d = ts.DUCK_DIALECT
+    wharr = window_hashes_sql("text", d, w)
+    return f"""\
+WITH _dsd AS (SELECT doc_id, text FROM ({docs_sql})),
+_dsw AS (SELECT doc_id,
+           unnest({wharr}) AS whash,
+           unnest(range(1, len({wharr}) + 1)) AS pos
+         FROM _dsd),
+_dsc AS (SELECT whash FROM _dsw GROUP BY whash
+         HAVING COUNT(*) >= {int(min_count)}),
+_dsp AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+         FROM _dsw JOIN _dsc USING (whash) GROUP BY doc_id)"""
+
+
+def dup_span_stats_sql(
+    docs_sql: str, w: int = DUP_SPAN_W, min_count: int = 2
+) -> str:
+    """The SAME coverage stats for the DuckDB oracle."""
+    d = ts.DUCK_DIALECT
+    n = d["size"].format(arr=d["split"].format(s="text"))
+    cov = d["size"].format(arr=_covered_sql("starts", d, w))
+    return (
+        _dup_span_duck_ctes(docs_sql, w, min_count)
+        + f"""
+SELECT d.doc_id,
+       CAST({n} AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(p.starts), 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE({cov}, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN {n} = 0 THEN 0
+            ELSE (10000 * COALESCE({cov}, 0)) // {n} END AS BIGINT)
+         AS dup_frac_q4
+FROM _dsd d LEFT JOIN _dsp p USING (doc_id)"""
+    )
+
+
+def strip_dup_spans_sql(
+    docs_sql: str, w: int = DUP_SPAN_W, min_count: int = 2
+) -> str:
+    """The SAME span removal for the DuckDB oracle."""
+    d = ts.DUCK_DIALECT
+    expr = _kept_text_sql("d.text", "p.starts", d, w)
+    return (
+        _dup_span_duck_ctes(docs_sql, w, min_count)
+        + f"""
+SELECT d.doc_id, {expr} AS kept_text
+FROM _dsd d LEFT JOIN _dsp p USING (doc_id)"""
+    )

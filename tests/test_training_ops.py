@@ -631,3 +631,96 @@ def test_charset_sniff_variants_and_precedence(spark):
     got = {r.i: r.c for r in df.select("i", charset_col().alias("c")).collect()}
     for i, (_, want) in enumerate(pages):
         assert got[i] == want, (i, pages[i])
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup
+# ---------------------------------------------------------------------------
+_SPAN_DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique0 t0"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta different middle x y"),
+    (2, "totally fresh words nothing shared with anything else here at all z"),
+    (3, "short doc"),
+    (4, ""),
+]
+
+
+def _span_docs_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _SPAN_DOCS)
+    return f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+
+
+def test_dup_span_stats_semantics(spark):
+    from scrape_spark.operators.dedup import dup_span_stats
+
+    df = spark.createDataFrame(_SPAN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_dup_windows"], r["dup_tokens"], r["dup_frac_q4"]
+        )
+        for r in dup_span_stats(df).collect()
+    }
+    # docs 0 and 1 share exactly their first 8 tokens: one dup window each
+    assert got[0] == (12, 1, 8, 6666)
+    assert got[1] == (12, 1, 8, 6666)
+    assert got[2] == (12, 0, 0, 0)
+    assert got[3] == (2, 0, 0, 0)
+    assert got[4] == (1, 0, 0, 0)  # '' splits to [''] — token-count convention
+
+
+def test_strip_dup_spans_semantics_and_duckdb(spark):
+    import duckdb
+
+    from scrape_spark.operators.dedup import (
+        dup_span_stats,
+        dup_span_stats_sql,
+        strip_dup_spans,
+        strip_dup_spans_sql,
+    )
+
+    df = spark.createDataFrame(_SPAN_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r["kept_text"] for r in strip_dup_spans(df).collect()}
+    assert got[0] == "iota kappa unique0 t0"
+    assert got[1] == "different middle x y"
+    assert got[2] == _SPAN_DOCS[2][1]  # untouched doc is byte-identical
+    assert got[3] == "short doc"
+    # both frames match DuckDB bit-for-bit
+    want_strip = dict(duckdb.sql(strip_dup_spans_sql(_span_docs_sql())).fetchall())
+    assert got == want_strip
+    got_stats = sorted(map(tuple, dup_span_stats(df).collect()))
+    want_stats = sorted(
+        map(tuple, duckdb.sql(dup_span_stats_sql(_span_docs_sql())).fetchall())
+    )
+    assert got_stats == want_stats
+
+
+def test_dup_span_min_count_and_overlap(spark):
+    from scrape_spark.operators.dedup import dup_span_stats
+
+    # the same 8-gram in THREE docs survives min_count=3; a pair does not
+    tri = "one two three four five six seven eight"
+    rows = [
+        (0, tri + " tail0 a"),
+        (1, tri + " tail1 b"),
+        (2, tri + " tail2 c"),
+        (3, "pair x1 x2 x3 x4 x5 x6 x7 pairtail"),
+        (4, "pair x1 x2 x3 x4 x5 x6 x7 othertail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in dup_span_stats(df, min_count=3).collect()
+    }
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert got[3] == 0 and got[4] == 0
+
+
+def test_dup_span_overlapping_windows_union_coverage(spark):
+    from scrape_spark.operators.dedup import dup_span_stats
+
+    # 9 shared leading tokens -> windows at pos 1 and 2; union covers 9
+    nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [(0, nine + " ta tb"), (1, nine + " tc td")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in dup_span_stats(df).collect()}
+    assert r[0]["n_dup_windows"] == 2 and r[0]["dup_tokens"] == 9
