@@ -2947,6 +2947,28 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_dup_spans(spark.sql(_DUPSPAN_DOCS_SQL))
 
 
+# -- positional index: exact-phrase query ---------------------------------------
+# Phrase with a REPEATED term ('table table') so the one-posting-list-per-
+# distinct-term path is what the oracle checks; the oracle recomputes hits
+# by direct text scan — an independent formula, not mirrored plumbing.
+_PHRASE = ["table", "table"]
+
+
+def _phrase_oracle() -> str:
+    from scrape_spark.operators.ranking import phrase_scan_sql
+
+    return phrase_scan_sql("SELECT doc_id, text FROM documents", _PHRASE)
+
+
+@_q("phrase_match", _phrase_oracle())
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval via positional-posting intersection."""
+    from scrape_spark.operators.ranking import phrase_match, positional_postings
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return phrase_match(positional_postings(docs), _PHRASE)
+
+
 # ---------------------------------------------------------------------------
 
 

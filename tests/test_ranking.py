@@ -369,3 +369,84 @@ def test_postings_index_query_before_build_raises(spark, tmp_path):
         idx.stats()
     with pytest.raises(KeyError):
         idx.postings()
+
+
+# ---------------------------------------------------------------------------
+# positional postings + phrase queries
+# ---------------------------------------------------------------------------
+_PHRASE_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick brown   fox and the quick brown fox again"),
+    (2, "brown quick fox wrong order"),
+    (3, "the cat the hat the cat the"),
+    (4, "QUICK BROWN FOX uppercase fold"),
+    (5, ""),
+]
+
+
+def _phrase_docs_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _PHRASE_DOCS)
+    return f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+
+
+def _pm(spark, phrase):
+    from scrape_spark.operators.ranking import phrase_match, positional_postings
+
+    df = spark.createDataFrame(_PHRASE_DOCS, "doc_id long, text string")
+    return sorted(
+        map(tuple, phrase_match(positional_postings(df), phrase).collect())
+    )
+
+
+def test_positional_postings_shape(spark):
+    from scrape_spark.operators.ranking import positional_postings
+
+    df = spark.createDataFrame(_PHRASE_DOCS, "doc_id long, text string")
+    idx = {
+        (r["term"], r["doc_id"]): (list(r["positions"]), r["tf"], r["doclen"])
+        for r in positional_postings(df).collect()
+    }
+    # positions are 1-based over the EMPTY-FILTERED token stream
+    assert idx[("fox", 1)] == ([3, 8], 2, 9)  # double space collapsed
+    assert idx[("the", 3)] == ([1, 3, 5, 7], 4, 7)
+    assert ("", 5) not in idx  # empty doc contributes nothing
+
+
+def test_phrase_match_semantics_and_duckdb(spark):
+    import duckdb
+
+    from scrape_spark.operators.ranking import phrase_scan_sql
+
+    for phrase in (
+        ["quick", "brown", "fox"],
+        ["the", "cat", "the"],   # repeated term
+        ["fox"],                  # single term
+        ["lazy", "dog"],
+        ["dog", "lazy"],          # order matters: no hit
+        ["absent", "fox"],        # missing term: no hit
+    ):
+        got = _pm(spark, phrase)
+        want = sorted(
+            map(
+                tuple,
+                duckdb.sql(phrase_scan_sql(_phrase_docs_sql(), phrase)).fetchall(),
+            )
+        )
+        assert got == want, phrase
+    # pinned values: doc1 has two 'quick brown fox' occurrences, case-folded
+    assert _pm(spark, ["quick", "brown", "fox"]) == [
+        (0, 1, 2), (1, 2, 1), (4, 1, 1)
+    ]
+
+
+def test_phrase_match_rejects_empty(spark):
+    import pytest as _pt
+
+    from scrape_spark.operators.ranking import phrase_match, positional_postings
+
+    df = spark.createDataFrame(_PHRASE_DOCS, "doc_id long, text string")
+    idx = positional_postings(df)
+    with _pt.raises(ValueError):
+        phrase_match(idx, [])
+    with _pt.raises(ValueError):
+        phrase_match(idx, ["ok", ""])
