@@ -2969,6 +2969,77 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(positional_postings(docs), _PHRASE)
 
 
+# -- URL routing: extension class + crawlability gate ---------------------------
+# URL shapes per residue: pages, assets, images, media, archives, docs,
+# multi-dot names, hidden files, query strings on assets.
+_URLCLASS_URLS_SQL = """\
+SELECT doc_id,
+  'http://h' || CAST(doc_id % 5 AS STRING) || '.test' ||
+  CASE CAST(doc_id % 9 AS INT)
+    WHEN 0 THEN '/article/' || CAST(doc_id AS STRING)
+    WHEN 1 THEN '/page' || CAST(doc_id AS STRING) || '.html'
+    WHEN 2 THEN '/img/pic' || CAST(doc_id AS STRING) || '.JPG?w=200'
+    WHEN 3 THEN '/static/app.min.js'
+    WHEN 4 THEN '/dl/archive' || CAST(doc_id AS STRING) || '.tar.gz'
+    WHEN 5 THEN '/video/clip.mp4'
+    WHEN 6 THEN '/docs/spec' || CAST(doc_id AS STRING) || '.pdf'
+    WHEN 7 THEN '/misc/.hidden'
+    ELSE '/odd/file.weird'
+  END AS url
+FROM documents"""
+
+
+def _url_routing_oracle() -> str:
+    from scrape_spark.functions.textstats import DUCK_DIALECT
+    from scrape_spark.functions.urltrap import url_class_sql, url_ext_sql
+
+    cls = url_class_sql("url", DUCK_DIALECT)
+    ext = url_ext_sql("url", DUCK_DIALECT)
+    return (
+        f"SELECT doc_id, url, {ext} AS ext, {cls} AS url_class, "
+        f"({cls}) IN ('page', 'doc') AS crawlable "
+        f"FROM ({_URLCLASS_URLS_SQL})"
+    )
+
+
+@_q("url_routing", _url_routing_oracle())
+def q_url_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension class + enqueue-time crawlability gate — map-only."""
+    from scrape_spark.functions.textstats import SPARK_DIALECT
+    from scrape_spark.functions.urltrap import (
+        crawlable_expr,
+        url_class_sql,
+        url_ext_sql,
+    )
+
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_URLCLASS_URLS_SQL).select(
+        "doc_id",
+        "url",
+        F.expr(url_ext_sql("url", SPARK_DIALECT)).alias("ext"),
+        F.expr(url_class_sql("url", SPARK_DIALECT)).alias("url_class"),
+        crawlable_expr("url").alias("crawlable"),
+    )
+
+
+# -- link nepotism: reciprocal domain links -------------------------------------
+# The host-graph fixture re-contracted, then reciprocity folded per domain —
+# exchange rings (mutual edges) vs organic citation.
+def _reciprocity_oracle() -> str:
+    from scrape_spark.operators.webrank import host_graph_sql, link_reciprocity_sql
+
+    return link_reciprocity_sql(host_graph_sql(_HOSTGRAPH_EDGES_SQL))
+
+
+@_q("link_reciprocity", _reciprocity_oracle())
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain reciprocal-link share over the contracted graph."""
+    from scrape_spark.operators.webrank import host_graph, link_reciprocity
+
+    _view(spark, sf_dir, "documents")
+    return link_reciprocity(host_graph(spark.sql(_HOSTGRAPH_EDGES_SQL)))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -105,3 +105,74 @@ def trap_signal_cols(url_col: str = "url") -> list[Column]:
 def trap_signals_duck_sql(url: str = "url") -> dict[str, str]:
     """The DuckDB-dialect twin, for oracle SQL assembly."""
     return trap_signals_sql(url, DUCK_DIALECT)
+
+
+# ---------------------------------------------------------------------------
+# URL extension routing — skip assets before they ever reach the frontier
+# ---------------------------------------------------------------------------
+#: extension -> class. Everything a text crawler should NOT fetch is routed
+#: away at enqueue time (the cheapest possible filter: pure URL string math).
+URL_CLASSES = {
+    "page": ["html", "htm", "xhtml", "php", "asp", "aspx", "jsp", "shtml"],
+    "image": ["jpg", "jpeg", "png", "gif", "webp", "avif", "bmp", "ico", "svg"],
+    "media": ["mp4", "mp3", "avi", "mov", "webm", "mkv", "wav", "flv", "ogg"],
+    "asset": ["css", "js", "mjs", "woff", "woff2", "ttf", "eot", "map"],
+    "archive": ["zip", "gz", "tgz", "tar", "rar", "7z", "bz2", "xz"],
+    "doc": ["pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "rtf",
+            "txt", "csv", "xml", "json", "rss", "atom"],
+}
+#: classes the frontier should enqueue (no extension counts as a page)
+CRAWLABLE_CLASSES = ("page", "doc")
+
+
+def url_ext_sql(url: str, d: dict) -> str:
+    """Lowercased file extension of the last path segment ('' when none).
+
+    Query/fragment-free parsing on the dialect string kernels: last
+    '/'-segment of the pre-'?' URL, last '.'-piece of that segment. A
+    leading-dot-only segment ('.hidden') and extensions longer than 5
+    chars (version tags, trailing junk) yield '' — the conventional
+    routing rule, matching what real crawlers treat as "no extension".
+    """
+    qpos = f"position('?' IN {url})"
+    base = (
+        f"CASE WHEN {qpos} > 0 THEN substring({url}, 1, {qpos} - 1) "
+        f"ELSE {url} END"
+    )
+    segs = d["splitc"].format(s=f"({base})", sep="'/'")
+    nseg = d["size"].format(arr=f"({segs})")
+    last = d["at"].format(arr=f"({segs})", i=f"CAST({nseg} AS INT)")
+    parts = d["splitc"].format(s=f"({last})", sep=d["dot"])
+    np = d["size"].format(arr="(__ue)")
+    cand = d["at"].format(arr="(__ue)", i=f"CAST({np} AS INT)")
+    first = d["at"].format(arr="(__ue)", i="1")
+    expr = (
+        f"CASE WHEN {np} >= 2"
+        f" AND NOT ({np} = 2 AND {first} = '')"
+        f" AND length({cand}) BETWEEN 1 AND 5"
+        f" THEN lower({cand}) ELSE '' END"
+    )
+    from scrape_spark.functions.textstats import _bind
+
+    return _bind(expr, "__ue", parts, d)
+
+
+def url_class_sql(url: str, d: dict) -> str:
+    """Routing class of a URL: page/image/media/asset/archive/doc/other —
+    extension-less URLs are pages (the common case for canonical URLs)."""
+    branches = " ".join(
+        f"WHEN __uc IN ({', '.join(repr(e) for e in exts)}) THEN '{cls}'"
+        for cls, exts in URL_CLASSES.items()
+    )
+    expr = f"CASE WHEN __uc = '' THEN 'page' {branches} ELSE 'other' END"
+    from scrape_spark.functions.textstats import _bind
+
+    return _bind(expr, "__uc", url_ext_sql(url, d), d)
+
+
+def crawlable_expr(url_col: str = "url") -> Column:
+    """True when the URL's class is worth fetching — the enqueue-time
+    asset filter (plug into the frontier's new-link gate)."""
+    cls = url_class_sql(url_col, SPARK_DIALECT)
+    in_list = ", ".join(f"'{c}'" for c in CRAWLABLE_CLASSES)
+    return F.expr(f"({cls}) IN ({in_list})")

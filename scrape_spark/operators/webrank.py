@@ -779,3 +779,58 @@ JOIN _hg_rd s ON s.host = e.src_host
 JOIN _hg_rd d ON d.host = e.dst_host
 WHERE s.registered_domain <> d.registered_domain
 GROUP BY s.registered_domain, d.registered_domain"""
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src: str = "src_domain",
+    dst: str = "dst_domain",
+) -> DataFrame:
+    """Per-domain reciprocal-link stats: (domain, n_out, n_reciprocal,
+    reciprocity_pct) — the classic link-nepotism signal (link farms and
+    exchange rings reciprocate; organically-cited sites mostly don't).
+
+    Runs on the CONTRACTED graph (:func:`host_graph` output — domain
+    pairs, weights ignored): one self-join on the flipped key plus one
+    src-keyed fold. Both shuffles key on domain pairs — uniform unless
+    one domain dominates the edge list, which the contraction already
+    collapsed to one row per pair.
+    """
+    e = edges.select(
+        F.col(src).alias("_lr_s"), F.col(dst).alias("_lr_d")
+    ).dropDuplicates(["_lr_s", "_lr_d"])
+    back = e.select(
+        F.col("_lr_d").alias("_lr_s"),
+        F.col("_lr_s").alias("_lr_d"),
+        F.lit(1).alias("_lr_back"),
+    )
+    marked = e.join(back, ["_lr_s", "_lr_d"], "left")
+    return (
+        marked.groupBy(F.col("_lr_s").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.sum(F.coalesce("_lr_back", F.lit(0))).cast("long").alias(
+                "n_reciprocal"
+            ),
+        )
+        .withColumn(
+            "reciprocity_pct",
+            F.expr("(100 * n_reciprocal) div n_out").cast("long"),
+        )
+    )
+
+
+def link_reciprocity_sql(edges_sql: str) -> str:
+    """The SAME fold for the DuckDB oracle; ``edges_sql`` yields
+    (src_domain, dst_domain)."""
+    return f"""\
+WITH _lr_e AS (SELECT DISTINCT src_domain AS s, dst_domain AS d
+               FROM ({edges_sql})),
+_lr_m AS (SELECT e.s, e.d,
+            CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS back
+          FROM _lr_e e LEFT JOIN _lr_e b ON b.s = e.d AND b.d = e.s)
+SELECT s AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(back) AS BIGINT) AS n_reciprocal,
+       CAST((100 * SUM(back)) // COUNT(*) AS BIGINT) AS reciprocity_pct
+FROM _lr_m GROUP BY s"""

@@ -1,6 +1,7 @@
 """Crawl-trap kernels: golden signals, Spark/DuckDB parity, map-only plan."""
 
 import duckdb
+from pyspark.sql import functions as F
 
 from scrape_spark.functions.urltrap import (
     trap_signal_cols,
@@ -69,3 +70,55 @@ def test_trap_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # pure JVM expression, no UDF
+
+
+# ---------------------------------------------------------------------------
+# URL extension routing
+# ---------------------------------------------------------------------------
+_EXT_GOLDENS = [
+    ("http://h.test/a/b.html", "html", "page", True),
+    ("http://h.test/a/pic.JPG?x=1", "jpg", "image", False),
+    ("http://h.test/a/b", "", "page", True),
+    ("http://h.test/", "", "page", True),
+    ("http://h.test/d/.hidden", "", "page", True),
+    ("http://h.test/x/archive.tar.gz", "gz", "archive", False),
+    ("http://h.test/app.min.js", "js", "asset", False),
+    ("http://h.test/v1.2.3-release", "", "page", True),  # >5-char tail
+    ("http://h.test/movie.mp4", "mp4", "media", False),
+    ("http://h.test/spec.pdf", "pdf", "doc", True),
+    ("http://h.test/file.weird", "weird", "other", False),
+]
+
+
+def test_url_ext_and_class_both_engines(spark):
+    import duckdb
+
+    from scrape_spark.functions.textstats import DUCK_DIALECT, SPARK_DIALECT
+    from scrape_spark.functions.urltrap import (
+        crawlable_expr,
+        url_class_sql,
+        url_ext_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(u,) for u, *_ in _EXT_GOLDENS], "url string"
+    )
+    got = {
+        r["url"]: (r["ext"], r["cls"], r["crawlable"])
+        for r in df.select(
+            "url",
+            F.expr(url_ext_sql("url", SPARK_DIALECT)).alias("ext"),
+            F.expr(url_class_sql("url", SPARK_DIALECT)).alias("cls"),
+            crawlable_expr("url").alias("crawlable"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for u, ext, cls, crawlable in _EXT_GOLDENS:
+        assert got[u] == (ext, cls, crawlable), u
+        de, dc = con.execute(
+            "SELECT "
+            + url_ext_sql("'" + u + "'", DUCK_DIALECT)
+            + ", "
+            + url_class_sql("'" + u + "'", DUCK_DIALECT)
+        ).fetchone()
+        assert (de, dc) == (ext, cls), u

@@ -230,3 +230,22 @@ def test_host_graph_folds_subdomains_and_drops_intra(spark):
         ("example.co.uk", "other.test"): 2,
         ("other.test", "example.co.uk"): 1,
     }
+
+
+def test_link_reciprocity_semantics(spark):
+    from scrape_spark.operators.webrank import link_reciprocity
+
+    edges = [
+        ("a.test", "b.test"), ("b.test", "a.test"),   # mutual pair
+        ("a.test", "c.test"),                           # one-way
+        ("c.test", "d.test"), ("c.test", "d.test"),    # dup edge collapses
+    ]
+    df = spark.createDataFrame(edges, "src_domain string, dst_domain string")
+    got = {
+        r["domain"]: (r["n_out"], r["n_reciprocal"], r["reciprocity_pct"])
+        for r in link_reciprocity(df).collect()
+    }
+    assert got["a.test"] == (2, 1, 50)
+    assert got["b.test"] == (1, 1, 100)
+    assert got["c.test"] == (1, 0, 0)
+    assert "d.test" not in got  # no out-edges, no row
