@@ -3040,6 +3040,52 @@ def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_reciprocity(host_graph(spark.sql(_HOSTGRAPH_EDGES_SQL)))
 
 
+# -- WARC revisit assignment (identical-payload-digest dedup) -------------------
+# Payload families via md5(text mod k): first capture (by date, then URL)
+# stays a response, later captures become revisit pointers at it.
+_REVISIT_CAPS_SQL = """\
+SELECT 'http://h' || CAST(doc_id % 5 AS STRING) || '.test/p/'
+         || CAST(doc_id AS STRING) AS url,
+       '2025-01-' || CASE WHEN doc_id % 28 < 9
+                          THEN '0' || CAST(1 + doc_id % 28 AS STRING)
+                          ELSE CAST(1 + doc_id % 28 AS STRING) END
+         || 'T00:00:00Z' AS warc_date,
+       md5('payload-' || CAST(doc_id % 40 AS STRING)) AS payload_md5
+FROM documents"""
+
+
+def _revisit_oracle() -> str:
+    return f"""\
+WITH _rv_c AS ({_REVISIT_CAPS_SQL}),
+_rv_w AS (SELECT url, warc_date, payload_md5,
+            ROW_NUMBER() OVER (PARTITION BY payload_md5
+                               ORDER BY warc_date, url) AS rn,
+            FIRST_VALUE(url) OVER (PARTITION BY payload_md5
+                                   ORDER BY warc_date, url) AS fu,
+            FIRST_VALUE(warc_date) OVER (PARTITION BY payload_md5
+                                         ORDER BY warc_date, url) AS fd
+          FROM _rv_c)
+SELECT url, warc_date, payload_md5 AS payload_digest,
+       rn > 1 AS is_revisit,
+       CASE WHEN rn > 1 THEN fu END AS refers_to_uri,
+       CASE WHEN rn > 1 THEN fd END AS refers_to_date
+FROM _rv_w"""
+
+
+@_q("warc_revisit_assign", _revisit_oracle())
+def q_warc_revisit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest capture per payload digest stays canonical; the rest point
+    at it (the WARC revisit-record dedup layout)."""
+    from scrape_spark.sources.warc import assign_revisits
+
+    _view(spark, sf_dir, "documents")
+    caps = spark.sql(_REVISIT_CAPS_SQL)
+    return assign_revisits(caps, digest_col="payload_md5").select(
+        "url", "warc_date", "payload_digest", "is_revisit",
+        "refers_to_uri", "refers_to_date",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

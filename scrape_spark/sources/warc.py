@@ -48,8 +48,12 @@ _CRLF = b"\r\n"
 WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, warc_date string, "
     "target_uri string, content_type string, content_length long, "
-    "http_status int, http_content_type string, body binary"
+    "http_status int, http_content_type string, body binary, "
+    "refers_to_uri string, refers_to_date string, payload_digest string"
 )
+
+#: WARC 1.1 profile URI for digest-based revisit records (ISO 28500 §6.7.2)
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
 
 
 # -- record codec (shared by sink and source; unit-testable without Spark) ----
@@ -62,6 +66,7 @@ def encode_record(
     http_content_type: str = "text/html",
     record_id: str | None = None,
     null_fields: tuple[str, ...] = (),
+    extra_headers: dict[str, str] | None = None,
 ) -> bytes:
     """One WARC record as bytes (uncompressed).
 
@@ -93,6 +98,8 @@ def encode_record(
     null_line = (
         f"X-Scrape-Null: {' '.join(sorted(null_fields))}\r\n" if null_fields else ""
     )
+    for k, v in (extra_headers or {}).items():
+        null_line += f"{k}: {v}\r\n"
     head = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
@@ -142,6 +149,9 @@ def _scan_records(buf: IO[bytes]) -> Iterator[dict]:
             "http_status": None,
             "http_content_type": None,
             "body": payload,
+            "refers_to_uri": headers.get("warc-refers-to-target-uri"),
+            "refers_to_date": headers.get("warc-refers-to-date"),
+            "payload_digest": headers.get("warc-payload-digest"),
         }
         if rec["content_type"].startswith("application/http"):
             # split the HTTP envelope: status line, headers, body
@@ -199,6 +209,10 @@ def write_warc(
     status_col: str | None = None,
     warc_type: str = "response",
     http_content_type: str = "text/html",
+    revisit_col: str | None = None,
+    digest_col: str | None = None,
+    refers_uri_col: str | None = None,
+    refers_date_col: str | None = None,
 ) -> int:
     """Write one ``.warc.gz`` per partition; returns the record count.
 
@@ -217,12 +231,27 @@ def write_warc(
     NULL handling is lossless: NULL body/status/date are flagged with an
     ``X-Scrape-Null`` header and restored as NULLs by ``decode_records``
     (a NULL body is NOT silently rewritten as ``b''``).
+
+    Revisit support (ISO 28500 §6.7.2): when ``revisit_col`` names a
+    boolean column, rows flagged true are written as ``revisit`` records —
+    EMPTY payload, ``WARC-Profile`` identical-payload-digest, and the
+    ``WARC-Refers-To-Target-URI`` / ``WARC-Refers-To-Date`` /
+    ``WARC-Payload-Digest`` headers from the companion columns (the
+    :func:`assign_revisits` output shape). Non-flagged rows still carry
+    their digest header when ``digest_col`` is given. This is how a
+    deduped crawl stores N captures of one payload in payload-size
+    1x + (N-1) x ~300 bytes.
     """
     os.makedirs(out_dir, exist_ok=True)
     for name in os.listdir(out_dir):  # overwrite: drop stale parts + temps
         if name.endswith(".warc.gz") or ".warc.gz.inprogress-" in name:
             os.unlink(os.path.join(out_dir, name))
     cols = [uri_col, body_col, date_col] + ([status_col] if status_col else [])
+    cols += [
+        c
+        for c in (revisit_col, digest_col, refers_uri_col, refers_date_col)
+        if c
+    ]
 
     def _write(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -254,14 +283,34 @@ def write_warc(
                         if status is None or pd.isna(status):
                             nulls.append("status")
                             status = 200
+                        extra: dict[str, str] = {}
+                        rec_type = warc_type
+                        if digest_col and getattr(row, digest_col) is not None:
+                            extra["WARC-Payload-Digest"] = (
+                                f"sha256:{getattr(row, digest_col)}"
+                            )
+                        if revisit_col and bool(getattr(row, revisit_col)):
+                            rec_type = "revisit"
+                            body = b""
+                            nulls = [x for x in nulls if x != "body"]
+                            extra["WARC-Profile"] = REVISIT_PROFILE
+                            if refers_uri_col:
+                                extra["WARC-Refers-To-Target-URI"] = getattr(
+                                    row, refers_uri_col
+                                )
+                            if refers_date_col:
+                                extra["WARC-Refers-To-Date"] = getattr(
+                                    row, refers_date_col
+                                )
                         rec = encode_record(
                             getattr(row, uri_col),
                             body,
                             date,
-                            warc_type=warc_type,
+                            warc_type=rec_type,
                             http_status=int(status),
                             http_content_type=http_content_type,
                             null_fields=tuple(nulls),
+                            extra_headers=extra,
                         )
                         fh.write(gzip.compress(rec))
                         n += 1
@@ -405,4 +454,124 @@ def write_wat(pages: DataFrame, out_dir: str, **cols) -> int:
         out_dir,
         warc_type="metadata",
         http_content_type="application/json",
+    )
+
+
+# -- revisit dedup (ISO 28500 identical-payload-digest) -------------------------
+def assign_revisits(
+    captures: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    body_col: str = "body",
+    digest_col: str | None = None,
+) -> DataFrame:
+    """Mark every non-first capture of a payload as a revisit of the first.
+
+    Adds (payload_digest, is_revisit, refers_to_uri, refers_to_date): the
+    corpus-wide earliest capture of each digest — ties broken by URL, so
+    the choice is deterministic under any partitioning — stays a full
+    ``response``; later captures point at it. NULL-body captures are never
+    revisits (there is no payload to deduplicate) and never referents.
+
+    Scale shape: ONE digest-keyed window pass (sha256 keys are uniform —
+    no skew even when one page dominates the crawl, because the partition
+    is per-distinct-payload, not per-URL). Payload bytes do ride this
+    shuffle once; at CC scale run it per-segment or feed pre-hashed
+    ``digest_col`` from the page store and select the body lazily.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        F.col(digest_col)
+        if digest_col
+        else F.when(
+            F.col(body_col).isNotNull(), F.sha2(F.col(body_col), 256)
+        )
+    )
+    w = Window.partitionBy("payload_digest").orderBy(
+        F.col(date_col).asc(), F.col(url_col).asc()
+    )
+    marked = captures.withColumn("payload_digest", d).select(
+        "*",
+        (
+            (F.row_number().over(w) > 1)
+            & F.col("payload_digest").isNotNull()
+        ).alias("is_revisit"),
+        F.first(url_col).over(w).alias("_rv_fu"),
+        F.first(date_col).over(w).alias("_rv_fd"),
+    )
+    return marked.select(
+        *captures.columns,
+        "payload_digest",
+        "is_revisit",
+        F.when(F.col("is_revisit"), F.col("_rv_fu")).alias("refers_to_uri"),
+        F.when(F.col("is_revisit"), F.col("_rv_fd")).alias("refers_to_date"),
+    )
+
+
+def write_warc_deduped(
+    captures: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    body_col: str = "body",
+    date_col: str = "warc_date",
+    status_col: str | None = None,
+) -> int:
+    """:func:`assign_revisits` + :func:`write_warc` in one call: originals
+    as full ``response`` records, repeats as ~300-byte ``revisit`` stubs."""
+    marked = assign_revisits(
+        captures, url_col=url_col, date_col=date_col, body_col=body_col
+    )
+    return write_warc(
+        marked,
+        out_dir,
+        uri_col=url_col,
+        body_col=body_col,
+        date_col=date_col,
+        status_col=status_col,
+        revisit_col="is_revisit",
+        digest_col="payload_digest",
+        refers_uri_col="refers_to_uri",
+        refers_date_col="refers_to_date",
+    )
+
+
+def restore_revisits(records: DataFrame) -> DataFrame:
+    """Re-materialize full captures from a deduped record set.
+
+    ``response`` rows pass through; ``revisit`` rows join their referent
+    on (target_uri, date) — the natural key :func:`assign_revisits`
+    emitted — and take its body and HTTP fields. Output: the WARC record
+    shape with every body restored plus ``was_revisit``. One join, keyed
+    on the referent URI (url-partitioned like every other page join);
+    referents are dropDuplicates'd on the key first so a re-written
+    original can never fan out a revisit row.
+    """
+    resp = records.where(F.col("warc_type") == "response")
+    rev = records.where(F.col("warc_type") == "revisit")
+    referent = resp.select(
+        F.col("target_uri").alias("refers_to_uri"),
+        F.col("warc_date").alias("refers_to_date"),
+        F.col("body").alias("_rv_body"),
+        F.col("http_status").alias("_rv_status"),
+        F.col("http_content_type").alias("_rv_ct"),
+    ).dropDuplicates(["refers_to_uri", "refers_to_date"])
+    restored = rev.join(
+        referent, ["refers_to_uri", "refers_to_date"], "left"
+    ).select(
+        *[
+            c
+            for c in records.columns
+            if c not in ("body", "http_status", "http_content_type")
+        ],
+        F.col("_rv_body").alias("body"),
+        F.col("_rv_status").alias("http_status"),
+        F.col("_rv_ct").alias("http_content_type"),
+    )
+    out_cols = records.columns
+    return (
+        resp.select(*out_cols).withColumn("was_revisit", F.lit(False))
+        .unionByName(
+            restored.select(*out_cols).withColumn("was_revisit", F.lit(True))
+        )
     )

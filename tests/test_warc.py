@@ -268,3 +268,84 @@ def test_wat_records_minimal_and_full(spark, tmp_path):
     got = json.loads(bytes(r.body))
     assert got == {"url": "http://t/1", "status": 200, "title": "T1",
                    "links": ["http://t/2", "http://t/3"], "n_links": 2}
+
+
+# ---------------------------------------------------------------------------
+# revisit records (identical-payload-digest dedup)
+# ---------------------------------------------------------------------------
+def test_revisit_roundtrip_and_compression(spark, tmp_path):
+    from scrape_spark.sources.warc import (
+        read_warc,
+        restore_revisits,
+        write_warc,
+        write_warc_deduped,
+    )
+
+    # incompressible payload — gzip would flatten a repetitive one and hide
+    # the dedup saving this test pins
+    import random as _rnd
+
+    big = b"<html>" + _rnd.Random(7).randbytes(4000) + b"</html>"
+    rows = [
+        ("http://a.test/1", big, "2025-01-01T00:00:00Z", 200),
+        ("http://a.test/2", big, "2025-01-02T00:00:00Z", 200),
+        ("http://b.test/1", big, "2025-01-03T00:00:00Z", 200),
+        ("http://c.test/u", b"<html>unique</html>", "2025-01-01T05:00:00Z", 200),
+        ("http://d.test/n", None, "2025-01-04T00:00:00Z", 404),  # NULL body
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, body binary, warc_date string, status int"
+    ).repartition(2)
+    full_dir, dd_dir = str(tmp_path / "full"), str(tmp_path / "dd")
+    assert write_warc(df, full_dir, uri_col="url", status_col="status") == 5
+    assert write_warc_deduped(df, dd_dir, status_col="status") == 5
+    import os
+
+    size = lambda d: sum(
+        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+    )
+    assert size(dd_dir) < size(full_dir)  # revisit stubs beat repeated bodies
+
+    recs = read_warc(spark, dd_dir)
+    by_type = {
+        r["warc_type"]: r["cnt"]
+        for r in recs.groupBy("warc_type").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    }
+    # earliest capture of the shared payload is the one response; NULL body
+    # is never a revisit
+    assert by_type == {"response": 3, "revisit": 2}
+
+    out = {
+        (r["target_uri"], r["warc_date"]): (
+            bytes(r["body"]) if r["body"] is not None else None,
+            r["http_status"],
+            r["was_revisit"],
+        )
+        for r in restore_revisits(recs).collect()
+    }
+    assert len(out) == 5
+    for url, body, date, status in rows:
+        got_body, got_status, _ = out[(url, date)]
+        assert got_body == body, url
+        assert got_status == status, url
+    assert out[("http://a.test/1", "2025-01-01T00:00:00Z")][2] is False
+    assert out[("http://a.test/2", "2025-01-02T00:00:00Z")][2] is True
+
+
+def test_assign_revisits_deterministic_referent(spark):
+    from scrape_spark.sources.warc import assign_revisits
+
+    # same date: URL breaks the tie, so the referent is stable
+    rows = [
+        ("http://z.test/b", b"x", "2025-01-01T00:00:00Z"),
+        ("http://z.test/a", b"x", "2025-01-01T00:00:00Z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, body binary, warc_date string")
+    got = {
+        r["url"]: (r["is_revisit"], r["refers_to_uri"])
+        for r in assign_revisits(df).collect()
+    }
+    assert got["http://z.test/a"] == (False, None)
+    assert got["http://z.test/b"] == (True, "http://z.test/a")
