@@ -3086,6 +3086,31 @@ def q_warc_revisit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- KMV cardinality sketch over the URL set ------------------------------------
+# Each doc contributes 3 URL aliases with heavy repetition across docs, so
+# the sketch sees ~3x distinct keys with many duplicates to collapse.
+_KMV_URLS_SQL = """\
+SELECT 'http://h' || CAST(doc_id % 97 AS STRING) || '.test/p/'
+         || CAST(doc_id % 211 AS STRING) || '/' || CAST(v AS STRING) AS url
+FROM documents, (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3)"""
+
+
+def _kmv_oracle() -> str:
+    from scrape_spark.operators.seen import kmv_distinct_sql
+
+    return kmv_distinct_sql(_KMV_URLS_SQL, k=64)
+
+
+@_q("kmv_distinct_urls", _kmv_oracle())
+def q_kmv_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-count sketch (bit-identical on both
+    engines, unlike HLL)."""
+    from scrape_spark.operators.seen import kmv_distinct
+
+    _view(spark, sf_dir, "documents")
+    return kmv_distinct(spark.sql(_KMV_URLS_SQL), k=64)
+
+
 # ---------------------------------------------------------------------------
 
 

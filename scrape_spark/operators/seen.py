@@ -502,3 +502,72 @@ def _probe_fn(cand: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
     blm = bytes(blooms["bloom"].iloc[0])
     maybe = bloom_kernel.might_contain(blm, cand["url_hash"].to_numpy())
     return cand.assign(maybe_seen=maybe)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch — "how many URLs has this crawl seen?"
+# ---------------------------------------------------------------------------
+def kmv_distinct(
+    df: DataFrame,
+    col: str = "url",
+    k: int = 256,
+) -> DataFrame:
+    """One-row frame (n_kept, threshold, estimate): the k-minimum-values
+    cardinality sketch (Bar-Yossef et al. 2002) over ``col``.
+
+    If the k smallest DISTINCT hash values in [0, P) have maximum h_k,
+    the distinct count is ≈ (k-1) * P / h_k. Unlike HyperLogLog this is
+    exactly reproducible across engines — the hash is the repo's
+    deterministic Karp-Rabin char fold, the estimate is integer division,
+    so the DuckDB oracle pins it bit-for-bit (approx_count_distinct never
+    could: each engine's HLL differs).
+
+    Scale shape: one map-side-combined int64 groupBy (hash dedup — the
+    combiner collapses repeats before the wire) feeding a
+    TakeOrderedAndProject(k) — per-partition top-k then a k-row merge at
+    the driver side of the plan, never a full sort. Fewer than k distinct
+    values -> the estimate IS the exact count.
+    """
+    from scrape_spark.functions import textstats as ts
+
+    h = ts._char_fold(col, ts.SPARK_DIALECT)
+    kept = (
+        df.select(F.expr(h).alias("_kmv_h"))
+        .groupBy("_kmv_h")
+        .agg(F.count(F.lit(1)).alias("_kmv_c"))
+        .orderBy("_kmv_h")
+        .limit(int(k))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("_kmv_h").cast("long").alias("threshold"),
+        )
+    )
+    return kept.select(
+        "n_kept",
+        "threshold",
+        F.expr(
+            f"CASE WHEN n_kept < {int(k)} THEN n_kept "
+            f"WHEN threshold = 0 THEN n_kept "
+            f"ELSE (CAST({int(k) - 1} AS BIGINT) * {ts.HASH_P}) div threshold END"
+        )
+        .cast("long")
+        .alias("estimate"),
+    )
+
+
+def kmv_distinct_sql(rows_sql: str, col: str = "url", k: int = 256) -> str:
+    """The SAME sketch for the DuckDB oracle (``rows_sql`` yields ``col``)."""
+    from scrape_spark.functions import textstats as ts
+
+    h = ts._char_fold(col, ts.DUCK_DIALECT)
+    return f"""\
+WITH _kmv_r AS (SELECT {h} AS h FROM ({rows_sql})),
+_kmv_k AS (SELECT DISTINCT h FROM _kmv_r ORDER BY h LIMIT {int(k)}),
+_kmv_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  CAST(MAX(h) AS BIGINT) AS threshold FROM _kmv_k)
+SELECT n_kept, threshold,
+       CAST(CASE WHEN n_kept < {int(k)} THEN n_kept
+            WHEN threshold = 0 THEN n_kept
+            ELSE (CAST({int(k) - 1} AS BIGINT) * {ts.HASH_P}) // threshold END AS BIGINT)
+         AS estimate
+FROM _kmv_a"""

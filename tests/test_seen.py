@@ -174,3 +174,34 @@ def test_existing_bloom_always_rebuilt_at_base_writes(spark, tmp_path):
         _urls(spark, ["http://h.test/new1", "http://fresh.test/b"])
     )
     assert {r["url"] for r in out.collect()} == {"http://fresh.test/b"}
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+def test_kmv_exact_below_k(spark):
+    from scrape_spark.operators.seen import kmv_distinct
+
+    urls = [(f"http://h.test/{i}",) for i in range(40)] * 3  # heavy repeats
+    df = spark.createDataFrame(urls, "url string")
+    row = kmv_distinct(df, k=256).collect()[0]
+    assert row["n_kept"] == 40 and row["estimate"] == 40  # exact below k
+
+
+def test_kmv_estimate_accuracy_and_determinism(spark):
+    import duckdb
+
+    from scrape_spark.operators.seen import kmv_distinct, kmv_distinct_sql
+
+    n = 3000
+    urls = [(f"http://h{i % 37}.test/page/{i}",) for i in range(n)]
+    df = spark.createDataFrame(urls, "url string")
+    got = tuple(kmv_distinct(df, k=128).collect()[0])
+    gen = (
+        f"SELECT 'http://h' || CAST(i % 37 AS VARCHAR) || '.test/page/' "
+        f"|| CAST(i AS VARCHAR) AS url FROM range({n}) t(i)"
+    )
+    want = duckdb.sql(kmv_distinct_sql(gen, k=128)).fetchone()
+    assert got == tuple(want)  # bit-identical across engines
+    est = got[2]
+    assert abs(est - n) / n < 0.25  # KMV with k=128: ~9% stderr, 25% bound
