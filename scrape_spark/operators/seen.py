@@ -507,6 +507,20 @@ def _probe_fn(cand: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # KMV distinct-count sketch — "how many URLs has this crawl seen?"
 # ---------------------------------------------------------------------------
+def _kmv_hash_sql(col: str, d: dict) -> str:
+    """Char fold + a nonlinear square mix: (h*h + 7) mod P.
+
+    The plain Karp-Rabin fold is AFFINE in the trailing characters, so
+    structured key sets (sequential page ids) land on a lattice and bias
+    the k-th minimum (measured: 29% high on /page/<i> URLs vs ~10% after
+    the mix, k=128). h < P keeps h*h < 2^62 — exact int64 on both engines.
+    """
+    from scrape_spark.functions import textstats as ts
+
+    expr = f"(__kf * __kf + 7) % {ts.HASH_P}"
+    return ts._bind(expr, "__kf", ts._char_fold(col, d), d)
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str = "url",
@@ -530,7 +544,7 @@ def kmv_distinct(
     """
     from scrape_spark.functions import textstats as ts
 
-    h = ts._char_fold(col, ts.SPARK_DIALECT)
+    h = _kmv_hash_sql(col, ts.SPARK_DIALECT)
     kept = (
         df.select(F.expr(h).alias("_kmv_h"))
         .groupBy("_kmv_h")
@@ -559,7 +573,7 @@ def kmv_distinct_sql(rows_sql: str, col: str = "url", k: int = 256) -> str:
     """The SAME sketch for the DuckDB oracle (``rows_sql`` yields ``col``)."""
     from scrape_spark.functions import textstats as ts
 
-    h = ts._char_fold(col, ts.DUCK_DIALECT)
+    h = _kmv_hash_sql(col, ts.DUCK_DIALECT)
     return f"""\
 WITH _kmv_r AS (SELECT {h} AS h FROM ({rows_sql})),
 _kmv_k AS (SELECT DISTINCT h FROM _kmv_r ORDER BY h LIMIT {int(k)}),
