@@ -3111,6 +3111,48 @@ def q_kmv_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(spark.sql(_KMV_URLS_SQL), k=64)
 
 
+# -- RFC 9309 wildcard robots rules ---------------------------------------------
+# Rules exercise '*' runs, '$' anchors, longest-match precedence, allow-wins-
+# ties, empty-pattern no-ops, hosts with no rules.
+_REP_RULES_SQL = """\
+SELECT * FROM (VALUES
+  ('h0.test', 'disallow', '/private'),
+  ('h0.test', 'allow',    '/private/ok'),
+  ('h0.test', 'disallow', '/*.tmp$'),
+  ('h1.test', 'allow',    '/a/*/c'),
+  ('h1.test', 'disallow', '/a/'),
+  ('h1.test', 'disallow', ''),
+  ('h2.test', 'disallow', '/')
+) t(host, rule_type, pattern)"""
+_REP_URLS_SQL = """\
+SELECT 'u' || CAST(doc_id AS STRING) AS url,
+  'h' || CAST(doc_id % 4 AS STRING) || '.test' AS host,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN '/private/p' || CAST(doc_id AS STRING)
+    WHEN 1 THEN '/private/ok/p' || CAST(doc_id AS STRING)
+    WHEN 2 THEN '/f' || CAST(doc_id AS STRING) || '.tmp'
+    WHEN 3 THEN '/a/x' || CAST(doc_id AS STRING) || '/c'
+    WHEN 4 THEN '/a/y' || CAST(doc_id AS STRING)
+    ELSE '/open/p' || CAST(doc_id AS STRING)
+  END AS path
+FROM documents"""
+
+
+def _rep_oracle() -> str:
+    from scrape_spark.operators.robots import rep_allowed_sql
+
+    return rep_allowed_sql(_REP_URLS_SQL, _REP_RULES_SQL)
+
+
+@_q("robots_wildcard", _rep_oracle())
+def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 verdicts: broadcast rules, map-side regex, url-keyed pick."""
+    from scrape_spark.operators.robots import rep_allowed
+
+    _view(spark, sf_dir, "documents")
+    return rep_allowed(spark.sql(_REP_URLS_SQL), spark.sql(_REP_RULES_SQL))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -271,3 +271,172 @@ def refresh_robots(
         parsed.select("host", "user_agent"), on=["host", "user_agent"], how="left_anti"
     )
     return keep.unionByName(parsed)
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 wildcard rules (Googlebot semantics) — the modern-REP extension
+# ---------------------------------------------------------------------------
+# The reference (and the engine's parity path above) uses stdlib
+# RobotFileParser: plain path-prefix matching, deny-before-allow. Modern
+# crawlers implement RFC 9309: '*' matches any char run, a trailing '$'
+# anchors at URL end, and precedence is LONGEST-MATCHING-RULE with allow
+# winning length ties. This section adds that mode as a rule-table
+# operator: patterns are DATA (rows), so the pattern->regex translation is
+# itself a SQL expression, dialect-templated like every kernel in the repo.
+# Percent-encoding normalization is the caller's (canonicalizer's) job.
+
+#: regex metachars escaped during translation ('*' and '$' handled apart;
+#: backslash is escaped first and parameterized per dialect — Spark SQL
+#: string literals unescape backslashes, DuckDB's do not)
+_REP_META = [".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$"]
+
+
+def _rep_backslash_lit(d: dict) -> str:
+    """SQL literal yielding ONE backslash character in dialect ``d``."""
+    from scrape_spark.functions import textstats as ts
+
+    return "'\\\\'" if d is ts.SPARK_DIALECT else "'\\'"
+
+
+def rep_regex_sql(pattern: str, d: dict) -> str:
+    """Regex-string expression translating robots pattern column
+    ``pattern``: anchored at start, '*' -> '.*', trailing '$' -> '$',
+    every other metachar backslash-escaped (mid-pattern '$' is literal,
+    the Googlebot behavior)."""
+    bs = _rep_backslash_lit(d)
+    body = (
+        f"CASE WHEN substr({pattern}, length({pattern}), 1) = '$' "
+        f"THEN substr({pattern}, 1, length({pattern}) - 1) "
+        f"ELSE {pattern} END"
+    )
+    esc = f"replace({body}, {bs}, {bs} || {bs})"
+    for ch in _REP_META:
+        lit = "''''" if ch == "'" else f"'{ch}'"
+        esc = f"replace({esc}, {lit}, {bs} || {lit})"
+    esc = f"replace({esc}, '*', '.*')"
+    anchor = (
+        f"CASE WHEN substr({pattern}, length({pattern}), 1) = '$' "
+        f"THEN '$' ELSE '' END"
+    )
+    return f"'^' || {esc} || {anchor}"
+
+
+def rep_match_sql(path: str, pattern: str, d: dict) -> str:
+    """True iff ``path`` matches robots ``pattern`` under RFC 9309."""
+    from scrape_spark.functions import textstats as ts
+
+    rx = rep_regex_sql(pattern, d)
+    if d is ts.SPARK_DIALECT:
+        return f"({path} rlike ({rx}))"
+    return f"regexp_matches({path}, ({rx}))"
+
+
+def rep_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    path_col: str = "path",
+    host_col: str = "host",
+) -> DataFrame:
+    """RFC 9309 verdict per URL row: (…urls cols…, allowed, rule_type,
+    rule_pattern).
+
+    ``rules``: (host, rule_type 'allow'|'disallow', pattern). Empty
+    patterns are no-ops per the RFC (an empty Disallow allows everything)
+    and are dropped. Precedence: longest matching pattern wins; a length
+    tie goes to allow; no matching rule (or no rules for the host) means
+    allowed.
+
+    Scale shape: the rule table is robots-sized (tiny next to a frontier
+    batch) and BROADCASTs; matching is a map-side regex per (url, rule)
+    candidate pair on the same host; the verdict fold is one url-keyed
+    window over ≤ rules-per-host rows. The translated regexes are
+    start-anchored literals + '.*' runs — linear-time in either engine's
+    matcher.
+    """
+    from pyspark.sql import Window
+    from scrape_spark.functions import textstats as ts
+
+    r = rules.where(
+        F.col("pattern").isNotNull() & (F.col("pattern") != "")
+    ).select(
+        F.col("host").alias("_rep_host"),
+        F.col("rule_type").alias("_rep_type"),
+        F.col("pattern").alias("_rep_pat"),
+    )
+    cand = urls.join(
+        F.broadcast(r),
+        urls[host_col] == F.col("_rep_host"),
+        "left",
+    ).withColumn(
+        "_rep_hit",
+        F.expr(rep_match_sql(path_col, "_rep_pat", ts.SPARK_DIALECT)),
+    )
+    w = Window.partitionBy(*[urls[c] for c in urls.columns]).orderBy(
+        F.when(F.col("_rep_hit"), F.length("_rep_pat")).otherwise(-1).desc(),
+        F.when(F.col("_rep_type") == "allow", 1).otherwise(0).desc(),
+        F.col("_rep_pat").desc(),
+    )
+    ranked = cand.withColumn("_rep_rn", F.row_number().over(w)).where(
+        F.col("_rep_rn") == 1
+    )
+    win = F.col("_rep_hit") & F.col("_rep_hit").isNotNull()
+    return ranked.select(
+        *urls.columns,
+        F.when(win & (F.col("_rep_type") == "disallow"), F.lit(False))
+        .otherwise(F.lit(True))
+        .alias("allowed"),
+        F.when(win, F.col("_rep_type")).alias("rule_type"),
+        F.when(win, F.col("_rep_pat")).alias("rule_pattern"),
+    )
+
+
+def rep_allowed_sql(urls_sql: str, rules_sql: str) -> str:
+    """The SAME verdict for the DuckDB oracle: ``urls_sql`` yields
+    (url, host, path), ``rules_sql`` yields (host, rule_type, pattern)."""
+    from scrape_spark.functions import textstats as ts
+
+    d = ts.DUCK_DIALECT
+    hit = rep_match_sql("u.path", "r.pattern", d)
+    return f"""\
+WITH _rep_u AS ({urls_sql}),
+_rep_r AS (SELECT host, rule_type, pattern FROM ({rules_sql})
+           WHERE pattern IS NOT NULL AND pattern <> ''),
+_rep_c AS (SELECT u.url, u.host, u.path, r.rule_type, r.pattern,
+             CASE WHEN r.pattern IS NULL THEN FALSE
+                  ELSE {hit} END AS hit
+           FROM _rep_u u LEFT JOIN _rep_r r USING (host)),
+_rep_w AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY url, host, path
+             ORDER BY CASE WHEN hit THEN length(pattern) ELSE -1 END DESC,
+                      CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END DESC,
+                      pattern DESC) AS rn
+           FROM _rep_c)
+SELECT url, host, path,
+       CASE WHEN hit AND rule_type = 'disallow' THEN FALSE
+            ELSE TRUE END AS allowed,
+       CASE WHEN hit THEN rule_type END AS rule_type,
+       CASE WHEN hit THEN pattern END AS rule_pattern
+FROM _rep_w WHERE rn = 1"""
+
+
+def rep_allowed_py(
+    path: str, rules: list[tuple[str, str]]
+) -> tuple[bool, str | None, str | None]:
+    """Pure-Python executable spec: rules = [(rule_type, pattern), ...] for
+    ONE host; returns (allowed, rule_type, pattern)."""
+    import re
+
+    best: tuple[int, int, str, str] | None = None
+    for rule_type, pattern in rules:
+        if not pattern:
+            continue
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "^" + re.escape(body).replace(r"\*", ".*") + ("$" if anchored else "")
+        if re.match(rx, path):
+            key = (len(pattern), 1 if rule_type == "allow" else 0, pattern)
+            if best is None or key > (best[0], best[1], best[3]):
+                best = (len(pattern), key[1], rule_type, pattern)
+    if best is None:
+        return (True, None, None)
+    return (best[2] != "disallow", best[2], best[3])

@@ -189,3 +189,91 @@ def test_fetch_slots_monotone_with_delay_gaps(spark):
     assert slots[0] == NOW
     for a, b in zip(slots, slots[1:]):
         assert (b - a).total_seconds() == 5  # exactly crawl_delay apart
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 wildcard mode
+# ---------------------------------------------------------------------------
+def test_rep_wildcard_semantics(spark):
+    from scrape_spark.operators.robots import rep_allowed
+
+    rules = [
+        ("h.test", "disallow", "/private"),
+        ("h.test", "allow", "/private/ok"),
+        ("h.test", "disallow", "/*.pdf$"),
+        ("h.test", "allow", "/a/*/c"),
+        ("h.test", "disallow", "/a/"),
+        ("h.test", "disallow", ""),
+    ]
+    urls = [
+        ("u1", "h.test", "/private/x"),
+        ("u2", "h.test", "/private/ok/page"),
+        ("u3", "h.test", "/doc/file.pdf"),
+        ("u4", "h.test", "/doc/file.pdfx"),   # '$' really anchors
+        ("u5", "h.test", "/a/b/c/d"),          # longest match is the allow
+        ("u6", "h.test", "/other"),
+        ("u7", "j.test", "/x"),                # ruleless host
+    ]
+    udf = spark.createDataFrame(urls, "url string, host string, path string")
+    rdf = spark.createDataFrame(rules, "host string, rule_type string, pattern string")
+    got = {
+        r["url"]: (r["allowed"], r["rule_pattern"])
+        for r in rep_allowed(udf, rdf).collect()
+    }
+    assert got == {
+        "u1": (False, "/private"),
+        "u2": (True, "/private/ok"),
+        "u3": (False, "/*.pdf$"),
+        "u4": (True, None),
+        "u5": (True, "/a/*/c"),
+        "u6": (True, None),
+        "u7": (True, None),
+    }
+
+
+def test_rep_wildcard_fuzz_three_way(spark):
+    import random
+
+    import duckdb
+
+    from scrape_spark.operators.robots import (
+        rep_allowed,
+        rep_allowed_py,
+        rep_allowed_sql,
+    )
+
+    rng = random.Random(13)
+    segs = ["a", "b", "cc", "d.d", "x+y", "p(q)", "file.pdf", "t.tmp", "[z]"]
+    rules = []
+    for i in range(25):
+        pat = "/" + "/".join(rng.choice(segs) for _ in range(rng.randrange(1, 3)))
+        if rng.random() < 0.4:
+            pat = pat.replace("/", "/*", 1) if rng.random() < 0.5 else pat + "*"
+        if rng.random() < 0.3:
+            pat += "$"
+        rules.append(("f.test", rng.choice(["allow", "disallow"]), pat))
+    urls = [
+        (f"u{i}", "f.test", "/" + "/".join(rng.choice(segs) for _ in range(rng.randrange(1, 4))))
+        for i in range(60)
+    ]
+    udf = spark.createDataFrame(urls, "url string, host string, path string")
+    rdf = spark.createDataFrame(rules, "host string, rule_type string, pattern string")
+    got = {
+        r["url"]: (r["allowed"], r["rule_type"], r["rule_pattern"])
+        for r in rep_allowed(udf, rdf).collect()
+    }
+    rl = [(t, p) for _, t, p in rules]
+    for u, _, p in urls:
+        assert got[u] == rep_allowed_py(p, rl), (u, p)
+    uv = ", ".join(f"('{a}','{b}','{c}')" for a, b, c in urls)
+    rv = ", ".join(f"('{a}','{b}','{c}')" for a, b, c in rules)
+    want = {
+        r[0]: (r[3], r[4], r[5])
+        for r in duckdb.sql(
+            rep_allowed_sql(
+                f"SELECT * FROM (VALUES {uv}) t(url, host, path)",
+                f"SELECT * FROM (VALUES {rv}) t(host, rule_type, pattern)",
+            )
+        ).fetchall()
+    }
+    assert got == want
