@@ -3153,6 +3153,39 @@ def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep_allowed(spark.sql(_REP_URLS_SQL), spark.sql(_REP_RULES_SQL))
 
 
+# -- CCNet-style LM perplexity buckets (Wenzek et al. 2020) -------------------
+def _lm_ppl_oracle() -> str:
+    from scrape_spark.operators.lmquality import ccnet_buckets_sql
+
+    return ccnet_buckets_sql("SELECT doc_id, text FROM documents")
+
+
+@_q("lm_ppl_buckets", _lm_ppl_oracle())
+def q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-bigram cross-entropy per doc + head/middle/tail value buckets."""
+    from scrape_spark.operators.lmquality import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
+# -- DSIR hashed-ngram importance weights (Xie et al. 2023) -------------------
+def _dsir_oracle() -> str:
+    from scrape_spark.operators.lmquality import dsir_weights_sql
+
+    return dsir_weights_sql(
+        "SELECT doc_id, text, lang = 'en' AS is_target FROM documents"
+    )
+
+
+@_q("dsir_weights", _dsir_oracle())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc log importance ratio toward the lang='en' target domain."""
+    from scrape_spark.operators.lmquality import dsir_weights
+
+    docs = _docs(spark, sf_dir).withColumn("is_target", F.col("lang") == "en")
+    return dsir_weights(docs)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,359 @@
+"""Statistical-LM data curation: CCNet perplexity buckets + DSIR weights.
+
+Two published corpus-selection methods a webtext training pipeline runs
+after the rule filters (corpus.gopher_rules / c4 line rules):
+
+* **CCNet-style perplexity bucketing** (Wenzek et al. 2020, "CCNet:
+  Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+  score every document by cross-entropy under a statistical n-gram LM and
+  split the corpus into head / middle / tail quality buckets. CCNet uses a
+  KenLM 5-gram; the engine trains a Laplace-smoothed word-bigram model on
+  the corpus itself — the same operator shape (model table + per-doc score
+  + value-bucketing), expressed as pure relational algebra so the DuckDB
+  oracle replays it exactly.
+* **DSIR importance weights** (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): hashed bigram features,
+  per-doc log importance ratio between a target-domain distribution and
+  the raw-corpus distribution. The paper's estimator is exactly a pair of
+  hashed-bag-of-ngrams count tables; sampling ∝ exp(weight) happens
+  downstream (dataset_split / stratified_sample own that step).
+
+The reference crawler stores extracted text but has no quality analytics
+(models.py get_page_statistics is row counts only) — these are engine
+extensions in the dialect-templated style of textstats/corpus.
+
+Scale shape (the design constraint per operator):
+
+- ``doc_bigrams`` — tokenize once per row map-side, explode to
+  (doc, w1, w2): the canonical word-count explode; no Python anywhere.
+- ``lm_cross_entropy`` — the model is two map-side-combined count
+  shuffles (bigram types, then contexts); scoring joins the per-doc
+  DISTINCT bigram table (occurrence-compressed by tf) against the model
+  on (w1, w2) — AQE's skew-join handles the hot-bigram tail ("of the").
+  The per-doc fold runs over ≤ doclen collected terms in (w1, w2) order,
+  so the IEEE double sum is reproducible regardless of partitioning —
+  same discipline as bm25_over_postings (operators/ranking.py).
+- ``ccnet_buckets`` — thresholds come from a cumulative window over the
+  quantized-CE **histogram** (one row per distinct value), never a window
+  over the documents table: at 10^10 docs the histogram is bounded by the
+  value grid, and docs join their bucket back by value.
+- ``dsir_weights`` — features are mod-prime hashed buckets (int64), so
+  both count tables have ≤ n_buckets rows and broadcast; scoring is one
+  map-side join + the same ordered fold.
+
+Cross-entropy / weights are quantized to integer micro-nats
+(``floor(1e6 · x)``) for exact cross-engine comparison — the q4 ratio
+discipline of corpus.shingle_dup_stats, two digits finer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scrape_spark.functions import textstats as ts
+
+#: quantization grid for scores: integer micro-nats
+SCORE_Q = 1_000_000
+#: default hashed-feature bucket count for DSIR (paper uses 10^4; tests
+#: shrink it so bucket collisions are actually exercised)
+DSIR_BUCKETS = 128
+_SD = ts.SPARK_DIALECT
+_DD = ts.DUCK_DIALECT
+
+
+def tokens_sql(text: str, d: dict) -> str:
+    """Lowercased whitespace tokens with empties dropped (portable)."""
+    ws = ts.words_sql(f"lower({text})", d)
+    return d["filter"].format(arr=ws, lam="__w -> __w <> ''")
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) — one row per bigram OCCURRENCE, document order lost.
+
+    Docs with fewer than two tokens produce no rows (the guard also dodges
+    Spark's descending ``sequence(1, 0)`` trap — see
+    textstats.top_bigram_cover_q4_sql). Extra input columns are dropped.
+    """
+    return (
+        docs.select(
+            F.col(id_col), F.expr(tokens_sql(text_col, _SD)).alias("_toks")
+        )
+        .where(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.explode(F.expr("sequence(1, size(_toks) - 1)")).alias("_i"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr("element_at(_toks, _i)").alias("w1"),
+            F.expr("element_at(_toks, _i + 1)").alias("w2"),
+        )
+    )
+
+
+def _doc_bigram_tf(bg: DataFrame, id_col: str) -> DataFrame:
+    """Occurrence table → per-doc distinct-bigram tf (join compression)."""
+    return bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+#: the score fold: collected (key..., _term) structs sorted, then summed in
+#: that order with a double init — partition-order-independent IEEE sum
+_FOLD = (
+    "aggregate(transform(array_sort(collect_list(struct({keys}, _term))), "
+    "x -> x._term), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+)
+
+
+def lm_cross_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bigrams, ce_q6): Laplace-bigram cross-entropy per document.
+
+    Model: p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) with V = corpus
+    distinct-token count; CE = −(Σ tf·ln p) / n_bigrams, quantized to
+    integer micro-nats. Lower = more in-distribution (CCNet's "head").
+    Docs without bigrams drop out (no denominator).
+    """
+    bg = doc_bigrams(docs, id_col, text_col)
+    dbg = _doc_bigram_tf(bg, id_col)
+    c12 = dbg.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    model = c12.join(c1, "w1")
+    vocab = (
+        bg.select(F.col("w1").alias("_w"))
+        .union(bg.select(F.col("w2").alias("_w")))
+        .agg(F.countDistinct("_w").cast("long").alias("n_vocab"))
+    )
+    scored = (
+        dbg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_term",
+            F.expr(
+                "CAST(tf AS DOUBLE) * ln((CAST(c12 AS DOUBLE) + 1.0)"
+                " / (CAST(c1 AS DOUBLE) + CAST(n_vocab AS DOUBLE)))"
+            ),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.expr(_FOLD.format(keys="w1, w2")).alias("_s"),
+        F.sum("tf").cast("long").alias("n_bigrams"),
+    )
+    return per.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.expr(
+            f"CAST(floor({SCORE_Q}.0 * (-_s / CAST(n_bigrams AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("ce_q6"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bigrams, ce_q6, ppl_bucket) — head / middle / tail thirds.
+
+    Bucketing is BY VALUE: a doc's bucket is decided by where its ce_q6
+    group STARTS in the cumulative histogram (prev·3 < n → head,
+    prev·3 < 2n → middle, else tail), so equal scores always share a
+    bucket and the windows run over the distinct-value histogram, not the
+    corpus (scale note in the module doc). All-integer arithmetic.
+    """
+    per = lm_cross_entropy(docs, id_col, text_col)
+    hist = per.groupBy("ce_q6").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    cum_w = Window.orderBy("ce_q6").rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.partitionBy()
+    buckets = (
+        hist.withColumn("_cum", F.sum("_cnt").over(cum_w))
+        .withColumn("_n", F.sum("_cnt").over(tot_w))
+        .withColumn("_prev", F.col("_cum") - F.col("_cnt"))
+        .select(
+            "ce_q6",
+            F.when(F.col("_prev") * 3 < F.col("_n"), F.lit("head"))
+            .when(F.col("_prev") * 3 < 2 * F.col("_n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+    return per.join(buckets, "ce_q6").select(
+        id_col, "n_bigrams", "ce_q6", "ppl_bucket"
+    )
+
+
+def lm_cross_entropy_sql(docs_sql: str, id_col: str = "doc_id") -> str:
+    """The identical computation as portable SQL (DuckDB oracle side).
+
+    ``docs_sql`` must project (id_col, text). DuckDB's ordered aggregate
+    ``list(x ORDER BY ...)`` plays the role of Spark's
+    collect_list+array_sort; both engines order strings by UTF-8 binary
+    comparison, so the fold order — and hence the IEEE sum — is identical.
+    """
+    toks = tokens_sql("text", _DD)
+    return f"""WITH _docs AS ({docs_sql}),
+_tok AS (SELECT {id_col}, {toks} AS toks FROM _docs),
+_pos AS (SELECT {id_col}, toks, unnest(range(1, len(toks))) AS i FROM _tok),
+_bg AS (SELECT {id_col}, toks[i] AS w1, toks[i + 1] AS w2 FROM _pos),
+_dbg AS (SELECT {id_col}, w1, w2, CAST(count(*) AS BIGINT) AS tf
+         FROM _bg GROUP BY {id_col}, w1, w2),
+_c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+         FROM _dbg GROUP BY w1, w2),
+_c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM _c12 GROUP BY w1),
+_v AS (SELECT CAST(count(DISTINCT _w) AS BIGINT) AS n_vocab FROM
+       (SELECT w1 AS _w FROM _bg UNION ALL SELECT w2 AS _w FROM _bg)),
+_sc AS (SELECT {id_col}, w1, w2, tf,
+          CAST(tf AS DOUBLE) * ln((CAST(c12 AS DOUBLE) + 1.0)
+            / (CAST(c1 AS DOUBLE) + CAST(n_vocab AS DOUBLE))) AS _term
+        FROM _dbg JOIN _c12 USING (w1, w2) JOIN _c1 USING (w1), _v),
+_per AS (SELECT {id_col},
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(_term ORDER BY w1, w2)), (a, x) -> a + x) AS _s,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams
+         FROM _sc GROUP BY {id_col})
+SELECT {id_col}, n_bigrams,
+  CAST(floor({SCORE_Q}.0 * (-_s / CAST(n_bigrams AS DOUBLE))) AS BIGINT)
+    AS ce_q6
+FROM _per"""
+
+
+def ccnet_buckets_sql(docs_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB oracle for ccnet_buckets (histogram-window bucketing)."""
+    return f"""WITH _ce AS ({lm_cross_entropy_sql(docs_sql, id_col)}),
+_hist AS (SELECT ce_q6, CAST(count(*) AS BIGINT) AS _cnt
+          FROM _ce GROUP BY ce_q6),
+_bkt AS (SELECT ce_q6,
+           sum(_cnt) OVER (ORDER BY ce_q6) - _cnt AS _prev,
+           sum(_cnt) OVER () AS _n
+         FROM _hist)
+SELECT c.{id_col}, c.n_bigrams, c.ce_q6,
+  CASE WHEN b._prev * 3 < b._n THEN 'head'
+       WHEN b._prev * 3 < 2 * b._n THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM _ce c JOIN _bkt b USING (ce_q6)"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-ngram importance weights (target vs raw distribution)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_sql(d: dict, n_buckets: int) -> str:
+    """Feature bucket of the (w1, w2) columns: mod-prime word-hash mixing
+    (textstats.top_bigram_cover_q4_sql's bigram combiner) reduced mod B."""
+    h1 = ts._char_fold("w1", d)
+    h2 = ts._char_fold("w2", d)
+    return f"((({h1}) * 1000003 + ({h2})) % {ts.HASH_P}) % {int(n_buckets)}"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(id, n_feats, logw_q6): per-doc mean hashed-bigram log importance
+    ratio ln p_target(b) − ln p_raw(b), Laplace-smoothed, micro-nats.
+
+    ``target_col`` is a boolean column on ``docs`` marking the target
+    domain (e.g. lang = 'en', or a quality-rule pass flag). Raw counts are
+    over ALL docs, so the raw table covers every bucket the scorer can
+    probe; target-absent buckets smooth to (0 + 1)/(T + B). Positive
+    weight ⇒ resample toward the doc (DSIR samples ∝ exp(weight)
+    downstream). Both count tables are ≤ n_buckets rows — broadcast joins.
+    """
+    bg = doc_bigrams(
+        docs.select(id_col, text_col), id_col, text_col
+    ).withColumn("b", F.expr(_bucket_sql(_SD, n_buckets)).cast("long"))
+    feats = bg.groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    targets = docs.where(F.col(target_col)).select(id_col)
+    raw = feats.groupBy("b").agg(F.sum("tf").cast("long").alias("r_b"))
+    tgt = (
+        feats.join(targets, id_col, "left_semi")
+        .groupBy("b")
+        .agg(F.sum("tf").cast("long").alias("t_b"))
+    )
+    model = raw.join(tgt, "b", "left").select(
+        "b", "r_b", F.coalesce("t_b", F.lit(0)).cast("long").alias("t_b")
+    )
+    totals = model.agg(
+        F.sum("r_b").cast("long").alias("r_tot"),
+        F.sum("t_b").cast("long").alias("t_tot"),
+    )
+    ratio = (
+        f"ln((CAST(t_b AS DOUBLE) + 1.0)"
+        f" / (CAST(t_tot AS DOUBLE) + {int(n_buckets)}.0))"
+        f" - ln((CAST(r_b AS DOUBLE) + 1.0)"
+        f" / (CAST(r_tot AS DOUBLE) + {int(n_buckets)}.0))"
+    )
+    scored = (
+        feats.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("_term", F.expr(f"CAST(tf AS DOUBLE) * ({ratio})"))
+    )
+    per = scored.groupBy(id_col).agg(
+        F.expr(_FOLD.format(keys="b")).alias("_s"),
+        F.sum("tf").cast("long").alias("n_feats"),
+    )
+    return per.select(
+        F.col(id_col),
+        "n_feats",
+        F.expr(
+            f"CAST(floor({SCORE_Q}.0 * (_s / CAST(n_feats AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("logw_q6"),
+    )
+
+
+def dsir_weights_sql(
+    docs_sql: str,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB oracle: identical counts, smoothing, and ordered fold.
+
+    ``docs_sql`` must project (id_col, text, target_col boolean).
+    """
+    toks = tokens_sql("text", _DD)
+    bucket = _bucket_sql(_DD, n_buckets)
+    ratio = (
+        f"ln((CAST(t_b AS DOUBLE) + 1.0)"
+        f" / (CAST(t_tot AS DOUBLE) + {int(n_buckets)}.0))"
+        f" - ln((CAST(r_b AS DOUBLE) + 1.0)"
+        f" / (CAST(r_tot AS DOUBLE) + {int(n_buckets)}.0))"
+    )
+    return f"""WITH _docs AS ({docs_sql}),
+_tok AS (SELECT {id_col}, {toks} AS toks FROM _docs),
+_pos AS (SELECT {id_col}, toks, unnest(range(1, len(toks))) AS i FROM _tok),
+_bg AS (SELECT {id_col}, toks[i] AS w1, toks[i + 1] AS w2 FROM _pos),
+_f AS (SELECT {id_col}, CAST({bucket} AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS tf
+       FROM _bg GROUP BY 1, 2),
+_raw AS (SELECT b, CAST(sum(tf) AS BIGINT) AS r_b FROM _f GROUP BY b),
+_tgt AS (SELECT b, CAST(sum(tf) AS BIGINT) AS t_b FROM _f
+         WHERE {id_col} IN (SELECT {id_col} FROM _docs WHERE {target_col})
+         GROUP BY b),
+_m AS (SELECT b, r_b, CAST(coalesce(t_b, 0) AS BIGINT) AS t_b
+       FROM _raw LEFT JOIN _tgt USING (b)),
+_tot AS (SELECT CAST(sum(r_b) AS BIGINT) AS r_tot,
+                CAST(sum(t_b) AS BIGINT) AS t_tot FROM _m),
+_sc AS (SELECT {id_col}, b, tf, CAST(tf AS DOUBLE) * ({ratio}) AS _term
+        FROM _f JOIN _m USING (b), _tot),
+_per AS (SELECT {id_col},
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(_term ORDER BY b)), (a, x) -> a + x) AS _s,
+           CAST(sum(tf) AS BIGINT) AS n_feats
+         FROM _sc GROUP BY {id_col})
+SELECT {id_col}, n_feats,
+  CAST(floor({SCORE_Q}.0 * (_s / CAST(n_feats AS DOUBLE))) AS BIGINT)
+    AS logw_q6
+FROM _per"""

@@ -1,0 +1,122 @@
+"""LM-quality curation ops: CCNet perplexity buckets + DSIR weights."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.lmquality import (
+    SCORE_Q,
+    ccnet_buckets,
+    ccnet_buckets_sql,
+    dsir_weights,
+    dsir_weights_sql,
+    lm_cross_entropy,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_cross_entropy_hand_computed(spark):
+    # corpus: d1 = "a b a b", d2 = "a c"
+    # bigram counts: (a,b)=2 (b,a)=1 (a,c)=1; contexts: a=3, b=1; V=3
+    # p(b|a) = 3/6, p(a|b) = 2/4, p(c|a) = 2/6
+    # CE(d1) = -(2 ln .5 + ln .5)/3 = ln 2;  CE(d2) = ln 3
+    docs = _docs(spark, [(1, "a b a b"), (2, "a c")])
+    got = {r["doc_id"]: r for r in lm_cross_entropy(docs).collect()}
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
+    assert got[1]["ce_q6"] == math.floor(SCORE_Q * math.log(2.0))
+    assert got[2]["ce_q6"] == math.floor(SCORE_Q * math.log(3.0))
+
+
+def test_lm_skips_docs_without_bigrams(spark):
+    docs = _docs(spark, [(1, "only"), (2, ""), (3, "  "), (4, "two words")])
+    got = {r["doc_id"] for r in lm_cross_entropy(docs).collect()}
+    assert got == {4}
+
+
+def test_lm_in_distribution_scores_better(spark):
+    # ten copies of one sentence vs one doc of corpus-unique words: the
+    # repeated doc's bigrams dominate the model => lower cross-entropy
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "zq xw vv kj pq mn"))
+    got = {r["doc_id"]: r["ce_q6"] for r in lm_cross_entropy(_docs(spark, rows)).collect()}
+    assert got[0] < got[99]
+    assert all(got[i] == got[0] for i in range(10))
+
+
+def test_ccnet_buckets_value_order_and_sharing(spark):
+    rows = [(i, "the cat sat on the mat") for i in range(4)]
+    rows += [(10, "the cat sat on a rug"), (11, "a dog ran to the cat")]
+    rows += [(20, "zq xw vv kj pq mn"), (21, "aa bb cc dd ee ff")]
+    out = ccnet_buckets(_docs(spark, rows)).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["ce_q6"])
+    # value-ordered: every head score <= every middle <= every tail
+    if "head" in by_bucket and "middle" in by_bucket:
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    if "middle" in by_bucket and "tail" in by_bucket:
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # equal scores share a bucket: the four identical docs agree
+    ident = {r["ppl_bucket"] for r in out if r["doc_id"] < 4}
+    assert len(ident) == 1
+
+
+def test_dsir_weights_separate_target_domain(spark):
+    # target docs share a bigram vocabulary; out-domain docs use another
+    rows = [(i, "alpha beta alpha beta", True) for i in range(5)]
+    rows += [(10 + i, "gamma delta gamma delta", False) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+    got = {r["doc_id"]: r["logw_q6"] for r in dsir_weights(docs).collect()}
+    assert got[0] > 0 > got[10]
+    assert all(got[i] == got[0] for i in range(5))
+
+
+def test_lm_and_dsir_match_duckdb(spark):
+    import duckdb
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the rug", "en"),
+        (3, "le chat est sur le tapis", "fr"),
+        (4, "der hund sitzt auf dem teppich", "de"),
+        (5, "the cat and the dog", "en"),
+        (6, "un deux trois quatre", "fr"),
+        (7, "one", "en"),  # no bigrams: must drop from both engines
+        (8, "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?, ?)", list(r))
+
+    got = sorted(
+        (r["doc_id"], r["n_bigrams"], r["ce_q6"], r["ppl_bucket"])
+        for r in ccnet_buckets(docs).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ccnet_buckets_sql("SELECT doc_id, text FROM documents")
+        ).fetchall()
+    )
+    assert got == want
+    assert {g[0] for g in got} == {1, 2, 3, 4, 5, 6}
+
+    d2 = docs.withColumn("is_target", F.col("lang") == "en")
+    got2 = sorted(
+        (r["doc_id"], r["n_feats"], r["logw_q6"])
+        for r in dsir_weights(d2).collect()
+    )
+    want2 = sorted(
+        tuple(r)
+        for r in con.execute(
+            dsir_weights_sql(
+                "SELECT doc_id, text, lang = 'en' AS is_target FROM documents"
+            )
+        ).fetchall()
+    )
+    assert got2 == want2
