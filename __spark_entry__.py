@@ -3186,6 +3186,51 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs)
 
 
+# -- Count-Min heavy hitters + salting plan (mega-host skew detection) --------
+# Skewed synthetic stream: half the URLs belong to one mega-host, the rest
+# spread over 50 small hosts — the screen must keep exactly the mega-host.
+_CMS_HOSTS_SQL = """\
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'mega.example.test'
+            ELSE 'h' || CAST(doc_id % 50 AS STRING) || '.test' END AS host
+FROM documents"""
+
+
+def _cms_oracle() -> str:
+    from scrape_spark.operators.sketches import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql(
+        _CMS_HOSTS_SQL, threshold_ppm=100_000, target_per_salt=100
+    )
+
+
+@_q("cms_host_salt_plan", _cms_oracle())
+def q_cms_host_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-estimated mega-hosts → per-host salt fan-out (integer-exact)."""
+    from scrape_spark.operators.sketches import cms_heavy_hitters, salt_plan
+
+    _view(spark, sf_dir, "documents")
+    hh = cms_heavy_hitters(
+        spark.sql(_CMS_HOSTS_SQL), threshold_ppm=100_000
+    )
+    return salt_plan(hh, target_per_salt=100)
+
+
+# -- gap-based sessionization of the event log --------------------------------
+def _sessionize_oracle() -> str:
+    from scrape_spark.operators.events import sessionize_sql
+
+    return sessionize_sql("SELECT user_id, event_id, ts FROM events")
+
+
+@_q("event_sessions", _sessionize_oracle())
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap visit sessions per user: count, bounds, span (micros)."""
+    from scrape_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev)
+
+
 # ---------------------------------------------------------------------------
 
 
