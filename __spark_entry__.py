@@ -2741,6 +2741,58 @@ def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- crawl ordering: OPIC cash/history over a dangling-heavy webgraph ---------
+# OPIC (Abiteboul WWW'03) is the ONLINE importance estimate a frontier can
+# use mid-crawl. The fixture drops every 3rd node's outlinks so the virtual
+# root actually routes dangling mass (the fixture PR/HITS use has none).
+_OPIC_EDGES_SQL = """\
+SELECT CAST(doc_id AS BIGINT) AS src,
+       CAST((doc_id * 7 + 3) % (SELECT COUNT(*) FROM documents) AS BIGINT)
+         AS dst
+FROM documents WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS src,
+       CAST((doc_id * 13 + 5) % (SELECT COUNT(*) FROM documents) AS BIGINT)
+         AS dst
+FROM documents WHERE doc_id % 3 = 1"""
+
+
+def _opic_oracle() -> str:
+    from scrape_spark.operators.webrank import opic_sql
+
+    return opic_sql(_OPIC_EDGES_SQL, iterations=3)
+
+
+@_q("link_opic", _opic_oracle())
+def q_link_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online page importance (OPIC): the mid-crawl priority signal —
+    accumulated cash history, dangling mass recycled via the virtual root."""
+    from scrape_spark.operators.webrank import opic_int
+
+    _view(spark, sf_dir, "documents")
+    return opic_int(spark.sql(_OPIC_EDGES_SQL), iterations=3)
+
+
+# -- anti-spam: relative spam mass (PageRank vs seed-rescaled TrustRank) ------
+def _spam_mass_oracle() -> str:
+    from scrape_spark.operators.webrank import spam_mass_sql
+
+    return spam_mass_sql(_PR_EDGES_SQL, _TRUST_SEEDS_SQL, iterations=3)
+
+
+@_q("spam_mass", _spam_mass_oracle())
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-spam mass (Gyöngyi VLDB'06): share of each page's PageRank not
+    vouched for by the trusted teleport — the demotion complement of
+    ``link_trustrank`` on the same fixture."""
+    from scrape_spark.operators.webrank import spam_mass_int
+
+    _view(spark, sf_dir, "documents")
+    return spam_mass_int(
+        spark.sql(_PR_EDGES_SQL), spark.sql(_TRUST_SEEDS_SQL), iterations=3
+    )
+
+
 # -- domain graph: page edges contracted to eTLD+1 -----------------------------
 # Hosts span subdomains of shared registered domains (the domain_crawl_report
 # shapes) so the contraction must FOLD subdomain pairs and DROP intra-domain

@@ -834,3 +834,310 @@ SELECT s AS domain,
        CAST(SUM(back) AS BIGINT) AS n_reciprocal,
        CAST((100 * SUM(back)) // COUNT(*) AS BIGINT) AS reciprocity_pct
 FROM _lr_m GROUP BY s"""
+
+
+# ---------------------------------------------------------------------------
+# OPIC — Adaptive On-line Page Importance Computation (Abiteboul/Preda/
+# Cobena, WWW'03). THE crawl-ordering algorithm: unlike PageRank it needs
+# no converged fixpoint before it is useful — every page holds "cash",
+# a processed page distributes its cash over its outlinks, and the
+# accumulated HISTORY of cash a page has held estimates its importance
+# while the crawl is still running. Dangling pages send their cash to a
+# virtual ROOT that redistributes uniformly (the paper's virtual page),
+# so mass is never lost and traps cannot hoard it.
+#
+# This is the synchronous batch formulation (every page distributes each
+# round — the natural shape for a round-based frontier like plans/crawl.py,
+# where OPIC history is exactly the priority signal the dequeue consumes):
+#
+#   cash_0(v) = scale;   hist_0(v) = 0
+#   root_t       = Σ_{dangling u} cash_t(u)      (forwarded same round —
+#                                                 no mass parks on the root)
+#   cash_{t+1}(v) = Σ_{u→v} (cash_t(u) div outdeg(u)) + root_t div n
+#   hist_{t+1}(v) = hist_t(v) + cash_t(v)
+#
+# All arithmetic is int64 (div = floor division on non-negatives), so
+# partial-agg order cannot perturb values and the DuckDB oracle replays
+# the ladder bit-for-bit. The reference has no crawl-ordering signal at
+# all (FIFO by insertion id, models.py get_next_url_to_scrape); this is
+# engine machinery for the north rule's priority-queue frontier.
+# ---------------------------------------------------------------------------
+
+
+def opic_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """(node, cash, hist) after ``iterations`` synchronous OPIC rounds.
+
+    Scale shape per iteration: ONE edge-sized shuffle (the dst-keyed
+    contribution fold, map-side combined) plus node-sized joins; the edge
+    table is hash-partitioned on ``src`` once and reused every round
+    (Pregel layout, same as :func:`pagerank_int`). The root scalar rides
+    a broadcast 1-row frame — no driver action inside the loop, the whole
+    ladder stays one lazy plan (same trick as ``hits_int``'s divisor).
+
+    Overflow bound: total circulating mass is conserved at ≤ n·scale
+    (floor division only loses mass), so hist ≤ (iterations+1)·n·scale —
+    asserted against the real node count below. For a 10^10-node graph
+    pass ``scale=10**6``.
+
+    Simple-graph semantics: duplicate (src, dst) rows collapse, matching
+    ``hits_int`` — outdeg counts DISTINCT outlinks.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        ed.unpersist()
+        nodes.unpersist()
+        raise ValueError("opic_int needs a non-empty edge set")
+    if (iterations + 1) * n_nodes * scale >= 2**63:
+        ed.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"scale={scale} overflows int64 at {n_nodes} nodes over "
+            f"{iterations} iterations; use scale <= "
+            f"{2**63 // ((iterations + 1) * max(n_nodes, 1))}"
+        )
+    # (node, outdeg-or-null): the dangling marker reused every round
+    marked = nodes.join(
+        deg.select(F.col("src").alias("node"), "outdeg"), "node", "left"
+    ).persist()
+    dangling = F.col("outdeg").isNull()
+
+    state = marked.select(
+        "node",
+        dangling,
+        F.lit(scale).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    ).toDF("node", "_dang", "cash", "hist")
+    root = state.agg(
+        F.coalesce(F.sum(F.when(F.col("_dang"), F.col("cash"))), F.lit(0))
+        .cast("long")
+        .alias("_root")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ed.join(state, ed["src"] == state["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("cash div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            marked.join(state.select("node", "hist", "cash"), "node")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(root))
+            .select(
+                "node",
+                dangling.alias("_dang"),
+                (
+                    F.coalesce(F.col("s"), F.lit(0))
+                    + F.expr(f"_root div {n_nodes}")
+                )
+                .cast("long")
+                .alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+        )
+        state = nxt
+        root = state.agg(
+            F.coalesce(F.sum(F.when(F.col("_dang"), F.col("cash"))), F.lit(0))
+            .cast("long")
+            .alias("_root")
+        )
+    out = state.select("node", "cash", "hist").localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
+    marked.unpersist()
+    return out
+
+
+def opic_sql(edges_sql: str, iterations: int = 3, scale: int = SCALE) -> str:
+    """The SAME OPIC ladder as chained CTEs for the DuckDB oracle."""
+    parts = [
+        f"WITH _op_e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "_op_deg AS (SELECT src, COUNT(*) AS outdeg FROM _op_e GROUP BY src)",
+        "_op_nodes AS (SELECT src AS node FROM _op_e"
+        " UNION SELECT dst AS node FROM _op_e)",
+        "_op_n AS (SELECT COUNT(*) AS n FROM _op_nodes)",
+        "_op_m AS (SELECT n.node, d.outdeg IS NULL AS dang, d.outdeg"
+        " FROM _op_nodes n LEFT JOIN _op_deg d ON d.src = n.node)",
+        f"_op_s0 AS (SELECT node, dang, CAST({scale} AS BIGINT) AS cash,"
+        " CAST(0 AS BIGINT) AS hist FROM _op_m)",
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"_op_rt{t} AS (SELECT CAST(COALESCE(SUM(CASE WHEN dang"
+            f" THEN cash END), 0) AS BIGINT) AS root FROM _op_s{t})"
+        )
+        parts.append(
+            f"_op_c{t} AS (SELECT e.dst AS node,"
+            f" SUM(s.cash // m.outdeg) AS s"
+            f" FROM _op_e e JOIN _op_m m ON m.node = e.src"
+            f" JOIN _op_s{t} s ON s.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"_op_s{t + 1} AS (SELECT m.node, m.dang,"
+            f" CAST(COALESCE(c.s, 0) + r.root // n.n AS BIGINT) AS cash,"
+            f" CAST(s.hist + s.cash AS BIGINT) AS hist"
+            f" FROM _op_m m JOIN _op_s{t} s ON s.node = m.node"
+            f" LEFT JOIN _op_c{t} c ON c.node = m.node,"
+            f" _op_rt{t} r, _op_n n)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, cash, hist FROM _op_s{iterations}"
+    )
+
+
+def opic_py(
+    edges: list[tuple[int, int]],
+    iterations: int = 3,
+    scale: int = SCALE,
+) -> dict[int, tuple[int, int]]:
+    """Pure-Python executable spec of the same kernel (test oracle).
+
+    Returns node -> (cash, hist).
+    """
+    edges = sorted(set(edges))
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    n = len(nodes)
+    cash = {v: scale for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        root = sum(c for v, c in cash.items() if v not in outdeg)
+        sums = {v: 0 for v in nodes}
+        for s, d in edges:
+            sums[d] += cash[s] // outdeg[s]
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = {v: sums[v] + root // n for v in nodes}
+    return {v: (cash[v], hist[v]) for v in nodes}
+
+
+# ---------------------------------------------------------------------------
+# Spam mass — Gyöngyi/Berkhin/Garcia-Molina/Pedersen, "Link Spam Detection
+# Based on Mass Estimation" (VLDB'06): the fraction of a page's PageRank
+# that does NOT come from trusted neighborhoods. With p = PageRank (uniform
+# teleport) and p' = TrustRank (teleport restricted to a vetted seed set),
+# the relative spam mass is (p − k·p')/p where k rescales the seed-only
+# teleport to PageRank's total teleport mass (k = n div n_seeds). High
+# mass ⇒ the page's rank is manufactured by untrusted link structure —
+# the demotion signal the frontier priority consumes alongside trust
+# itself. Exact int64 end-to-end: both ladders are the fixed-point
+# kernels above, k is an integer, and the percentage is floor-div.
+# ---------------------------------------------------------------------------
+
+
+def spam_mass_int(
+    edges: DataFrame,
+    seeds: DataFrame | list[int],
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """(node, rank, trust_scaled, spam_mass_pct).
+
+    ``spam_mass_pct = 100·max(rank − k·trust, 0) div rank`` with
+    ``k = n_nodes div n_seeds`` (rank ≥ teleport base > 0 for every node,
+    so the division is total). Composes :func:`pagerank_int` and
+    :func:`trustrank_int` — each ladder's scale shape is documented on it;
+    the composition adds one node-sized join.
+
+    Overflow: per-node trust ≤ n_seeds·scale (total trust mass bound), so
+    k·trust ≤ n_nodes·scale — inside the PageRank guard already asserted
+    by the ladders.
+    """
+    spark = edges.sparkSession
+    if isinstance(seeds, list):
+        seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "node bigint")
+    else:
+        seeds_df = seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+    seeds_df = seeds_df.distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    n_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seeds_df)
+        .distinct()
+        .count()
+    )
+    n_seeds = seeds_df.count()
+    if n_seeds == 0:
+        raise ValueError("spam_mass_int needs a non-empty seed set")
+    k = n_nodes // n_seeds
+    pr = pagerank_int(
+        e, iterations=iterations, damping_pct=damping_pct, scale=scale
+    )
+    tr = trustrank_int(
+        e,
+        seeds_df,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        scale=scale,
+    )
+    return pr.join(tr, "node").select(
+        "node",
+        "rank",
+        (F.lit(k) * F.col("trust")).cast("long").alias("trust_scaled"),
+        F.expr(f"(100 * greatest(rank - {k} * trust, 0L)) div rank")
+        .cast("long")
+        .alias("spam_mass_pct"),
+    )
+
+
+def spam_mass_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> str:
+    """The SAME composition for the DuckDB oracle (ladder CTE chains embedded
+    as subqueries; k computed from the same node/seed counts)."""
+    pr = pagerank_sql(
+        edges_sql, iterations=iterations, damping_pct=damping_pct, scale=scale
+    )
+    tr = trustrank_sql(
+        edges_sql,
+        seeds_sql,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        scale=scale,
+    )
+    return f"""\
+WITH _sm_pr AS ({pr}),
+_sm_tr AS ({tr}),
+_sm_e AS (SELECT src, dst FROM ({edges_sql})),
+_sm_k AS (SELECT (SELECT COUNT(*) FROM (
+            SELECT src AS node FROM _sm_e
+            UNION SELECT dst AS node FROM _sm_e
+            UNION SELECT node FROM ({seeds_sql}))) //
+          (SELECT COUNT(DISTINCT node) FROM ({seeds_sql})) AS k)
+SELECT p.node, p.rank,
+       CAST(k.k * t.trust AS BIGINT) AS trust_scaled,
+       CAST((100 * GREATEST(p.rank - k.k * t.trust, 0)) // p.rank AS BIGINT)
+         AS spam_mass_pct
+FROM _sm_pr p JOIN _sm_tr t ON t.node = p.node, _sm_k k"""

@@ -249,3 +249,148 @@ def test_link_reciprocity_semantics(spark):
     assert got["b.test"] == (1, 1, 100)
     assert got["c.test"] == (1, 0, 0)
     assert "d.test" not in got  # no out-edges, no row
+
+
+# ---------------------------------------------------------------------------
+# OPIC
+# ---------------------------------------------------------------------------
+
+
+def _spark_opic(spark, edges, **kw):
+    from scrape_spark.operators.webrank import opic_int
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["cash"], r["hist"])
+        for r in opic_int(df, **kw).collect()
+    }
+
+
+def test_opic_matches_python_spec_with_dangling(spark):
+    from scrape_spark.operators.webrank import opic_py
+
+    # 3 and 4 are dangling: their cash must route through the virtual root
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (1, 0)]
+    got = _spark_opic(spark, edges, iterations=4)
+    assert got == opic_py(edges, iterations=4)
+
+
+def test_opic_random_graphs_match_python_spec(spark):
+    from scrape_spark.operators.webrank import opic_py
+    import random
+
+    rng = random.Random(23)
+    for n, m in [(10, 18), (30, 55)]:
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        got = _spark_opic(spark, edges, iterations=3)
+        assert got == opic_py(edges, iterations=3)
+
+
+def test_opic_duckdb_chain_matches_python_spec():
+    from scrape_spark.operators.webrank import opic_py, opic_sql
+    import random
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(35)]
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = opic_sql(
+        f"SELECT CAST(s AS BIGINT) AS src, CAST(d AS BIGINT) AS dst "
+        f"FROM (VALUES {vals}) t(s, d)",
+        iterations=3,
+    )
+    got = {
+        n: (c, h) for n, c, h in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == opic_py(edges, iterations=3)
+
+
+def test_opic_mass_conserved_within_truncation(spark):
+    # floor division only LOSES mass: total cash never exceeds n*scale,
+    # and with the root forwarding every round it stays close to it
+    from scrape_spark.operators.webrank import opic_py
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]  # 3 dangling
+    res = opic_py(edges, iterations=5)
+    total = sum(c for c, _ in res.values())
+    n = 4
+    assert total <= n * SCALE
+    assert total >= n * SCALE - 5 * n * 10  # tiny truncation loss only
+
+
+def test_opic_hist_is_priority_signal(spark):
+    # everyone links to 0: its accumulated history dominates
+    from scrape_spark.operators.webrank import opic_py
+
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1)]
+    res = opic_py(edges, iterations=4)
+    hist = {v: h for v, (_, h) in res.items()}
+    assert max(hist, key=hist.get) == 0
+
+
+def test_opic_guards(spark):
+    from scrape_spark.operators.webrank import opic_int
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with pytest.raises(ValueError, match="overflows int64"):
+        opic_int(df, scale=2**61)
+    with pytest.raises(ValueError, match="iterations"):
+        opic_int(df, iterations=0)
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty"):
+        opic_int(empty)
+
+
+# ---------------------------------------------------------------------------
+# Spam mass
+# ---------------------------------------------------------------------------
+
+
+def test_spam_mass_separates_farm_from_trusted(spark):
+    from scrape_spark.operators.webrank import spam_mass_int
+
+    # trusted core: 0 <-> 1; spam farm: 10..13 all link to 9 (the boosted
+    # target), farm is unreachable from the seed
+    edges = [(0, 1), (1, 0)] + [(i, 9) for i in (10, 11, 12, 13)] + [
+        (9, 10), (9, 11),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = {
+        r["node"]: r["spam_mass_pct"]
+        for r in spam_mass_int(df, seeds=[0], iterations=3).collect()
+    }
+    assert res[9] == 100  # zero trust reaches the farm target
+    assert res[0] < 50 and res[1] < 100  # the trusted pair keeps low mass
+
+
+def test_spam_mass_duckdb_matches_spark(spark):
+    from scrape_spark.operators.webrank import spam_mass_int, spam_mass_sql
+    import random
+
+    rng = random.Random(41)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(30)]
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    edges_sql = (
+        f"SELECT CAST(s AS BIGINT) AS src, CAST(d AS BIGINT) AS dst "
+        f"FROM (VALUES {vals}) t(s, d)"
+    )
+    seeds_sql = "SELECT CAST(0 AS BIGINT) AS node UNION ALL SELECT 3"
+    want = {
+        n: (r, ts, sm)
+        for n, r, ts, sm in duckdb.connect()
+        .execute(spam_mass_sql(edges_sql, seeds_sql, iterations=3))
+        .fetchall()
+    }
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["rank"], r["trust_scaled"], r["spam_mass_pct"])
+        for r in spam_mass_int(df, seeds=[0, 3], iterations=3).collect()
+    }
+    assert got == want
+
+
+def test_spam_mass_guard_empty_seeds(spark):
+    from scrape_spark.operators.webrank import spam_mass_int
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty seed"):
+        spam_mass_int(df, seeds=[])
