@@ -2550,6 +2550,44 @@ def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocate_host_budget(counts, budget=_BUDGET)
 
 
+# -- crawl scheduling: error-driven per-host exponential backoff ---------------
+# Fetch-outcome log forged from documents: per-host status sequences mix
+# successes, 5xx storms, and NULL transport failures so every streak shape
+# (recovered / trailing / never-succeeded / capped) appears; the delays dim
+# covers present and missing hosts.
+_BACKOFF_OUTCOMES_SQL = """\
+SELECT 'h' || CAST(doc_id % 12 AS STRING) AS host,
+       CAST(doc_id AS BIGINT) AS fetch_ts,
+       CASE WHEN doc_id % 31 = 0 THEN CAST(NULL AS INT)
+            WHEN doc_id % 5 >= 3 THEN 503
+            WHEN doc_id % 7 = 2 THEN 429
+            ELSE 200 END AS status
+FROM documents"""
+_BACKOFF_DELAYS_SQL = """\
+SELECT DISTINCT 'h' || CAST(doc_id % 12 AS STRING) AS host,
+       CAST(doc_id % 12 % 4 + 1 AS BIGINT) AS crawl_delay
+FROM documents WHERE doc_id % 12 < 9"""
+
+
+def _host_backoff_oracle() -> str:
+    from scrape_spark.operators.politeness import host_backoff_sql
+
+    return host_backoff_sql(_BACKOFF_OUTCOMES_SQL, _BACKOFF_DELAYS_SQL)
+
+
+@_q("host_backoff", _host_backoff_oracle())
+def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5xx/429 exponential backoff per host: consecutive-error streak since
+    the last success → capped 2^streak multiplier → effective crawl delay
+    (plugs into host_quota_expr in place of the raw robots delay)."""
+    from scrape_spark.operators.politeness import host_backoff
+
+    _view(spark, sf_dir, "documents")
+    return host_backoff(
+        spark.sql(_BACKOFF_OUTCOMES_SQL), delays=spark.sql(_BACKOFF_DELAYS_SQL)
+    )
+
+
 # -- lexical retrieval: BM25 top-k + inverted postings -------------------------
 # The literal-query path (two map passes + one scalar agg, no index) is the
 # oracled one; the postings/index path is pinned result-identical in

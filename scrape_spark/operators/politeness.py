@@ -234,3 +234,128 @@ def allocate_host_budget(
         "pending",
         F.least(alloc, F.col("pending")).cast("long").alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-driven per-host backoff — the 5xx/429 half of politeness.
+#
+# crawl_delay (robots) bounds how fast a host ALLOWS fetching; a production
+# crawler also slows down when a host starts FAILING (503 storms, rate-limit
+# 429s, origin outages) — exponential backoff per consecutive-error streak,
+# reset by the first success (the AIMD shape every serious fetcher uses;
+# the reference retries blindly on its fixed sleep, scraper.py:28-36).
+# The streak is computed from the fetch-outcome log the crawl already
+# writes, and the multiplier plugs into the same scheduling arithmetic
+# as crawl_delay: callers hand `effective_delay` to `host_quota_expr` /
+# `assign_fetch_slots` in place of the raw robots delay.
+# ---------------------------------------------------------------------------
+
+
+def host_backoff(
+    outcomes: DataFrame,
+    delays: DataFrame | None = None,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    status_col: str = "status",
+    ok_max_status: int = 399,
+    max_exp: int = 6,
+) -> DataFrame:
+    """(host, last_ok_ts, err_streak, backoff_mult[, effective_delay]).
+
+    - ``err_streak``: fetches with status > ``ok_max_status`` (or NULL
+      status — a transport failure never got one) strictly AFTER the
+      host's last success; all of them when the host never succeeded.
+    - ``backoff_mult = 2^min(err_streak, max_exp)`` — capped exponential
+      (default cap 64×), 1 when the last fetch succeeded.
+    - with ``delays`` (host, crawl_delay): ``effective_delay =
+      crawl_delay * backoff_mult`` (missing hosts keep delay 0 — backoff
+      still applies via the multiplier column).
+
+    Scale shape: one host-keyed map-side-combined agg for ``last_ok``,
+    one host-keyed join back, one host-keyed agg — all three exchanges
+    share the key, so Spark reuses the partitioning; the ``delays`` dim
+    is host-sized and broadcast. Exact int64 throughout (streaks, shifts)
+    — the DuckDB oracle (:func:`host_backoff_sql`) replays it verbatim.
+    """
+    h = F.col(host_col)
+    ok = F.col(status_col).isNotNull() & (
+        F.col(status_col) <= F.lit(ok_max_status)
+    )
+    last_ok = outcomes.groupBy(h.alias("host")).agg(
+        F.max(F.when(ok, F.col(ts_col))).alias("last_ok_ts")
+    )
+    joined = outcomes.select(
+        h.alias("host"), F.col(ts_col).alias("_ts"), F.col(status_col).alias("_st")
+    ).join(last_ok, "host")
+    streaks = joined.groupBy("host").agg(
+        F.first("last_ok_ts").alias("last_ok_ts"),
+        F.sum(
+            F.when(
+                (
+                    F.col("_st").isNull()
+                    | (F.col("_st") > F.lit(ok_max_status))
+                )
+                & (
+                    F.col("last_ok_ts").isNull()
+                    | (F.col("_ts") > F.col("last_ok_ts"))
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("err_streak"),
+    )
+    out = streaks.withColumn(
+        "backoff_mult",
+        F.expr(
+            f"CAST(shiftleft(1L, CAST(least(err_streak, {int(max_exp)})"
+            f" AS INT)) AS BIGINT)"
+        ),
+    )
+    if delays is not None:
+        dim = delays.select(
+            F.col(host_col).alias("host"),
+            F.col("crawl_delay").cast("long").alias("_cd"),
+        )
+        out = out.join(F.broadcast(dim), "host", "left").withColumn(
+            "effective_delay",
+            (F.coalesce(F.col("_cd"), F.lit(0)) * F.col("backoff_mult"))
+            .cast("long"),
+        ).drop("_cd")
+    return out
+
+
+def host_backoff_sql(
+    outcomes_sql: str,
+    delays_sql: str | None = None,
+    ok_max_status: int = 399,
+    max_exp: int = 6,
+) -> str:
+    """The SAME backoff fold for the DuckDB oracle.
+
+    ``outcomes_sql`` yields (host, fetch_ts, status); ``delays_sql``
+    (host, crawl_delay) when given.
+    """
+    core = f"""\
+_bk_o AS ({outcomes_sql}),
+_bk_last AS (SELECT host,
+               MAX(CASE WHEN status IS NOT NULL AND status <= {ok_max_status}
+                        THEN fetch_ts END) AS last_ok_ts
+             FROM _bk_o GROUP BY host),
+_bk_s AS (SELECT o.host, ANY_VALUE(l.last_ok_ts) AS last_ok_ts,
+            CAST(SUM(CASE WHEN (o.status IS NULL OR o.status > {ok_max_status})
+                        AND (l.last_ok_ts IS NULL OR o.fetch_ts > l.last_ok_ts)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS err_streak
+          FROM _bk_o o JOIN _bk_last l USING (host) GROUP BY o.host),
+_bk_m AS (SELECT host, last_ok_ts, err_streak,
+            CAST(1 << LEAST(err_streak, {max_exp}) AS BIGINT) AS backoff_mult
+          FROM _bk_s)"""
+    if delays_sql is None:
+        return f"WITH {core}\nSELECT * FROM _bk_m"
+    return f"""\
+WITH {core},
+_bk_d AS ({delays_sql})
+SELECT m.host, m.last_ok_ts, m.err_streak, m.backoff_mult,
+       CAST(COALESCE(d.crawl_delay, 0) * m.backoff_mult AS BIGINT)
+         AS effective_delay
+FROM _bk_m m LEFT JOIN _bk_d d USING (host)"""

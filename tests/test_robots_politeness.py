@@ -277,3 +277,115 @@ def test_rep_wildcard_fuzz_three_way(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# host_backoff — error-driven exponential backoff
+# ---------------------------------------------------------------------------
+
+
+def _backoff_fixture():
+    # (host, fetch_ts, status): every shape —
+    #  a: errors then recovery (streak 0)
+    #  b: success then 3 trailing errors (streak 3)
+    #  c: never succeeded, incl. a NULL transport failure (streak 3)
+    #  d: all ok (streak 0)
+    #  e: 9 trailing errors (streak 9 -> mult capped at 2^6)
+    rows = [
+        ("a", 1, 503), ("a", 2, 500), ("a", 3, 200),
+        ("b", 1, 200), ("b", 2, 503), ("b", 3, 429), ("b", 4, None),
+        ("c", 1, 503), ("c", 2, None), ("c", 3, 500),
+        ("d", 1, 200), ("d", 2, 301),
+    ] + [("e", t, 200 if t == 0 else 503) for t in range(10)]
+    return rows
+
+
+def _backoff_py(rows, ok_max=399, max_exp=6):
+    want = {}
+    hosts = {h for h, _, _ in rows}
+    for h in hosts:
+        mine = [(t, s) for hh, t, s in rows if hh == h]
+        oks = [t for t, s in mine if s is not None and s <= ok_max]
+        last_ok = max(oks) if oks else None
+        streak = sum(
+            1
+            for t, s in mine
+            if (s is None or s > ok_max) and (last_ok is None or t > last_ok)
+        )
+        want[h] = (last_ok, streak, 1 << min(streak, max_exp))
+    return want
+
+
+def test_host_backoff_matches_python_spec(spark):
+    from scrape_spark.operators.politeness import host_backoff
+
+    rows = _backoff_fixture()
+    df = spark.createDataFrame(rows, "host string, fetch_ts long, status int")
+    got = {
+        r["host"]: (r["last_ok_ts"], r["err_streak"], r["backoff_mult"])
+        for r in host_backoff(df).collect()
+    }
+    assert got == _backoff_py(rows)
+    assert got["e"][2] == 64  # capped at 2^6 despite streak 9
+
+
+def test_host_backoff_duckdb_parity_with_delays(spark):
+    import duckdb
+
+    from scrape_spark.operators.politeness import host_backoff, host_backoff_sql
+
+    rows = _backoff_fixture()
+    vals = ", ".join(
+        f"('{h}', {t}, {'NULL' if s is None else s})" for h, t, s in rows
+    )
+    outcomes_sql = (
+        f"SELECT host, CAST(fetch_ts AS BIGINT) AS fetch_ts,"
+        f" CAST(status AS INT) AS status"
+        f" FROM (VALUES {vals}) t(host, fetch_ts, status)"
+    )
+    delays_sql = (
+        "SELECT host, CAST(d AS BIGINT) AS crawl_delay FROM (VALUES"
+        " ('a', 2), ('b', 5), ('e', 1)) t(host, d)"
+    )
+    want = {
+        r[0]: r[1:]
+        for r in duckdb.connect()
+        .execute(host_backoff_sql(outcomes_sql, delays_sql))
+        .fetchall()
+    }
+    df = spark.createDataFrame(rows, "host string, fetch_ts long, status int")
+    delays = spark.createDataFrame(
+        [("a", 2), ("b", 5), ("e", 1)], "host string, crawl_delay long"
+    )
+    got = {
+        r["host"]: (
+            r["last_ok_ts"],
+            r["err_streak"],
+            r["backoff_mult"],
+            r["effective_delay"],
+        )
+        for r in host_backoff(df, delays=delays).collect()
+    }
+    assert got == want
+    assert got["c"][3] == 0  # host without a delay row: delay 0, mult intact
+    assert got["b"][3] == 5 * 8  # delay 5 x 2^3
+
+
+def test_host_backoff_feeds_quota_expr(spark):
+    # the integration contract: effective_delay slots into host_quota_expr
+    from scrape_spark.operators.politeness import (
+        host_backoff,
+        host_quota_expr,
+    )
+
+    rows = _backoff_fixture()
+    df = spark.createDataFrame(rows, "host string, fetch_ts long, status int")
+    delays = spark.createDataFrame(
+        [("b", 5), ("d", 5)], "host string, crawl_delay long"
+    )
+    out = host_backoff(df, delays=delays).withColumn(
+        "quota", host_quota_expr(F.col("effective_delay"), round_seconds=60)
+    )
+    q = {r["host"]: r["quota"] for r in out.collect()}
+    assert q["d"] == 12  # healthy host: floor(60/5)
+    assert q["b"] == 1  # 5s delay backed off 8x -> 40s -> one fetch/round
