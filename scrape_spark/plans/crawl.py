@@ -348,6 +348,25 @@ class CrawlJob:
         ``[sitemap_url, entry_pos]`` to keep document order).
         """
         self._ensure_reconciled()
+        norm, order = self._norm_seed_frame(seeds, order_cols, dedup)
+        seqd = assign_global_seq(norm, order, seq_col="seq").select(
+            "url", "method", "payload", "referrer", "seq"
+        )
+        proj = self._seed_projection(seqd).persist(StorageLevel.MEMORY_AND_DISK)
+        n = proj.count()  # one job; seeding is a once-per-crawl admin cost
+        try:
+            self._finish_seed(proj, n=n)
+        finally:
+            proj.unpersist()
+        return n
+
+    @staticmethod
+    def _norm_seed_frame(
+        seeds: DataFrame, order_cols: list | None, dedup: bool
+    ) -> tuple[DataFrame, list]:
+        """Shared normalization for the DataFrame ingest paths (seed_frame /
+        enqueue_frame): default method/payload/referrer like the list path,
+        keep caller order columns, first-occurrence dedup per url."""
         cols = set(seeds.columns)
         norm = seeds.select(
             F.col("url"),
@@ -376,16 +395,72 @@ class CrawlJob:
                 .where(F.col("_first") == 1)
                 .drop("_first")
             )
-        seqd = assign_global_seq(norm, order, seq_col="seq").select(
-            "url", "method", "payload", "referrer", "seq"
-        )
+        return norm, order
+
+    def enqueue_frame(
+        self,
+        links: DataFrame,
+        order_cols: list | None = None,
+        dedup: bool = True,
+    ) -> int:
+        """Distributed incremental enqueue into an EXISTING frontier — the
+        continuous-ingest path (streaming ``foreachBatch`` micro-batches,
+        bulk sitemap refreshes, out-of-band discovery feeds).
+
+        ``seed_frame`` writes a fresh BASE (a new crawl); this appends a
+        DELTA to a live one: batch-normalize + within-batch dedup (shared
+        ``_norm_seed_frame``), exact anti-join against the seen set (so a
+        REPLAYED micro-batch — foreachBatch's at-least-once contract — is
+        an idempotent no-op), seq continuation from the metadata counter,
+        then the same two-step (frontier delta, seen ref) durable commit
+        pair as the crawl round, stamped ``src_snap`` so a crash between
+        the steps is repaired on resume (``_reconcile_seen_refs``).
+        Returns the number of rows actually enqueued.
+
+        Scale shape: O(batch + new) — one anti-join against the seen set
+        (bloom-pruned, broadcast below the probe limit), one range-ranked
+        seq assignment over the batch, one delta write sized to the batch.
+        The frontier itself is never rewritten.
+        """
+        self._ensure_reconciled()
+        norm, order = self._norm_seed_frame(links, order_cols, dedup)
+        new = self.seen.filter_new(norm, url_col="url")
+        meta0 = self._meta()
+        next_seq = self._next_seq(meta0)
+        seqd = assign_global_seq(
+            new, order, start=next_seq, seq_col="seq"
+        ).select("url", "method", "payload", "referrer", "seq")
         proj = self._seed_projection(seqd).persist(StorageLevel.MEMORY_AND_DISK)
-        n = proj.count()  # one job; seeding is a once-per-crawl admin cost
         try:
-            self._finish_seed(proj, n=n)
+            n = proj.count()
+            if n == 0:
+                return 0
+            m = self._carry_meta("enqueue")
+            m["next_seq"] = next_seq + n
+            m["new_urls"] = n
+            if meta0.get("pending") is not None:
+                m["pending"] = meta0["pending"] + n
+            sid = self.store.write(
+                "frontier",
+                proj.select(*FRONTIER_COLS),
+                coalesce=SnapshotStore.partitions_for(n),
+                meta=m,
+            )
+            snap = self.store.current_snapshot("frontier")
+            self.seen.add_ref(
+                snap["path"], n_rows=n, meta={"round": -1, "src_snap": sid}
+            )
+            # new hosts may lack robots rows; same invariant as seeding
+            robots = self._robots()
+            hosts = proj.select("host")
+            if not stale_hosts(robots, hosts, self.user_agent).isEmpty():
+                self._refresh_robots_write(robots, hosts, round_idx=-1)
+            else:
+                self._bump_robots_watermark()
+            self._drop_pending_cache()
+            return n
         finally:
             proj.unpersist()
-        return n
 
     def _seed_projection(self, seeds: DataFrame) -> DataFrame:
         """(url, method, payload, referrer, seq) → full frontier row shape."""
@@ -674,11 +749,12 @@ class CrawlJob:
         # carries no marker (remove(), truncate) must not make a completed
         # pair look crashed — re-registering the ref would silently resurrect
         # the just-removed URLs into the seen set
-        if f["meta"].get("event") == "cli_seed":
-            # the CLI's existing-store append is the same two-step pair
-            # (frontier 'cli_seed' delta, then seen.add_ref stamped with the
-            # delta's snapshot id) — a crash between them resumes with the
-            # appended URL missing from the seen set; re-register the ref.
+        if f["meta"].get("event") in ("cli_seed", "enqueue"):
+            # the CLI's existing-store append and the distributed
+            # enqueue_frame path are the same two-step pair (frontier delta,
+            # then seen.add_ref stamped with the delta's snapshot id) — a
+            # crash between them resumes with the appended URLs missing from
+            # the seen set; re-register the ref.
             # src_snap survives seen compaction (_compact carries base_meta),
             # so an already-completed pair is never double-added.
             marker = any(m.get("src_snap") == f["id"] for m in metas)

@@ -143,3 +143,45 @@ def politeness_slot_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enqueue_stream(
+    links: DataFrame,
+    job,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    time_col: str = "discovered_at",
+    available_now: bool = True,
+):
+    """Continuous frontier ingest: discovered-link stream → live CrawlJob.
+
+    The two-tier dedup contract of this module made durable: the streaming
+    tier (`dedup_link_stream`) bounds in-flight duplicate state by the
+    watermark; the batch tier inside ``CrawlJob.enqueue_frame`` — an exact
+    URL anti-join against the seen table plus the (frontier delta, seen ref)
+    commit pair — makes every micro-batch idempotent, so foreachBatch's
+    at-least-once replay and cross-window duplicates both collapse to
+    no-ops. The checkpoint gives the stream its own resume point; the
+    snapshot store gives the frontier its own — a crash between the two
+    replays the batch, which the anti-join absorbs.
+
+    Returns the started StreamingQuery (caller awaits/stops). Batch order
+    inside a micro-batch is pinned (``time_col``, url) so seq assignment
+    is deterministic per batch.
+    """
+    deduped = dedup_link_stream(links, watermark=watermark, time_col=time_col)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [c for c in ("url", "referrer") if c in batch_df.columns]
+        job.enqueue_frame(
+            batch_df.select(*cols, F.col(time_col)),
+            order_cols=[time_col, "url"],
+        )
+
+    writer = (
+        deduped.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

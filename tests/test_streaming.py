@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from scrape_spark.streaming.frontier_stream import (
     dedup_link_stream,
     fetch_metrics_stream,
@@ -209,3 +211,175 @@ def test_rate_source_e2e_dedup_then_politeness(spark, tmp_path):
         slots = sorted(by_host[host])
         for a, b in zip(slots, slots[1:]):
             assert (b - a).total_seconds() >= delay, (host, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Continuous ingest: discovered-link stream -> live frontier (foreachBatch)
+# ---------------------------------------------------------------------------
+
+
+def _ingest_job(spark, root):
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.sources.webgraph import (
+        generate_pages,
+        robots_source_df,
+        seed_urls,
+    )
+
+    pages = generate_pages(spark, 2, 10, 2, mega_host=None)
+    job = CrawlJob(
+        spark,
+        SnapshotStore(spark, root),
+        pages,
+        robots_source_df(spark, 2, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+        bucket_capacity=1 << 12,
+    )
+    job.seed(seed_urls(2))
+    return job
+
+
+def _link_rows(spark, urls, t0=1700000000):
+    return spark.createDataFrame(
+        [
+            (u, None, f"anchor{i}", i, i)
+            for i, u in enumerate(urls)
+        ],
+        "url string, referrer string, anchor_text string, link_pos int,"
+        " _off long",
+    ).select(
+        "url",
+        "referrer",
+        "anchor_text",
+        "link_pos",
+        F.timestamp_seconds(F.lit(t0) + F.col("_off")).alias("discovered_at"),
+    )
+
+
+def test_enqueue_stream_appends_new_urls_once(spark, tmp_path):
+    from scrape_spark.streaming.frontier_stream import enqueue_stream
+
+    job = _ingest_job(spark, str(tmp_path / "store"))
+    seeded = {r["url"] for r in job.frontier().select("url").collect()}
+
+    src_dir = str(tmp_path / "links")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = _link_rows(
+        spark,
+        ["http://ext.test/a", "http://ext.test/b", "http://ext.test/a"],
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(src_dir)
+    q = enqueue_stream(stream, job, ckpt)
+    q.awaitTermination(120)
+
+    rows = {
+        r["url"]: (r["status"], r["seq"])
+        for r in job.frontier().select("url", "status", "seq").collect()
+    }
+    assert set(rows) == seeded | {"http://ext.test/a", "http://ext.test/b"}
+    assert rows["http://ext.test/a"][0] == "pending"
+    # in-batch duplicate collapsed; seqs continue past the seed range
+    assert rows["http://ext.test/a"][1] != rows["http://ext.test/b"][1]
+
+    # second delivery: one replayed url + one genuinely new -> only the new
+    # one lands (seen anti-join makes replays idempotent)
+    batch2 = _link_rows(
+        spark, ["http://ext.test/a", "http://ext.test/c"], t0=1700001000
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = enqueue_stream(
+        spark.readStream.schema(batch1.schema).parquet(src_dir), job, ckpt
+    )
+    q2.awaitTermination(120)
+
+    after = {
+        r["url"] for r in job.frontier().select("url").collect()
+    }
+    assert after == set(rows) | {"http://ext.test/c"}
+    n_a = (
+        job.frontier().where(F.col("url") == "http://ext.test/a").count()
+    )
+    assert n_a == 1  # replay did NOT duplicate the frontier row
+
+
+def test_enqueued_urls_are_crawled_by_next_rounds(spark, tmp_path):
+    # the enqueue path feeds the SAME drive loop: a streamed-in URL that
+    # exists in the pages table gets fetched on the next run()
+    from scrape_spark.streaming.frontier_stream import enqueue_stream
+
+    job = _ingest_job(spark, str(tmp_path / "store"))
+    job.run(max_rounds=1)
+
+    # host1's root page re-discovered via the stream under a fresh path:
+    # pick a real page url not yet in the frontier
+    pages_urls = [
+        r["url"] for r in job.pages.select("url").limit(50).collect()
+    ]
+    fresh = [
+        u
+        for u in pages_urls
+        if job.frontier().where(F.col("url") == u).count() == 0
+    ]
+    if not fresh:  # tiny graphs may have everything enqueued already
+        return
+    target = fresh[0]
+
+    src_dir = str(tmp_path / "links2")
+    _link_rows(spark, [target]).coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+    q = enqueue_stream(
+        spark.readStream.schema(_link_rows(spark, [target]).schema).parquet(
+            src_dir
+        ),
+        job,
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+
+    job.run()
+    row = job.frontier().where(F.col("url") == target).collect()
+    assert len(row) == 1 and row[0]["status"] in ("done", "error", "blocked")
+
+
+def test_enqueue_frame_crash_between_steps_is_repaired(spark, tmp_path):
+    # simulate a crash AFTER the frontier enqueue delta but BEFORE the seen
+    # ref lands: a fresh job must repair the pair on resume, so the URL is
+    # in the seen set and a replayed enqueue is a no-op
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.sources.webgraph import (
+        generate_pages,
+        robots_source_df,
+    )
+
+    root = str(tmp_path / "store")
+    job = _ingest_job(spark, root)
+
+    # crash window: monkeypatch add_ref to a no-op for ONE call
+    real_add_ref = job.seen.add_ref
+    job.seen.add_ref = lambda *a, **k: None
+    n = job.enqueue_frame(_link_rows(spark, ["http://ext.test/x"]))
+    assert n == 1
+    job.seen.add_ref = real_add_ref
+
+    # fresh process over the same store
+    pages = generate_pages(spark, 2, 10, 2, mega_host=None)
+    j2 = CrawlJob(
+        spark,
+        SnapshotStore(spark, root),
+        pages,
+        robots_source_df(spark, 2, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+        bucket_capacity=1 << 12,
+    )
+    n2 = j2.enqueue_frame(_link_rows(spark, ["http://ext.test/x"]))
+    assert n2 == 0  # repair registered the ref; replay is a no-op
+    assert (
+        j2.frontier().where(F.col("url") == "http://ext.test/x").count() == 1
+    )
