@@ -692,6 +692,51 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training-data: unicode-script mix (pre-lang-ID routing signal) -----------
+# The synthetic corpus is ASCII, so the fixture grafts deterministic
+# Cyrillic / CJK / Arabic / Hangul material per doc_id class — including a
+# mixed-script row (Cyrillic prefix on Latin text) and an empty row ('und').
+_SCRIPT_FIXTURE_SQL = """\
+SELECT doc_id,
+  CASE WHEN doc_id % 6 = 0 THEN text
+       WHEN doc_id % 6 = 1 THEN 'это тестовая страница на русском языке для проверки '
+       WHEN doc_id % 6 = 2 THEN '这是一个用于测试的中文页面内容文字样本'
+       WHEN doc_id % 6 = 3 THEN 'هذه صفحة اختبار باللغة العربية للتحقق من النظام'
+       WHEN doc_id % 6 = 4 THEN '한국어 테스트 페이지입니다 ' || text
+       ELSE '' END AS t
+FROM documents"""
+
+
+def _script_mix_oracle() -> str:
+    cols = ",\n  ".join(
+        f"cc[{i + 1}] AS {lb}_chars" for i, lb in enumerate(ts.SCRIPT_LABELS)
+    )
+    return f"""WITH sm AS ({_SCRIPT_FIXTURE_SQL}),
+c AS (SELECT doc_id, {ts.script_counts_sql('t', _DD)} AS cc FROM sm)
+SELECT doc_id,
+  {cols},
+  {ts.main_script_sql('cc', _DD)} AS main_script
+FROM c"""
+
+
+@_q("script_mix", _script_mix_oracle())
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document writing-system mix: per-script char counts over the
+    scan prefix + dominant-script label (what lang-ID needs routed first)."""
+    _view(spark, sf_dir, "documents")
+    base = spark.sql(_SCRIPT_FIXTURE_SQL).withColumn(
+        "cc", ts.script_counts("t")
+    )
+    return base.select(
+        "doc_id",
+        *[
+            F.element_at("cc", i + 1).alias(f"{lb}_chars")
+            for i, lb in enumerate(ts.SCRIPT_LABELS)
+        ],
+        ts.main_script("cc").alias("main_script"),
+    )
+
+
 # -- training-data: embedding cosine near-dup pairs ---------------------------
 @_q(
     "embedding_cosine_pairs",

@@ -67,6 +67,7 @@ SPARK_DIALECT = {
     "empty_str_array": "CAST(array() AS array<string>)",
     "aflatten": "flatten({arr})",
     "acontains": "array_contains({arr}, {x})",
+    "apos": "array_position({arr}, {x})",  # 1-based first occurrence
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -92,6 +93,7 @@ DUCK_DIALECT = {
     "empty_str_array": "CAST([] AS VARCHAR[])",
     "aflatten": "flatten({arr})",
     "acontains": "list_contains({arr}, {x})",
+    "apos": "list_position({arr}, {x})",
 }
 
 
@@ -438,3 +440,79 @@ def quality_score(text_col: str) -> Column:
 
 def lang_pred(text_col: str) -> Column:
     return F.expr(lang_pred_sql(text_col))
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script mix — the "what writing system is this page actually in"
+# signal a webtext curation pass needs BEFORE n-gram lang-ID is meaningful
+# (LANG_MARKERS assumes the script is already known; CJK/Cyrillic/Arabic
+# pages match zero Latin markers and would all collapse into 'und').
+# Per-character codepoint-range classification over a capped prefix, pure
+# dialect-templated int64 — one array bind per document, zero Python.
+# ---------------------------------------------------------------------------
+
+SCRIPT_SCAN_CHARS = 2000  # prefix cap: script identity saturates fast
+
+#: label -> inclusive codepoint ranges; label ORDER is the argmax tie-break
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": ((65, 90), (97, 122), (0xC0, 0x24F)),
+    "cyrillic": ((0x400, 0x4FF),),
+    "greek": ((0x370, 0x3FF),),
+    "arabic": ((0x600, 0x6FF), (0x750, 0x77F)),
+    "cjk": ((0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF)),
+    "hangul": ((0x1100, 0x11FF), (0xAC00, 0xD7AF)),
+    "digit": ((48, 57),),
+}
+SCRIPT_LABELS = list(SCRIPT_RANGES)
+
+
+def script_counts_sql(text: str, d: dict, cap: int = SCRIPT_SCAN_CHARS) -> str:
+    """array<bigint> of per-script char counts (SCRIPT_LABELS order) over
+    the first ``cap`` chars. The codepoint array is bound ONCE; each label
+    filters the bound array (k small passes over ≤cap ints, not k char
+    re-scans)."""
+    prefix = f"substr({text}, 1, {cap})"
+    codes = d["transform"].format(
+        arr=d["seq"].format(a="1", b=f"length({prefix})"),
+        lam="i -> CAST("
+        + d["chr"].format(x=f"substr({prefix}, i, 1)")
+        + " AS BIGINT)",
+    )
+    # seq(1, 0) is invalid on both engines — empty text yields no codes
+    codes = (
+        f"CASE WHEN length({text}) = 0 THEN "
+        + d["empty_bigint_array"]
+        + f" ELSE ({codes}) END"
+    )
+    counts = []
+    for ranges in SCRIPT_RANGES.values():
+        cond = " OR ".join(f"(c >= {lo} AND c <= {hi})" for lo, hi in ranges)
+        filt = d["filter"].format(arr="__sc", lam=f"c -> ({cond})")
+        counts.append(f"CAST({d['size'].format(arr=filt)} AS BIGINT)")
+    arr = (
+        f"array({', '.join(counts)})"
+        if d is SPARK_DIALECT
+        else f"[{', '.join(counts)}]"
+    )
+    return _bind(arr, "__sc", codes, d)
+
+
+def main_script_sql(counts_arr: str, d: dict) -> str:
+    """argmax label over a script-counts array expression; 'und' when all
+    zero. Ties break by SCRIPT_LABELS order (first max wins — both engines'
+    position functions return the first occurrence)."""
+    labels = ", ".join(f"'{lb}'" for lb in SCRIPT_LABELS)
+    labels_arr = f"array({labels})" if d is SPARK_DIALECT else f"[{labels}]"
+    mx = d["amax"].format(arr="__cc")
+    pos = d["apos"].format(arr="__cc", x=f"({mx})")
+    pick = d["at"].format(arr=labels_arr, i=f"CAST({pos} AS INT)")
+    expr = f"CASE WHEN ({mx}) IS NULL OR ({mx}) = 0 THEN 'und' ELSE {pick} END"
+    return _bind(expr, "__cc", counts_arr, d)
+
+
+def script_counts(text_col: str) -> Column:
+    return F.expr(script_counts_sql(text_col, SPARK_DIALECT))
+
+
+def main_script(counts_col: str) -> Column:
+    return F.expr(main_script_sql(counts_col, SPARK_DIALECT))

@@ -870,6 +870,7 @@ def opic_int(
     dst: str = "dst",
     iterations: int = 3,
     scale: int = SCALE,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """(node, cash, hist) after ``iterations`` synchronous OPIC rounds.
 
@@ -880,10 +881,19 @@ def opic_int(
     a broadcast 1-row frame — no driver action inside the loop, the whole
     ladder stays one lazy plan (same trick as ``hits_int``'s divisor).
 
+    **Warm start (the "adaptive" in Adaptive OPIC)**: pass ``init`` —
+    a prior (node, cash, hist) output — to CONTINUE the computation
+    instead of restarting: running k then m iterations through ``init``
+    is bit-identical to k+m straight (tested), so the crawl can persist
+    OPIC state in a snapshot table and advance it incrementally each
+    round. Nodes NEW since the init state (frontier growth) enter with
+    the paper's new-page rule: fresh cash = scale, empty history.
+
     Overflow bound: total circulating mass is conserved at ≤ n·scale
     (floor division only loses mass), so hist ≤ (iterations+1)·n·scale —
-    asserted against the real node count below. For a 10^10-node graph
-    pass ``scale=10**6``.
+    asserted against the real node count below (warm starts extend the
+    bound by the init hist's own magnitude; re-derive externally when
+    chaining many resumes). For a 10^10-node graph pass ``scale=10**6``.
 
     Simple-graph semantics: duplicate (src, dst) rows collapse, matching
     ``hits_int`` — outdeg counts DISTINCT outlinks.
@@ -920,12 +930,30 @@ def opic_int(
     ).persist()
     dangling = F.col("outdeg").isNull()
 
-    state = marked.select(
-        "node",
-        dangling,
-        F.lit(scale).cast("long").alias("cash"),
-        F.lit(0).cast("long").alias("hist"),
-    ).toDF("node", "_dang", "cash", "hist")
+    if init is not None:
+        prior = init.select(
+            F.col("node"),
+            F.col("cash").cast("long").alias("_ic"),
+            F.col("hist").cast("long").alias("_ih"),
+        )
+        state = (
+            marked.join(prior, "node", "left")
+            .select(
+                "node",
+                dangling.alias("_dang"),
+                F.coalesce(F.col("_ic"), F.lit(scale))
+                .cast("long")
+                .alias("cash"),
+                F.coalesce(F.col("_ih"), F.lit(0)).cast("long").alias("hist"),
+            )
+        )
+    else:
+        state = marked.select(
+            "node",
+            dangling,
+            F.lit(scale).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+        ).toDF("node", "_dang", "cash", "hist")
     root = state.agg(
         F.coalesce(F.sum(F.when(F.col("_dang"), F.col("cash"))), F.lit(0))
         .cast("long")
@@ -1012,10 +1040,11 @@ def opic_py(
     edges: list[tuple[int, int]],
     iterations: int = 3,
     scale: int = SCALE,
+    init: dict[int, tuple[int, int]] | None = None,
 ) -> dict[int, tuple[int, int]]:
     """Pure-Python executable spec of the same kernel (test oracle).
 
-    Returns node -> (cash, hist).
+    Returns node -> (cash, hist). ``init`` warm-starts like ``opic_int``.
     """
     edges = sorted(set(edges))
     outdeg: dict[int, int] = {}
@@ -1023,8 +1052,9 @@ def opic_py(
         outdeg[s] = outdeg.get(s, 0) + 1
     nodes = {s for s, _ in edges} | {d for _, d in edges}
     n = len(nodes)
-    cash = {v: scale for v in nodes}
-    hist = {v: 0 for v in nodes}
+    init = init or {}
+    cash = {v: init.get(v, (scale, 0))[0] for v in nodes}
+    hist = {v: init.get(v, (scale, 0))[1] for v in nodes}
     for _ in range(iterations):
         root = sum(c for v, c in cash.items() if v not in outdeg)
         sums = {v: 0 for v in nodes}

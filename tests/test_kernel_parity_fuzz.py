@@ -44,6 +44,7 @@ _KERNELS = {
     "tb": ts.top_bigram_cover_q4_sql,
     "sim": ts.simhash_sql,
     "mh0": lambda s, d: ts.minhash_sig_sql(s, d, 0),
+    "scm": lambda s, d: ts.main_script_sql(ts.script_counts_sql(s, d), d),
 }
 
 

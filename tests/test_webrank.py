@@ -394,3 +394,45 @@ def test_spam_mass_guard_empty_seeds(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="non-empty seed"):
         spam_mass_int(df, seeds=[])
+
+
+def test_opic_warm_start_equals_straight_run(spark):
+    # k iterations, then m more from the persisted state == k+m straight —
+    # the exactness that lets the crawl advance OPIC incrementally per round
+    from scrape_spark.operators.webrank import opic_int, opic_py
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (1, 0), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    straight = {
+        r["node"]: (r["cash"], r["hist"])
+        for r in opic_int(df, iterations=5).collect()
+    }
+    first = opic_int(df, iterations=2)
+    resumed = {
+        r["node"]: (r["cash"], r["hist"])
+        for r in opic_int(df, iterations=3, init=first).collect()
+    }
+    assert resumed == straight
+    # python spec agrees on the same split
+    py2 = opic_py(edges, iterations=2)
+    assert opic_py(edges, iterations=3, init=py2) == opic_py(
+        edges, iterations=5
+    )
+
+
+def test_opic_warm_start_new_nodes_get_fresh_cash(spark):
+    # adaptive case: the graph grew between runs; the new node enters with
+    # cash=scale, hist=0 (the paper's new-page rule) and old state carries
+    from scrape_spark.operators.webrank import opic_int, opic_py
+
+    old_edges = [(0, 1), (1, 0)]
+    new_edges = old_edges + [(1, 2), (2, 0)]
+    df_old = spark.createDataFrame(old_edges, "src long, dst long")
+    df_new = spark.createDataFrame(new_edges, "src long, dst long")
+    st = opic_int(df_old, iterations=2)
+    got = {
+        r["node"]: (r["cash"], r["hist"])
+        for r in opic_int(df_new, iterations=1, init=st).collect()
+    }
+    want = opic_py(new_edges, iterations=1, init=opic_py(old_edges, iterations=2))
+    assert got == want
