@@ -2633,6 +2633,89 @@ def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- crawl scheduling: the COMPOSED per-round decision --------------------------
+# One lazy plan chaining the three scheduling operators: error backoff
+# (5xx streak -> effective delay) -> politeness quota (round-0 formula on
+# the backed-off delay) -> Hamilton global-budget apportionment -> final
+# scheduled = least(alloc, quota). The full-chain DuckDB oracle replays
+# every stage, so the COMPOSITION (not just each operator) is value-checked.
+_SCHED_COUNTS_SQL = """\
+SELECT 'h' || CAST(doc_id % 12 AS STRING) AS host,
+       CAST(sum(doc_id % 13 + 1) AS BIGINT) AS pending
+FROM documents GROUP BY doc_id % 12"""
+_SCHED_BUDGET = 500
+
+
+def _schedule_report_oracle() -> str:
+    from scrape_spark.operators.politeness import host_backoff_sql
+
+    backoff = host_backoff_sql(_BACKOFF_OUTCOMES_SQL, _BACKOFF_DELAYS_SQL)
+    quota = (
+        "CAST(CASE WHEN b.effective_delay <= 0 THEN 1000000 "
+        "WHEN b.effective_delay <= 60 THEN "
+        "CAST(floor(CAST(60 AS DOUBLE) / b.effective_delay) AS BIGINT) "
+        "ELSE 1 END AS INTEGER)"
+    )
+    return f"""WITH HC AS ({_SCHED_COUNTS_SQL}),
+BK AS ({backoff}),
+Q AS (SELECT h.host, h.pending, b.err_streak, b.effective_delay,
+        {quota} AS quota
+      FROM HC h JOIN BK b USING (host)),
+W AS (SELECT CAST(sum(pending) AS BIGINT) AS w FROM HC),
+S AS (SELECT host, pending,
+        ({_SCHED_BUDGET} * pending) // w AS base,
+        ({_SCHED_BUDGET} * pending) % w AS rem
+      FROM HC, W),
+R AS (SELECT host, pending, base,
+        row_number() OVER (ORDER BY rem DESC, host ASC) AS seat_rank,
+        CAST(sum(base) OVER () AS BIGINT) AS base_sum
+      FROM S),
+A AS (SELECT host,
+        CAST(least(base + CASE WHEN seat_rank <= {_SCHED_BUDGET} - base_sum
+                          THEN 1 ELSE 0 END, pending) AS BIGINT) AS alloc
+      FROM R)
+SELECT q.host, q.pending, q.err_streak, q.effective_delay, q.quota, a.alloc,
+       least(a.alloc, CAST(q.quota AS BIGINT)) AS scheduled
+FROM Q q JOIN A a USING (host)"""
+
+
+@_q("crawl_schedule_report", _schedule_report_oracle())
+def q_crawl_schedule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-round scheduling decision: backoff -> quota -> budget."""
+    from scrape_spark.operators.politeness import (
+        allocate_host_budget,
+        host_backoff,
+        host_quota_expr,
+    )
+
+    _view(spark, sf_dir, "documents")
+    counts = spark.sql(_SCHED_COUNTS_SQL)
+    back = host_backoff(
+        spark.sql(_BACKOFF_OUTCOMES_SQL), delays=spark.sql(_BACKOFF_DELAYS_SQL)
+    )
+    alloc = allocate_host_budget(counts, budget=_SCHED_BUDGET)
+    return (
+        counts.join(
+            back.select("host", "err_streak", "effective_delay"), "host"
+        )
+        .withColumn(
+            "quota", host_quota_expr(F.col("effective_delay"), round_seconds=60)
+        )
+        .join(alloc.select("host", "alloc"), "host")
+        .select(
+            "host",
+            "pending",
+            "err_streak",
+            "effective_delay",
+            "quota",
+            "alloc",
+            F.least(F.col("alloc"), F.col("quota").cast("long")).alias(
+                "scheduled"
+            ),
+        )
+    )
+
+
 # -- lexical retrieval: BM25 top-k + inverted postings -------------------------
 # The literal-query path (two map passes + one scalar agg, no index) is the
 # oracled one; the postings/index path is pinned result-identical in
