@@ -422,6 +422,11 @@ class CrawlJob:
         seq assignment over the batch, one delta write sized to the batch.
         The frontier itself is never rewritten.
         """
+        if not self.store.exists("frontier"):
+            raise ValueError(
+                "enqueue_frame appends to an existing frontier — "
+                "seed()/seed_frame() a new crawl first"
+            )
         self._ensure_reconciled()
         norm, order = self._norm_seed_frame(links, order_cols, dedup)
         new = self.seen.filter_new(norm, url_col="url")

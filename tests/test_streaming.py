@@ -383,3 +383,20 @@ def test_enqueue_frame_crash_between_steps_is_repaired(spark, tmp_path):
     assert (
         j2.frontier().where(F.col("url") == "http://ext.test/x").count() == 1
     )
+
+
+def test_enqueue_frame_requires_seeded_store(spark, tmp_path):
+    import pytest
+
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.sources.webgraph import generate_pages, robots_source_df
+
+    job = CrawlJob(
+        spark,
+        SnapshotStore(spark, str(tmp_path / "empty")),
+        generate_pages(spark, 2, 5, 1, mega_host=None),
+        robots_source_df(spark, 2, mega_host=None),
+    )
+    with pytest.raises(ValueError, match="seed"):
+        job.enqueue_frame(_link_rows(spark, ["http://ext.test/a"]))
