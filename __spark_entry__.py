@@ -617,6 +617,23 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(_docs(spark, sf_dir))
 
 
+# -- training-data: SimHash Hamming-<=k near-dup pairs (Manku WWW'07) --------
+# Oracle is the BRUTE-FORCE all-pairs popcount — the block-pigeonhole search
+# must reproduce it exactly (recall 1.0 by construction, not approximate).
+@_q(
+    "simhash_neardup_pairs",
+    f"""WITH s AS (SELECT doc_id, {ts.simhash_sql('text', _DD, 28)} AS sh FROM documents)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir), bits=28, max_hamming=3)
+
+
 # -- training-data: n-gram Jaccard on candidate pairs ------------------------
 _DUCK_SHINGLES = ts.shingle_hashes_sql("text", _DD)
 

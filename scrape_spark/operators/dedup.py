@@ -117,6 +117,68 @@ def simhash_buckets(
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 28,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_hamming`` of each other's
+    SimHash — Manku/Jain/Das Sarma's block-pigeonhole search (WWW'07,
+    "Detecting Near-Duplicates for Web Crawling"), NOT an approximation.
+
+    Split the ``bits``-wide fingerprint into ``max_hamming + 1`` contiguous
+    blocks: a pair at Hamming distance <= k differs in at most k blocks, so
+    by pigeonhole it agrees EXACTLY on at least one block. Candidate
+    generation is therefore a union of bucket self-joins on
+    (block_idx, block_value) — recall 1.0 by construction — and the verify
+    stage keeps ``bit_count(sh_1 ^ sh_2) <= k``.
+
+    Plan shape: fingerprints (map-only JVM expression) → posexplode into
+    n_blocks rows each → ONE shuffle on (block_idx, block_val) → per-bucket
+    pairs → dropDuplicates → map-side popcount verify. Never all-pairs: a
+    doc only ever meets docs sharing a block value. At 10^10 docs, widen the
+    fingerprint (Manku uses 64 bits; this kernel is capped at 31 by the
+    int32-sized word-hash space — compose two independently-mixed
+    fingerprints for more) and raise n_blocks so each block keys
+    ~fingerprint_space/2^width buckets; block width, not corpus size, bounds
+    bucket fan-in on non-adversarial corpora.
+
+    Returns (id_1, id_2, hamming) with id_1 < id_2.
+    """
+    n_blocks = max_hamming + 1
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} must divide into {n_blocks} blocks")
+    width = bits // n_blocks
+    sh = docs.select(
+        F.col(id_col).alias("id"), ts.simhash(text_col, bits).alias("sh")
+    )
+    block_vals = F.array(
+        *[
+            F.expr(f"(sh div {1 << (j * width)}) % {1 << width}")
+            for j in range(n_blocks)
+        ]
+    )
+    blocks = sh.select(
+        "id", "sh", F.posexplode(block_vals).alias("block_idx", "block_val")
+    )
+    left = blocks.select(
+        "block_idx", "block_val", F.col("id").alias("id_1"), F.col("sh").alias("sh_1")
+    )
+    right = blocks.select(
+        "block_idx", "block_val", F.col("id").alias("id_2"), F.col("sh").alias("sh_2")
+    )
+    return (
+        left.join(right, on=["block_idx", "block_val"], how="inner")
+        .where(F.col("id_1") < F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+        .withColumn("hamming", F.expr("bit_count(sh_1 ^ sh_2)").cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
 def _shingle_set(text_col: str):
     return F.array_distinct(F.expr(ts.shingle_hashes_sql(text_col, ts.SPARK_DIALECT)))
 

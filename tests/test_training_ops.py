@@ -724,3 +724,83 @@ def test_dup_span_overlapping_windows_union_coverage(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = {x["doc_id"]: x for x in dup_span_stats(df).collect()}
     assert r[0]["n_dup_windows"] == 2 and r[0]["dup_tokens"] == 9
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-<=k near-dup search (Manku block-pigeonhole)
+# ---------------------------------------------------------------------------
+_NEARDUP_BASE = (
+    "web crawl corpus document about distributed systems and polite "
+    "scheduling of fetch requests across many hosts and partitions"
+).split(" ")
+
+
+def _neardup_texts() -> list[str]:
+    """Clusters of slightly-perturbed copies + unrelated documents."""
+    texts = []
+    for c in range(6):
+        base = list(_NEARDUP_BASE)
+        base[0] = f"cluster{c}"
+        texts.append(" ".join(base))
+        for v in range(4):
+            mut = list(base)
+            # perturb v+1 words: near variants for small v, far for large
+            for j in range(v + 1):
+                mut[2 + 3 * j] = f"variant{c}x{v}w{j}"
+            texts.append(" ".join(mut))
+    for i in range(20):
+        texts.append(" ".join(f"unrelated{i}token{j}" for j in range(14)))
+    return texts
+
+
+def test_simhash_neardup_matches_bruteforce(spark):
+    from scrape_spark.operators.dedup import simhash_neardup_pairs
+
+    texts = _neardup_texts()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bits, k = 28, 3
+    sh = [py_simhash(t, bits) for t in texts]
+    expected = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if bin(sh[a] ^ sh[b]).count("1") <= k
+    }
+    assert expected, "fixture must contain near-dup pairs"
+    got = {
+        (r["id_1"], r["id_2"], r["hamming"])
+        for r in simhash_neardup_pairs(df, bits=bits, max_hamming=k).collect()
+    }
+    # pigeonhole candidate generation is EXACT: set equality, not recall<1
+    assert got == expected
+
+
+def test_simhash_neardup_plan_never_all_pairs(spark):
+    import contextlib
+    import io
+
+    from scrape_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_neardup_texts())],
+        "doc_id long, text string",
+    )
+    out = simhash_neardup_pairs(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the candidate join keys on the exploded block buckets
+    assert "block_val" in plan, plan
+
+
+def test_simhash_neardup_bits_must_split_into_blocks(spark):
+    from scrape_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(df, bits=30, max_hamming=3)
