@@ -255,6 +255,58 @@ def crawl_bench(spark, work_dir: str, n_hosts: int, pages_per_host: int, rounds:
     return wall, processed + extracted, metrics
 
 
+def recrawl_bench(
+    spark, work_dir: str, n_hosts: int, pages_per_host: int, filler: int = 250
+):
+    """Full vs conditional (304) re-crawl of an already-drained frontier.
+
+    Crawl once to done, then re-crawl the SAME unchanged web twice from
+    cloned stores: once re-downloading + re-parsing everything (the
+    reference's only semantics) and once with conditional_fetch=True, where
+    every validator matches and the body never crosses the Arrow boundary.
+    The ratio is the headline win for freshness-driven re-crawls, where
+    unchanged pages dominate. Not added to the bench total (it would read as
+    a regression vs earlier rounds' totals); reported as its own keys.
+    """
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.sources.webgraph import robots_source_df, seed_urls
+
+    # filler=250 ≈ 14 KB bodies — the other benches' ~1 KB pages make the
+    # fetch/parse share unrealistically small for a RE-crawl economics
+    # measurement (real HTML medians are tens of KB)
+    pages = _gen_pages(spark, work_dir, n_hosts, pages_per_host, filler=filler)
+    robots = robots_source_df(spark, n_hosts)
+    base = tempfile.mkdtemp(prefix="bench_recrawl_base_", dir=work_dir)
+
+    def _job(store_dir: str, conditional: bool) -> CrawlJob:
+        return CrawlJob(
+            spark, SnapshotStore(spark, store_dir), pages, robots,
+            round_seconds=3600, n_buckets=16, conditional_fetch=conditional,
+        )
+
+    seed_job = _job(base, False)
+    seed_job.seed(seed_urls(n_hosts))
+    seed_job.run()
+
+    walls = {True: [], False: []}
+    n_pages = 0
+    for rep in range(2):
+        for conditional in (False, True):
+            clone = tempfile.mkdtemp(prefix="bench_recrawl_rep_", dir=work_dir)
+            shutil.rmtree(clone)
+            shutil.copytree(base, clone)
+            job = _job(clone, conditional)
+            job.reset_processed()
+            t0 = time.time()
+            metrics = job.run()
+            walls[conditional].append(time.time() - t0)
+            n_pages = sum(m["fetched"] for m in metrics)
+            shutil.rmtree(clone, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return min(walls[False]), min(walls[True]), n_pages
+
+
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
     """Each query timed twice, min recorded: the first pass pays JIT /
     footer-cache / Arrow-worker warm-up and samples this VM's documented
@@ -329,6 +381,9 @@ def default_bench() -> dict:
         crawl_wall = min(crawl_wall, c2)
         queries["expand_round"] = round(expand_wall, 3)
         queries["crawl_6rounds"] = round(crawl_wall, 3)
+        rc_full, rc_cond, rc_pages = recrawl_bench(
+            spark, work_dir, n_hosts=12, pages_per_host=600
+        )
         total = round(sum(queries.values()), 3)
         return {
             "metric": METRIC,
@@ -338,6 +393,10 @@ def default_bench() -> dict:
             "sf": sf,
             "throughput_urls_per_sec": round(expand_urls / expand_wall, 1),
             "crawl_urls_per_sec": round(crawl_urls / crawl_wall, 1),
+            "recrawl_full_sec": round(rc_full, 3),
+            "recrawl_304_sec": round(rc_cond, 3),
+            "recrawl_304_speedup": round(rc_full / rc_cond, 2),
+            "recrawl_pages": rc_pages,
             "cpus": cpus,
             "host": _host_state(cpu0),
         }

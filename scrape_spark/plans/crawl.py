@@ -190,6 +190,7 @@ class CrawlJob:
         pages_bucketed: bool = False,
         url_key_chars: int | None = None,
         priority: Column | None = None,
+        conditional_fetch: bool = False,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -218,6 +219,23 @@ class CrawlJob:
         # pins. The salted two-stage top-k is order-key-generic, so a
         # mega-host never funnels through one task either way.
         self.priority = priority
+        # HTTP conditional-revisit extension (engine-only; the reference
+        # re-downloads and re-parses unconditionally on every re-crawl,
+        # scraper.py:73-109). When on, a scheduled row whose frontier
+        # content_hash (the strong validator, = sha256 of the prior body —
+        # the ETag analog) matches the current page body takes the 304 path:
+        # status_code=304, prior page_title/text_sha/text_match preserved,
+        # NO parse (the body is nulled BEFORE the Arrow transfer, so for
+        # unchanged pages the Python stage receives zero bytes) and NO link
+        # re-expansion. Observationally identical to a full re-fetch for the
+        # frontier: an unchanged page's links were all enqueued on its first
+        # crawl, so the seen anti-join would drop every one of them anyway
+        # (pinned by tests/test_recrawl.py equivalence cases) — the flag only
+        # removes the wasted transfer/parse, which at 100 TB re-crawl scale
+        # is most of the work (unchanged pages dominate real re-crawls).
+        # Default off: the pyref-parity suites pin the reference's
+        # always-200 re-download semantics.
+        self.conditional_fetch = conditional_fetch
         self.seen = SeenSet(
             store,
             n_buckets=n_buckets,
@@ -896,7 +914,14 @@ class CrawlJob:
         # --- simulated fetch: batch ⋈ pages on (url, method, payload) (S2/S3),
         #     without ever shuffling the pages side ---
         probe = batch.select(
-            "url", "method", _payload_key().alias("_payload_key"), "seq", "depth"
+            "url",
+            "method",
+            _payload_key().alias("_payload_key"),
+            "seq",
+            "depth",
+            # conditional revisit (see __init__): the prior content hash is
+            # the validator sent with the fetch — NULL on first crawl
+            F.col("content_hash").alias("_prior_hash"),
         )
         pages_cols = ["url", "html", F.col("text").alias("src_text")] + (
             ["method", "payload"] if self.pages_have_methods else []
@@ -913,9 +938,24 @@ class CrawlJob:
             broadcast=pending_est <= self.broadcast_batch_limit,
             bucketed=self.pages_bucketed,
         )
+        if self.conditional_fetch:
+            # 304 path: hash equality is decided JVM-side in the scan stage;
+            # unchanged bodies are nulled HERE so they never cross the Arrow
+            # boundary into the parse UDF and never enter the persist
+            not_mod = F.col("_prior_hash").isNotNull() & (
+                F.col("_prior_hash") == F.sha2(F.col("html"), 256)
+            )
+        else:
+            not_mod = F.lit(False)
         hits = (
             fetched
-            .withColumn("parsed", parse_page_expr("html", "url"))
+            .withColumn("_not_modified", not_mod)
+            .withColumn(
+                "parsed",
+                parse_page_expr(
+                    F.when(~F.col("_not_modified"), F.col("html")), "url"
+                ),
+            )
             .select(
                 "url",
                 "method",
@@ -923,12 +963,16 @@ class CrawlJob:
                 "seq",
                 "depth",
                 "src_text",
+                "_not_modified",
                 F.sha2(F.col("html"), 256).alias("content_hash"),  # F3/D3
                 # P7: the reference extracts links only from non-blank content
-                # (scraper.py:186-193); blank pages are still marked done
-                (F.length(F.trim(F.col("html").cast("string"))) > 0).alias(
-                    "has_content"
-                ),
+                # (scraper.py:186-193); blank pages are still marked done.
+                # 304 rows skip link re-expansion: every link of an unchanged
+                # page is already in the seen set (first-crawl invariant).
+                (
+                    (F.length(F.trim(F.col("html").cast("string"))) > 0)
+                    & ~F.col("_not_modified")
+                ).alias("has_content"),
                 F.col("parsed.text").alias("text"),
                 F.col("parsed.title").alias("raw_title"),
                 F.col("parsed.links").alias("links"),
@@ -997,6 +1041,9 @@ class CrawlJob:
             F.sum((F.col("status") == "pending").cast("int")).alias("new"),
             F.sum((is_done & ~F.col("text_match")).cast("int")).alias("mism"),
             F.sum(F.col("_robots_known").isNull().cast("int")).alias("uncov"),
+            F.sum(
+                (F.col("status_code") == 304).cast("int")
+            ).alias("nm304"),
         ).select(*FRONTIER_COLS)
         prev_snap_id = self.store.current_snapshot("frontier")["id"]
         self.store.write(
@@ -1069,6 +1116,7 @@ class CrawlJob:
             "new_urls": n_new,
             "new_hosts_uncovered": int(row["uncov"] or 0),
             "text_mismatches": int(row["mism"] or 0),
+            "not_modified": int(row["nm304"] or 0),
             "next_seq": next_seq + n_new,
             "n_rounds": round_idx + 1,
             "pending": pending_est - (n_done + n_err) - n_blocked + n_new,
@@ -1176,11 +1224,16 @@ class CrawlJob:
         results = hits.select(
             *_FETCH_KEYS,
             F.lit(True).alias("_hit"),
+            F.col("_not_modified").alias("_nm"),
             F.col("content_hash").alias("_content_hash"),
             title_with_fallback(F.col("raw_title"), F.col("url")).alias("_page_title"),
             F.sha2(F.col("text"), 256).alias("_text_sha"),
             (F.col("text") == F.col("src_text")).alias("_text_match"),
         )
+        # 304 rows (conditional revisit) keep the batch row's PRIOR derived
+        # columns — the parse was skipped, and the body is byte-identical to
+        # the capture those columns were computed from, so they still hold
+        nm = F.col("_hit") & F.col("_nm")
         updated = (
             batch.withColumn("_payload_key", _payload_key())
             .join(results, on=_FETCH_KEYS, how="left")
@@ -1192,11 +1245,20 @@ class CrawlJob:
                 F.when(F.col("_hit"), F.lit(None).cast("string"))
                 .otherwise(F.lit("404 Not Found"))
                 .alias("error_message"),
-                F.when(F.col("_hit"), F.lit(200)).cast("int").alias("status_code"),
+                F.when(nm, F.lit(304))
+                .when(F.col("_hit"), F.lit(200))
+                .cast("int")
+                .alias("status_code"),
                 F.when(F.col("_hit"), F.col("_content_hash")).alias("content_hash"),
-                F.when(F.col("_hit"), F.col("_page_title")).alias("page_title"),
-                F.when(F.col("_hit"), F.col("_text_sha")).alias("text_sha"),
-                F.when(F.col("_hit"), F.col("_text_match")).alias("text_match"),
+                F.when(nm, F.col("page_title"))
+                .when(F.col("_hit"), F.col("_page_title"))
+                .alias("page_title"),
+                F.when(nm, F.col("text_sha"))
+                .when(F.col("_hit"), F.col("_text_sha"))
+                .alias("text_sha"),
+                F.when(nm, F.col("text_match"))
+                .when(F.col("_hit"), F.col("_text_match"))
+                .alias("text_match"),
                 F.col("fetch_slot"),
                 F.lit(round_idx).alias("round"),
             )
