@@ -634,6 +634,49 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(_docs(spark, sf_dir), bits=28, max_hamming=3)
 
 
+# -- host-level: mirror-host detection (Bharat & Broder WWW8) ----------------
+# Planted-mirror fixture: host = doc_id % 20, served text = text of
+# (doc_id % 250) — every host's non-viral content set equals that of the
+# host 10 apart (doc_id and doc_id+250 share text and land 10 hosts apart),
+# so hosts h and h+10 are exact mirrors. The oracle replays the full chain:
+# distinct (host, sha256) → viral filter → sizes → content-key self-join.
+@_q(
+    "host_mirror_pairs",
+    """WITH src AS (SELECT d.doc_id % 20 AS hid, m.text AS text
+             FROM documents d JOIN documents m ON m.doc_id = d.doc_id % 250),
+c AS (SELECT DISTINCT 'host' || CAST(hid AS VARCHAR) || '.test' AS host,
+             sha256(text) AS ckey FROM src),
+nv AS (SELECT ckey FROM c GROUP BY ckey HAVING count(*) <= 64),
+k AS (SELECT c.host, c.ckey FROM c JOIN nv USING (ckey)),
+s AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY host),
+i AS (SELECT a.host AS host_1, b.host AS host_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM k a JOIN k b ON a.ckey = b.ckey AND a.host < b.host
+      GROUP BY a.host, b.host)
+SELECT host_1, host_2, n_common, s1.n AS n_1, s2.n AS n_2,
+       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+FROM i JOIN s s1 ON s1.host = i.host_1 JOIN s s2 ON s2.host = i.host_2
+WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5""",
+)
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.operators.dedup import host_mirror_pairs
+
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        (F.col("doc_id") % 250).alias("src_id"),
+        (F.col("doc_id") % 20).alias("hid"),
+    ).join(
+        docs.select(F.col("doc_id").alias("src_id"), "text"), on="src_id"
+    )
+    pages = src.select(
+        F.concat(F.lit("host"), F.col("hid").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        "text",
+    )
+    return host_mirror_pairs(pages, min_jaccard=0.5)
+
+
 # -- training-data: n-gram Jaccard on candidate pairs ------------------------
 _DUCK_SHINGLES = ts.shingle_hashes_sql("text", _DD)
 
@@ -948,6 +991,73 @@ def q_crawl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, "url", ["referrer", "link_pos"], ["anchor_text"]
     )
     return fresh.join(seeds, on="url", how="left_anti")
+
+
+# -- conditional revisit (304): full crawl → mutate 1/3 of pages → re-crawl --
+# Closed-form oracle: the docpages web is 8 k-ary host trees over ALL
+# documents (child_doc = 3*local_parent-derived heap order), so with open
+# robots the crawl drains to exactly one done row per document; the re-crawl
+# under conditional_fetch then 304s every page whose body is byte-identical
+# and 200s the mutated third (doc_id % 3 == 0 gets ' changed.' appended).
+# The recursive CTE rebuilds each doc's heap path /p/0/j1/j2/... directly
+# from doc_id (local = doc_id div 8; parent local = (local-1) div 3).
+@_q(
+    "conditional_refetch",
+    """WITH RECURSIVE t AS (
+  SELECT doc_id, '/p/0' AS path FROM documents WHERE doc_id < 8
+  UNION ALL
+  SELECT d.doc_id, t.path || '/' || CAST((d.doc_id // 8 - 1) % 3 + 1 AS VARCHAR)
+  FROM t JOIN documents d
+    ON (d.doc_id // 8 - 1) // 3 = t.doc_id // 8
+   AND d.doc_id % 8 = t.doc_id % 8
+   AND d.doc_id >= 8
+)
+SELECT 'http://docs' || CAST(doc_id % 8 AS VARCHAR) || '.test' || path AS url,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 304 END AS INT) AS status_code
+FROM t""",
+)
+def q_conditional_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the REAL CrawlJob twice: drain crawl 1, mutate a third of the
+    web, reset_processed(), re-crawl with conditional_fetch=True. Returns the
+    done rows' (url, status_code) — 304 where the validator matched."""
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.session import local_df
+    from scrape_spark.sources import docpages
+
+    docs = _docs(spark, sf_dir)
+    robots_open = local_df(
+        spark,
+        [(f"docs{h}.test", "User-agent: *\nAllow: /\n") for h in range(8)],
+        "host string, robots_txt string",
+    )
+
+    def _mk_job(pages) -> CrawlJob:
+        return CrawlJob(
+            spark, store, pages, robots_open, round_seconds=60, n_buckets=8,
+            conditional_fetch=True,
+        )
+
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="spark_graft_cond_"))
+    job = _mk_job(docpages.pages_from_documents(spark, docs, n_hosts=8, k=3))
+    job.seed(docpages.seed_urls(8))
+    job.run()
+    changed_docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" changed."))
+        ).otherwise(F.col("text")),
+    )
+    job2 = _mk_job(
+        docpages.pages_from_documents(spark, changed_docs, n_hosts=8, k=3)
+    )
+    job2.reset_processed()
+    job2.run()
+    return (
+        job2.frontier()
+        .where(F.col("status") == "done")
+        .select("url", "status_code")
+    )
 
 
 # -- training-data: IVF ANN top-k (deterministic stride centroids) -----------

@@ -68,6 +68,7 @@ SPARK_DIALECT = {
     "aflatten": "flatten({arr})",
     "acontains": "array_contains({arr}, {x})",
     "apos": "array_position({arr}, {x})",  # 1-based first occurrence
+    "sha256hex": "sha2({x}, 256)",  # lowercase hex, both engines
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -94,6 +95,7 @@ DUCK_DIALECT = {
     "aflatten": "flatten({arr})",
     "acontains": "list_contains({arr}, {x})",
     "apos": "list_position({arr}, {x})",
+    "sha256hex": "sha256({x})",  # lowercase hex, both engines
 }
 
 

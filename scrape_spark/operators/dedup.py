@@ -13,10 +13,14 @@ first-class operators over the ``documents`` table shape:
   self-join on (band_idx, band_value) buckets, then estimated Jaccard =
   matching-signature fraction filter. Shuffle is on band values — only
   near-colliding docs ever meet, never O(n²).
-- **SimHash** — 16-bit majority-vote fingerprint; near-dups = bucket join on
-  the fingerprint (hamming-0) or rotate-band variants.
+- **SimHash** — majority-vote fingerprint; hamming-0 near-dups = bucket join
+  on the fingerprint, hamming-<=k = Manku block-pigeonhole search
+  (``simhash_neardup_pairs`` — exact recall, never all-pairs).
 - **n-gram Jaccard** — exact word-3-gram Jaccard for candidate pairs
   (verification stage after LSH, or direct on small pair lists).
+- **mirror hosts** — host-LEVEL replication (Bharat & Broder):
+  content-set Jaccard per host pair via a content-key self-join
+  (``host_mirror_pairs``), with a stop-content cap against viral bodies.
 
 All signature math is exact int64 arithmetic from
 ``scrape_spark.functions.textstats`` — every operator here is
@@ -176,6 +180,73 @@ def simhash_neardup_pairs(
         .withColumn("hamming", F.expr("bit_count(sh_1 ^ sh_2)").cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
+    )
+
+
+def host_mirror_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_content_hosts: int = 64,
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder, "A study of host pairs with
+    replicated content", WWW8 1999): host pairs whose content SETS overlap.
+
+    The page-level dedup family (exact/MinHash/SimHash/canonical) collapses
+    duplicate DOCUMENTS; mirrors are a HOST-level phenomenon — the same site
+    served under several hosts (www./m./CDN/regional clones) — and the right
+    output is a host-pair similarity so a crawler can stop fetching the
+    clone entirely. The reference has no notion of this (it crawls one base
+    host, scraper.py:249); at Common-Crawl breadth it is a first-class
+    budget decision.
+
+    Exact set semantics, no sketch: content identity is the full sha256 hex
+    of the body text; candidate pairs are generated by a self-join on the
+    content key, so only hosts that actually share a body ever meet — the
+    shuffle is keyed by content, never all host pairs. The one adversarial
+    input is VIRAL content (a boilerplate page on millions of hosts would
+    quadratically explode its bucket): contents appearing on more than
+    ``max_content_hosts`` distinct hosts are excluded from pairing AND from
+    the per-host set sizes — the standard stop-shingle trick; the reported
+    ``jaccard`` is therefore over non-viral contents (mirrors replicate the
+    distinctive long tail, which is exactly the signal).
+
+    Returns (host_1, host_2, n_common, n_1, n_2, jaccard) with
+    host_1 < host_2 and jaccard >= min_jaccard.
+    """
+    contents = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.sha2(F.col(text_col), 256).alias("ckey"),
+        )
+        .dropDuplicates(["host", "ckey"])
+    )
+    non_viral = (
+        contents.groupBy("ckey")
+        .agg(F.count("*").alias("_spread"))
+        .where(F.col("_spread") <= max_content_hosts)
+        .select("ckey")
+    )
+    kept = contents.join(non_viral, on="ckey", how="left_semi")
+    sizes = kept.groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        kept.select(F.col("host").alias("host_1"), "ckey")
+        .join(kept.select(F.col("host").alias("host_2"), "ckey"), on="ckey")
+        .where(F.col("host_1") < F.col("host_2"))
+        .groupBy("host_1", "host_2")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("host").alias("host_1"), F.col("n").alias("n_1")), "host_1")
+        .join(sizes.select(F.col("host").alias("host_2"), F.col("n").alias("n_2")), "host_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("host_1", "host_2", "n_common", "n_1", "n_2", "jaccard")
     )
 
 
