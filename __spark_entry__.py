@@ -640,9 +640,23 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # host 10 apart (doc_id and doc_id+250 share text and land 10 hosts apart),
 # so hosts h and h+10 are exact mirrors. The oracle replays the full chain:
 # distinct (host, sha256) → viral filter → sizes → content-key self-join.
-@_q(
-    "host_mirror_pairs",
-    """WITH src AS (SELECT d.doc_id % 20 AS hid, m.text AS text
+def _mirror_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        (F.col("doc_id") % 250).alias("src_id"),
+        (F.col("doc_id") % 20).alias("hid"),
+    ).join(
+        docs.select(F.col("doc_id").alias("src_id"), "text"), on="src_id"
+    )
+    return src.select(
+        F.concat(F.lit("host"), F.col("hid").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        "text",
+    )
+
+
+_MIRROR_CTES = """src AS (SELECT d.doc_id % 20 AS hid, m.text AS text
              FROM documents d JOIN documents m ON m.doc_id = d.doc_id % 250),
 c AS (SELECT DISTINCT 'host' || CAST(hid AS VARCHAR) || '.test' AS host,
              sha256(text) AS ckey FROM src),
@@ -652,29 +666,48 @@ s AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY host),
 i AS (SELECT a.host AS host_1, b.host AS host_2,
              CAST(count(*) AS BIGINT) AS n_common
       FROM k a JOIN k b ON a.ckey = b.ckey AND a.host < b.host
-      GROUP BY a.host, b.host)
-SELECT host_1, host_2, n_common, s1.n AS n_1, s2.n AS n_2,
+      GROUP BY a.host, b.host),
+mpairs AS (SELECT host_1, host_2, n_common, s1.n AS n_1, s2.n AS n_2,
        CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
 FROM i JOIN s s1 ON s1.host = i.host_1 JOIN s s2 ON s2.host = i.host_2
-WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5""",
+WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5)"""
+
+
+@_q(
+    "host_mirror_pairs",
+    f"""WITH {_MIRROR_CTES}
+SELECT host_1, host_2, n_common, n_1, n_2, jaccard FROM mpairs""",
 )
 def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrape_spark.operators.dedup import host_mirror_pairs
 
-    docs = _docs(spark, sf_dir)
-    src = docs.select(
-        (F.col("doc_id") % 250).alias("src_id"),
-        (F.col("doc_id") % 20).alias("hid"),
-    ).join(
-        docs.select(F.col("doc_id").alias("src_id"), "text"), on="src_id"
+    return host_mirror_pairs(_mirror_pages(spark, sf_dir), min_jaccard=0.5)
+
+
+# -- host-level: mirror collapse — the crawl-budget skip list -----------------
+# Mirror PAIRS become a crawl decision via connected components: each mirror
+# cluster keeps its min host as canonical; every other member goes on the
+# skip list (stop spending fetch budget on the clone — Bharat & Broder's
+# stated application). Components over the pair graph, min-label = min host.
+@_q(
+    "mirror_canonical_hosts",
+    f"""WITH RECURSIVE {_MIRROR_CTES},
+edges AS (SELECT host_1 AS a, host_2 AS b FROM mpairs
+          UNION SELECT host_2, host_1 FROM mpairs),
+reach(id, r) AS (SELECT a, a FROM edges
+                 UNION SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a)
+SELECT id AS host, min(r) AS canonical_host FROM reach
+GROUP BY id HAVING id <> min(r)""",
+)
+def q_mirror_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.operators.corpus import connected_components
+    from scrape_spark.operators.dedup import host_mirror_pairs
+
+    pairs = host_mirror_pairs(_mirror_pages(spark, sf_dir), min_jaccard=0.5)
+    comps = connected_components(pairs, src="host_1", dst="host_2")
+    return comps.where(F.col("id") != F.col("component_id")).select(
+        F.col("id").alias("host"), F.col("component_id").alias("canonical_host")
     )
-    pages = src.select(
-        F.concat(F.lit("host"), F.col("hid").cast("string"), F.lit(".test")).alias(
-            "host"
-        ),
-        "text",
-    )
-    return host_mirror_pairs(pages, min_jaccard=0.5)
 
 
 # -- training-data: n-gram Jaccard on candidate pairs ------------------------
