@@ -710,6 +710,38 @@ def q_mirror_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training-data: WIDE SimHash Hamming search (Manku-scale fingerprint) ----
+# Planted near-dups: every doc serves text of (doc_id % 250); docs >= 250
+# get a one-token suffix, so each (i, i+250) pair is a near (or exact,
+# after the 32-token vote cap) duplicate. Oracle = brute-force popcount
+# over the SAME two-mix 56-bit fingerprint.
+@_q(
+    "simhash_neardup_wide",
+    f"""WITH nd AS (SELECT d.doc_id AS doc_id,
+             m.text || CASE WHEN d.doc_id >= 250 THEN ' v2tail' ELSE '' END AS text
+      FROM documents d JOIN documents m ON m.doc_id = d.doc_id % 250),
+s AS (SELECT doc_id, {ts.simhash_wide_sql('text', _DD, 56)} AS sh FROM nd)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+)
+def q_simhash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _docs(spark, sf_dir)
+    nd = docs.select(
+        (F.col("doc_id") % 250).alias("src_id"), "doc_id"
+    ).join(docs.select(F.col("doc_id").alias("src_id"), "text"), on="src_id")
+    nd = nd.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") >= 250, F.concat(F.col("text"), F.lit(" v2tail"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return simhash_neardup_pairs(nd, bits=56, max_hamming=3)
+
+
 # -- training-data: n-gram Jaccard on candidate pairs ------------------------
 _DUCK_SHINGLES = ts.shingle_hashes_sql("text", _DD)
 

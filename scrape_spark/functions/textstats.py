@@ -188,20 +188,56 @@ def minhash_sig_sql(text: str, d: dict, i: int) -> str:
     return _bind(sig, "__sh", sh, d)
 
 
+def _simhash_terms(d: dict, bits: int, mix: tuple[int, int], shift: int) -> list[str]:
+    """Per-bit majority-vote terms over the bound ``__wh`` word-hash array.
+
+    ``mix=(a,b)`` votes on bits of ``(a*h+b) % P`` instead of ``h`` — an
+    independent affine remix, so two mixes give two independent fingerprint
+    halves (the word hashes are < P = 2^31-1, capping any single mix at 31
+    usable bits). ``shift`` packs this half's bits above another's.
+    """
+    a, b = mix
+    terms = []
+    for i in range(bits):
+        pow2 = 1 << i
+        h = "h" if (a, b) == (1, 0) else f"(({a} * h + {b}) % {HASH_P})"
+        votes = d["transform"].format(
+            arr="__wh",
+            lam=f"h -> ({d['idiv'].format(a=h, b=pow2)} % 2) * 2 - 1",
+        )
+        s = d["asum"].format(arr=f"({votes})")
+        terms.append(f"(CASE WHEN ({s}) > 0 THEN {pow2 << shift} ELSE 0 END)")
+    return terms
+
+
 def simhash_sql(text: str, d: dict, bits: int = SIMHASH_BITS) -> str:
     """SimHash over token hashes: per-bit majority vote packed into an int64."""
     wh = word_hashes_sql(text, d, SIMHASH_WORDS)
-    terms = []
-    for b in range(bits):
-        pow2 = 1 << b
-        votes = d["transform"].format(
-            arr="__wh",
-            lam=f"h -> ({d['idiv'].format(a='h', b=pow2)} % 2) * 2 - 1",
-        )
-        s = d["asum"].format(arr=f"({votes})")
-        terms.append(f"(CASE WHEN ({s}) > 0 THEN {pow2} ELSE 0 END)")
-    expr = " + ".join(terms)
+    expr = " + ".join(_simhash_terms(d, bits, (1, 0), 0))
     return _bind(expr, "__wh", wh, d)
+
+
+SIMHASH2_A, SIMHASH2_B = 48271, 11  # second-half affine remix (Lehmer multiplier)
+
+
+def simhash_wide_sql(text: str, d: dict, bits: int = 56) -> str:
+    """Wide SimHash: two independently-mixed halves packed into one int64.
+
+    A single word-hash mix caps at 31 vote bits (hashes live in [0, P)); the
+    Manku near-dup search wants ~64 so each pigeonhole block spans enough
+    values to keep bucket fan-in flat at corpus scale. Two affine mixes over
+    the SAME bound word-hash array give ``bits/2 + bits/2`` independent
+    votes — hi half << bits/2 | lo half — at one extra vote pass, zero extra
+    tokenization.
+    """
+    if bits % 2 or bits > 62:
+        raise ValueError("bits must be even and <= 62")
+    half = bits // 2
+    wh = word_hashes_sql(text, d, SIMHASH_WORDS)
+    terms = _simhash_terms(d, half, (1, 0), 0) + _simhash_terms(
+        d, half, (SIMHASH2_A, SIMHASH2_B), half
+    )
+    return _bind(" + ".join(terms), "__wh", wh, d)
 
 
 LINE_WORDS = 8  # deterministic line fixture: 8 words per synthesized line
@@ -434,6 +470,10 @@ def minhash_signature(text_col: str, k: int = N_MINHASH) -> Column:
 
 def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
     return F.expr(simhash_sql(text_col, SPARK_DIALECT, bits))
+
+
+def simhash_wide(text_col: str, bits: int = 56) -> Column:
+    return F.expr(simhash_wide_sql(text_col, SPARK_DIALECT, bits))
 
 
 def quality_score(text_col: str) -> Column:

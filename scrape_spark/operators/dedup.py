@@ -142,12 +142,12 @@ def simhash_neardup_pairs(
     Plan shape: fingerprints (map-only JVM expression) → posexplode into
     n_blocks rows each → ONE shuffle on (block_idx, block_val) → per-bucket
     pairs → dropDuplicates → map-side popcount verify. Never all-pairs: a
-    doc only ever meets docs sharing a block value. At 10^10 docs, widen the
-    fingerprint (Manku uses 64 bits; this kernel is capped at 31 by the
-    int32-sized word-hash space — compose two independently-mixed
-    fingerprints for more) and raise n_blocks so each block keys
-    ~fingerprint_space/2^width buckets; block width, not corpus size, bounds
-    bucket fan-in on non-adversarial corpora.
+    doc only ever meets docs sharing a block value. At 10^10 docs, pass
+    ``bits > 31``: the fingerprint switches to the two-mix wide kernel
+    (``textstats.simhash_wide``, Manku-scale — bits=56, k=3 gives 14-bit
+    blocks), so each block spans 2^14 values and bucket fan-in stays flat;
+    block width, not corpus size, bounds bucket sizes on non-adversarial
+    corpora.
 
     Returns (id_1, id_2, hamming) with id_1 < id_2.
     """
@@ -155,9 +155,8 @@ def simhash_neardup_pairs(
     if bits % n_blocks:
         raise ValueError(f"bits={bits} must divide into {n_blocks} blocks")
     width = bits // n_blocks
-    sh = docs.select(
-        F.col(id_col).alias("id"), ts.simhash(text_col, bits).alias("sh")
-    )
+    fp = ts.simhash_wide(text_col, bits) if bits > 31 else ts.simhash(text_col, bits)
+    sh = docs.select(F.col(id_col).alias("id"), fp.alias("sh"))
     block_vals = F.array(
         *[
             F.expr(f"(sh div {1 << (j * width)}) % {1 << width}")

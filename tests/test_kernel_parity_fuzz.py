@@ -43,6 +43,7 @@ _KERNELS = {
     "dup": lambda s, d: ts.dup_line_frac_q4_sql(ts.lines_sql(s, d), d),
     "tb": ts.top_bigram_cover_q4_sql,
     "sim": ts.simhash_sql,
+    "simw": ts.simhash_wide_sql,
     "mh0": lambda s, d: ts.minhash_sig_sql(s, d, 0),
     "scm": lambda s, d: ts.main_script_sql(ts.script_counts_sql(s, d), d),
 }

@@ -804,3 +804,71 @@ def test_simhash_neardup_bits_must_split_into_blocks(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         simhash_neardup_pairs(df, bits=30, max_hamming=3)
+
+
+def py_simhash_wide(text: str, bits: int = 56) -> int:
+    half = bits // 2
+    wh = py_word_hashes(text, ts.SIMHASH_WORDS)
+    acc = 0
+    for b in range(half):
+        votes = sum(((h >> b) & 1) * 2 - 1 for h in wh)
+        if votes > 0:
+            acc |= 1 << b
+    for b in range(half):
+        votes = sum(
+            ((((ts.SIMHASH2_A * h + ts.SIMHASH2_B) % P) >> b) & 1) * 2 - 1
+            for h in wh
+        )
+        if votes > 0:
+            acc |= 1 << (half + b)
+    return acc
+
+
+def test_simhash_wide_matches_python(docs):
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", ts.simhash_wide("text").alias("sh")).collect()
+    }
+    for i, t in enumerate(SAMPLES):
+        assert got[i] == py_simhash_wide(t), t
+
+
+def test_simhash_wide_halves_are_independent(spark):
+    # the two mixes must not mirror each other: for a varied corpus the hi
+    # half is not a function of the lo half
+    texts = _neardup_texts()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(ts.simhash_wide("text", 56).alias("sh")).collect()
+    lo_to_hi = {}
+    mismatch = False
+    for r in rows:
+        lo, hi = r["sh"] & ((1 << 28) - 1), r["sh"] >> 28
+        if lo in lo_to_hi and lo_to_hi[lo] != hi:
+            mismatch = True
+        lo_to_hi[lo] = hi
+    assert len({r["sh"] for r in rows}) > 1
+    assert len(lo_to_hi) > 1 or mismatch
+
+
+def test_simhash_neardup_wide_matches_bruteforce(spark):
+    from scrape_spark.operators.dedup import simhash_neardup_pairs
+
+    texts = _neardup_texts()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bits, k = 56, 3
+    sh = [py_simhash_wide(t, bits) for t in texts]
+    expected = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if bin(sh[a] ^ sh[b]).count("1") <= k
+    }
+    got = {
+        (r["id_1"], r["id_2"], r["hamming"])
+        for r in simhash_neardup_pairs(df, bits=bits, max_hamming=k).collect()
+    }
+    assert got == expected
