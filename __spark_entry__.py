@@ -804,7 +804,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- training-data: language-ID heuristic vs labeled lang --------------------
 @_q(
     "lang_id_eval",
-    f"""WITH p AS (SELECT lang, {ts.lang_pred_sql('text')} AS pred FROM documents)
+    f"""WITH p AS (SELECT lang, {ts.lang_pred_sql('text', _DD)} AS pred FROM documents)
 SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY lang, pred""",
 )

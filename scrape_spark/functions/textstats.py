@@ -389,6 +389,18 @@ LANG_MARKERS = {
     "pt": ["o", "que", "uma", "para", "não"],
     "nl": ["de", "het", "een", "niet", "aan"],
     "zh": ["的", "是", "了", "在", "和"],
+    # non-Latin scripts: markers are script-exclusive, so these languages
+    # only ever compete within their own script (a Latin text scores 0 on
+    # all of them). ru/uk and ar/fa are split by script-internal
+    # distinctives: ы/э/ъ are Russian-only, ї/є/і Ukrainian-only;
+    # پ/گ/چ/ژ exist in Persian but not Arabic.
+    "ru": ["ы", "э", "ъ", "что", "это"],
+    "uk": ["ї", "є", "і", "що", "це"],
+    "ar": ["ال", "في", "من", "هذا", "على"],
+    "fa": ["پ", "گ", "چ", "ژ", "است"],
+    "ja": ["の", "は", "を", "です", "した"],
+    "ko": ["이", "는", "을", "의", "하"],
+    "hi": ["के", "है", "की", "में", "का"],
 }
 
 
@@ -403,27 +415,28 @@ def lang_score_sql(text: str, lang: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def lang_pred_sql(text: str) -> str:
+def lang_pred_sql(text: str, d: dict = SPARK_DIALECT) -> str:
     """argmax over LANG_MARKERS scores; 'und' (undetermined) when all zero.
 
-    Generic over the marker table: generated as one CASE chain (first
-    language whose score >= every later language's score wins — dict order
-    breaks ties), rendered identically in Spark SQL and DuckDB.
+    Generic over the marker table. The score array is LET-BOUND once (the
+    same combinator as the SURT pipeline): the previous pairwise CASE chain
+    inlined every score expression O(L²) times, which stops being viable at
+    a 15-language table; this renders each score exactly once and picks the
+    winner with first-position-of-max — identical tie-break semantics
+    (earliest dict entry among maximal scores wins).
     """
     langs = list(LANG_MARKERS)
-    scores = {lg: lang_score_sql(text, lg) for lg in langs}
-    all_zero = " AND ".join(f"{scores[lg]} = 0" for lg in langs)
-    branches = []
-    for i, lg in enumerate(langs[:-1]):
-        conds = " AND ".join(
-            f"{scores[lg]} >= {scores[other]}" for other in langs[i + 1 :]
-        )
-        branches.append(f"WHEN {conds} THEN '{lg}'")
-    return (
-        f"CASE WHEN {all_zero} THEN 'und' "
-        + " ".join(branches)
-        + f" ELSE '{langs[-1]}' END"
+    scores = ", ".join(lang_score_sql(text, lg) for lg in langs)
+    names = ", ".join(f"'{lg}'" for lg in langs)
+    names_arr = f"array({names})" if d is SPARK_DIALECT else f"[{names}]"
+    amax = d["amax"].format(arr="__ls")
+    pick = d["at"].format(
+        arr=f"({names_arr})",
+        i=f"CAST({d['apos'].format(arr='__ls', x=amax)} AS INT)",
     )
+    scores_arr = f"array({scores})" if d is SPARK_DIALECT else f"[{scores}]"
+    body = f"CASE WHEN {amax} = 0 THEN 'und' ELSE {pick} END"
+    return _bind(body, "__ls", scores_arr, d)
 
 
 def quality_score_sql(text: str, d: dict) -> str:

@@ -230,7 +230,7 @@ class CrawlJob:
         # re-expansion. Observationally identical to a full re-fetch for the
         # frontier: an unchanged page's links were all enqueued on its first
         # crawl, so the seen anti-join would drop every one of them anyway
-        # (pinned by tests/test_recrawl.py equivalence cases) — the flag only
+        # (pinned by tests/test_conditional_fetch.py equivalence cases) — the flag only
         # removes the wasted transfer/parse, which at 100 TB re-crawl scale
         # is most of the work (unchanged pages dominate real re-crawls).
         # Default off: the pyref-parity suites pin the reference's

@@ -455,6 +455,13 @@ def test_lang_id_widened_markers(spark):
         (6, "de kat het huis een hond niet aan", "nl"),
         (7, "这是的一个在和测试的文本了", "zh"),
         (8, "xyzzy plugh qwerty", "und"),
+        (9, "что это было ы э ъ здесь", "ru"),
+        (10, "що це і ї є тут", "uk"),
+        (11, "هذا في من على البيت", "ar"),
+        (12, "است پ گ چ ژ اینجا", "fa"),
+        (13, "これは の を です した", "ja"),
+        (14, "이 는 을 의 하 다", "ko"),
+        (15, "के है की में का घर", "hi"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, _ in samples], "doc_id long, text string"
@@ -487,7 +494,9 @@ def test_lang_id_spark_duckdb_parity(spark):
     con = duckdb.connect()
     duck_pred = [
         con.execute(
-            f"SELECT {ts.lang_pred_sql('?')}".replace("?", "$$" + t + "$$")
+            f"SELECT {ts.lang_pred_sql('?', ts.DUCK_DIALECT)}".replace(
+                "?", "$$" + t + "$$"
+            )
         ).fetchone()[0]
         for t in texts
     ]
