@@ -276,35 +276,53 @@ def recrawl_bench(
     # fetch/parse share unrealistically small for a RE-crawl economics
     # measurement (real HTML medians are tens of KB)
     pages = _gen_pages(spark, work_dir, n_hosts, pages_per_host, filler=filler)
+    # digest-bearing variant (WARC-Payload-Digest analog): the 304 decision
+    # joins a digest-only projection, so parquet column pruning skips the
+    # html bytes of unchanged pages entirely
+    from pyspark.sql import functions as F
+
+    dig_path = os.path.join(
+        work_dir, f"pages_dig_{n_hosts}x{pages_per_host}_f{filler}"
+    )
+    if not os.path.exists(dig_path):
+        pages.withColumn(
+            "payload_digest", F.sha2(F.col("html"), 256)
+        ).write.parquet(dig_path)
+    pages_dig = spark.read.parquet(dig_path)
     robots = robots_source_df(spark, n_hosts)
     base = tempfile.mkdtemp(prefix="bench_recrawl_base_", dir=work_dir)
 
-    def _job(store_dir: str, conditional: bool) -> CrawlJob:
+    def _job(store_dir: str, src, conditional: bool) -> CrawlJob:
         return CrawlJob(
-            spark, SnapshotStore(spark, store_dir), pages, robots,
+            spark, SnapshotStore(spark, store_dir), src, robots,
             round_seconds=3600, n_buckets=16, conditional_fetch=conditional,
         )
 
-    seed_job = _job(base, False)
+    seed_job = _job(base, pages, False)
     seed_job.seed(seed_urls(n_hosts))
     seed_job.run()
 
-    walls = {True: [], False: []}
+    variants = {
+        "full": (pages, False),
+        "cond": (pages, True),
+        "digest": (pages_dig, True),
+    }
+    walls = {k: [] for k in variants}
     n_pages = 0
     for rep in range(2):
-        for conditional in (False, True):
+        for tag, (src, conditional) in variants.items():
             clone = tempfile.mkdtemp(prefix="bench_recrawl_rep_", dir=work_dir)
             shutil.rmtree(clone)
             shutil.copytree(base, clone)
-            job = _job(clone, conditional)
+            job = _job(clone, src, conditional)
             job.reset_processed()
             t0 = time.time()
             metrics = job.run()
-            walls[conditional].append(time.time() - t0)
+            walls[tag].append(time.time() - t0)
             n_pages = sum(m["fetched"] for m in metrics)
             shutil.rmtree(clone, ignore_errors=True)
     shutil.rmtree(base, ignore_errors=True)
-    return min(walls[False]), min(walls[True]), n_pages
+    return min(walls["full"]), min(walls["cond"]), min(walls["digest"]), n_pages
 
 
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
@@ -381,7 +399,7 @@ def default_bench() -> dict:
         crawl_wall = min(crawl_wall, c2)
         queries["expand_round"] = round(expand_wall, 3)
         queries["crawl_6rounds"] = round(crawl_wall, 3)
-        rc_full, rc_cond, rc_pages = recrawl_bench(
+        rc_full, rc_cond, rc_dig, rc_pages = recrawl_bench(
             spark, work_dir, n_hosts=12, pages_per_host=600
         )
         total = round(sum(queries.values()), 3)
@@ -395,7 +413,9 @@ def default_bench() -> dict:
             "crawl_urls_per_sec": round(crawl_urls / crawl_wall, 1),
             "recrawl_full_sec": round(rc_full, 3),
             "recrawl_304_sec": round(rc_cond, 3),
+            "recrawl_304_digest_sec": round(rc_dig, 3),
             "recrawl_304_speedup": round(rc_full / rc_cond, 2),
+            "recrawl_digest_speedup": round(rc_full / rc_dig, 2),
             "recrawl_pages": rc_pages,
             "cpus": cpus,
             "host": _host_state(cpu0),

@@ -926,6 +926,48 @@ class CrawlJob:
         pages_cols = ["url", "html", F.col("text").alias("src_text")] + (
             ["method", "payload"] if self.pages_have_methods else []
         )
+        do_broadcast = pending_est <= self.broadcast_batch_limit
+        # Conditional revisit, DIGEST mode: when the (all-GET) pages table
+        # carries a payload_digest column (the WARC-Payload-Digest analog CC
+        # ships with every capture), the 304 decision joins probe validators
+        # against a DIGEST-ONLY projection — parquet column pruning means the
+        # html bytes of unchanged pages are never read off storage at all,
+        # which at re-crawl scale is the difference between scanning the
+        # whole body corpus and scanning a 64-byte column + changed pages.
+        # Matched rows bypass the fetch join and re-enter at the outcome
+        # union (results_nm below); everything else flows the normal path.
+        results_nm = None
+        digest_mode = (
+            self.conditional_fetch
+            and not self.pages_have_methods
+            and "payload_digest" in self.pages.columns
+        )
+        if digest_mode:
+            digests = self.pages.select("url", "payload_digest")
+            get_probe = probe.where(
+                (F.col("method") == "GET") & F.col("_prior_hash").isNotNull()
+            )
+            if do_broadcast:
+                get_probe = F.broadcast(get_probe)
+            nm_rows = (
+                digests.join(get_probe, on="url", how="inner")
+                .where(F.col("payload_digest") == F.col("_prior_hash"))
+                .select("url", "method", "_payload_key", "_prior_hash")
+            )
+            probe = probe.join(
+                nm_rows.select(*_FETCH_KEYS),
+                on=_FETCH_KEYS,
+                how="left_anti",
+            )
+            results_nm = nm_rows.select(
+                *_FETCH_KEYS,
+                F.lit(True).alias("_hit"),
+                F.lit(True).alias("_nm"),
+                F.col("_prior_hash").alias("_content_hash"),
+                F.lit(None).cast("string").alias("_page_title"),
+                F.lit(None).cast("string").alias("_text_sha"),
+                F.lit(None).cast("boolean").alias("_text_match"),
+            )
         # batch ≤ pending: the metadata estimate decides the join strategy
         # without a count job (conservative: a quota-capped batch can be far
         # smaller than pending, but a wrong guess only costs a sort-merge);
@@ -935,13 +977,15 @@ class CrawlJob:
             self.pages.select(*pages_cols),
             probe,
             pages_have_methods=self.pages_have_methods,
-            broadcast=pending_est <= self.broadcast_batch_limit,
+            broadcast=do_broadcast,
             bucketed=self.pages_bucketed,
         )
-        if self.conditional_fetch:
-            # 304 path: hash equality is decided JVM-side in the scan stage;
-            # unchanged bodies are nulled HERE so they never cross the Arrow
-            # boundary into the parse UDF and never enter the persist
+        if self.conditional_fetch and not digest_mode:
+            # in-stream 304 path (no digest column): hash equality is decided
+            # JVM-side in the scan stage; unchanged bodies are nulled HERE so
+            # they never cross the Arrow boundary into the parse UDF and
+            # never enter the persist (the bytes are still READ — only the
+            # digest-mode pre-join avoids that)
             not_mod = F.col("_prior_hash").isNotNull() & (
                 F.col("_prior_hash") == F.sha2(F.col("html"), 256)
             )
@@ -1021,7 +1065,8 @@ class CrawlJob:
         new = self.seen.filter_new(fresh).persist(StorageLevel.MEMORY_AND_DISK)
 
         delta, next_seq = self._round_delta(
-            batch, blocked, hits, new, round_idx, meta0, robots=robots
+            batch, blocked, hits, new, round_idx, meta0, robots=robots,
+            results_nm=results_nm,
         )
 
         # --- metrics (A1/A2/A4 parity + engine extensions) ride ON the write
@@ -1148,6 +1193,7 @@ class CrawlJob:
     def _round_delta(
         self, batch, blocked, hits, new, round_idx: int, meta0: dict,
         robots: DataFrame | None = None,
+        results_nm: DataFrame | None = None,
     ) -> tuple[DataFrame, int]:
         """The round's O(batch+new) state delta: touched rows + new rows.
 
@@ -1230,6 +1276,10 @@ class CrawlJob:
             F.sha2(F.col("text"), 256).alias("_text_sha"),
             (F.col("text") == F.col("src_text")).alias("_text_match"),
         )
+        if results_nm is not None:
+            # digest-mode 304 rows bypassed the fetch join entirely; their
+            # derived columns are the batch row's priors (nm when-branches)
+            results = results.unionByName(results_nm)
         # 304 rows (conditional revisit) keep the batch row's PRIOR derived
         # columns — the parse was skipped, and the body is byte-identical to
         # the capture those columns were computed from, so they still hold

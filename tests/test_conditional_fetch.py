@@ -161,3 +161,86 @@ def test_changed_subset_refetches_and_discovers_new_link(
             continue
         assert after[url]["status_code"] == 304, url
         assert after[url]["content_hash"] == b["content_hash"]
+
+
+# ---------------------------------------------------------------------------
+# digest mode: pages carry payload_digest (WARC-Payload-Digest analog) —
+# the 304 decision never reads the html column
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def pages_parquet(spark, pages, tmp_path_factory):
+    """Digest-bearing pages materialized as parquet so column pruning is real."""
+    out = str(tmp_path_factory.mktemp("cond_digest") / "pages")
+    pages.withColumn("payload_digest", F.sha2(F.col("html"), 256)).write.parquet(out)
+    return spark.read.parquet(out)
+
+
+def test_digest_mode_equals_instream_mode(
+    spark, pages, pages_parquet, first_crawl, tmp_path
+):
+    jd = _job(spark, _clone(first_crawl, tmp_path, "d1"), pages_parquet, True)
+    ji = _job(spark, _clone(first_crawl, tmp_path, "d2"), pages, True)
+    metrics = {}
+    for tag, j in (("digest", jd), ("instream", ji)):
+        j.reset_processed()
+        metrics[tag] = j.run()
+    got_d, got_i = _rows(jd), _rows(ji)
+    assert got_d == got_i
+    assert any(r["status_code"] == 304 for r in got_d.values())
+    assert sum(m.get("not_modified", 0) for m in metrics["digest"]) == sum(
+        m.get("not_modified", 0) for m in metrics["instream"]
+    ) > 0
+
+
+def test_digest_mode_changed_page_refetched(
+    spark, pages_parquet, first_crawl, tmp_path
+):
+    target = f"http://host0.test/p/0/{K}"
+    mutated = pages_parquet.withColumn(
+        "html",
+        F.when(
+            F.col("url") == target,
+            F.concat(F.col("html"), F.lit(b"<p>changed</p>")),
+        ).otherwise(F.col("html")),
+    ).withColumn("payload_digest", F.sha2(F.col("html"), 256))
+    job = _job(spark, _clone(first_crawl, tmp_path, "d3"), mutated, True)
+    before = _rows(job)
+    job.reset_processed()
+    job.run()
+    after = _rows(job)
+    assert after[target]["status_code"] == 200
+    assert after[target]["content_hash"] != before[target]["content_hash"]
+    others = [
+        u for u, b in before.items() if b["status"] == "done" and u != target
+    ]
+    assert others and all(after[u]["status_code"] == 304 for u in others)
+
+
+def test_digest_decision_scan_prunes_html(spark, pages_parquet, first_crawl, tmp_path):
+    """The digest-only projection must reach the parquet scan: the plan has a
+    pages scan whose ReadSchema includes payload_digest and NOT html."""
+    import contextlib
+    import io
+    import re
+
+    job = _job(spark, _clone(first_crawl, tmp_path, "d4"), pages_parquet, True)
+    job.reset_processed()
+    pending = job.frontier().where(F.col("status") == "pending")
+    probe = pending.select(
+        "url",
+        "method",
+        F.coalesce(F.col("payload"), F.lit("")).alias("_payload_key"),
+        F.col("content_hash").alias("_prior_hash"),
+    )
+    digests = job.pages.select("url", "payload_digest")
+    nm = digests.join(F.broadcast(probe), on="url").where(
+        F.col("payload_digest") == F.col("_prior_hash")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        nm.explain("formatted")
+    plan = buf.getvalue()
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    digest_scans = [s for s in schemas if "payload_digest" in s]
+    assert digest_scans, plan
+    assert all("html" not in s for s in digest_scans), digest_scans
