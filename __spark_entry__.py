@@ -604,6 +604,57 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training-data: standing near-dup index (incremental LSH, LSM) -----------
+# The query exercises the full index lifecycle — build on a partial corpus,
+# fold the rest in as an `added` capture diff (one atomic delta), then probe
+# a held-out batch — so the oracle value-checks the MAINTAINED state, not a
+# fresh build. Oracle = banded-LSH probe of batch (doc_id%10=0) against the
+# final corpus (doc_id%10<>0), replayed in DuckDB from the shared signature
+# formula.
+_NDX_SIG = ts.minhash_sigs_array_sql("text", _DD)
+
+
+@_q(
+    "neardup_index_probe",
+    f"""WITH corp AS MATERIALIZED (
+  SELECT doc_id, {_NDX_SIG} AS sig FROM documents WHERE doc_id % 10 <> 0),
+bat AS MATERIALIZED (
+  SELECT doc_id, {_NDX_SIG} AS sig FROM documents WHERE doc_id % 10 = 0),
+cb AS (SELECT doc_id, b.bi, sig[b.bi + 1] AS bv
+       FROM corp, (VALUES (0), (1), (2), (3)) AS b(bi)),
+bb AS (SELECT doc_id, b.bi, sig[b.bi + 1] AS bv
+       FROM bat, (VALUES (0), (1), (2), (3)) AS b(bi)),
+cand AS (SELECT DISTINCT bb.doc_id AS probe_id, cb.doc_id AS index_id
+         FROM bb JOIN cb ON bb.bi = cb.bi AND bb.bv = cb.bv
+         WHERE bb.doc_id <> cb.doc_id),
+scored AS (SELECT probe_id, index_id,
+  CAST(len(list_filter(range(1, {ts.N_MINHASH + 1}),
+                       i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS n_sig_match
+  FROM cand JOIN bat s1 ON s1.doc_id = probe_id
+            JOIN corp s2 ON s2.doc_id = index_id)
+SELECT probe_id, index_id, n_sig_match FROM scored WHERE n_sig_match >= 2""",
+)
+def q_neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.operators.dedup import NearDupIndex
+    from scrape_spark.plans.statestore import SnapshotStore
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where((F.col("doc_id") % 10) != 0)
+    initial = corpus.where((F.col("doc_id") % 7) != 0)
+    late = corpus.where((F.col("doc_id") % 7) == 0)
+    idx = NearDupIndex(
+        SnapshotStore(spark, tempfile.mkdtemp(prefix="spark_graft_ndx_")),
+        n_bands=4,
+        min_est_jaccard=0.25,
+    )
+    idx.build(initial)
+    idx.update(
+        late.select(F.col("doc_id"), F.lit("added").alias("status")),
+        corpus,
+    )
+    return idx.probe(docs.where((F.col("doc_id") % 10) == 0))
+
+
 # -- training-data: SimHash fingerprint buckets ------------------------------
 @_q(
     "simhash_buckets",

@@ -589,3 +589,194 @@ def strip_dup_spans_sql(
 SELECT d.doc_id, {expr} AS kept_text
 FROM _dsd d LEFT JOIN _dsp p USING (doc_id)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# standing near-dup index (incremental LSH, LSM discipline)
+# ---------------------------------------------------------------------------
+class NearDupIndex:
+    """A standing MinHash-LSH band-bucket index as one SnapshotStore table.
+
+    At lake scale the corpus is NOT re-signed per crawl: near-dup checking
+    an incoming batch (the round's new/changed captures) against 10^10
+    standing documents must touch only the band buckets the batch hashes
+    into. This class keeps the banded signatures as a persistent LSM table
+    (the same snapshot discipline as the CDX runs and ``PostingsIndex``):
+
+    - table ``neardup_lsh`` rows ``(op, band_idx, band_val, doc_id, sig)``;
+      ``op='add'`` is one live band row (``n_bands`` rows per doc, each
+      carrying the full signature for the verify stage), ``op='del'`` a
+      doc-level tombstone deleting every older row of that doc.
+    - :meth:`build` writes a base; :meth:`update` folds one crawl-to-crawl
+      ``capture_diff`` in as ONE atomic delta (tombstones for
+      removed+changed, re-signed rows for added+changed) — no two-table
+      commit pair to repair; :meth:`compact` materializes the
+      merge-on-read fold as a new base when the chain grows.
+    - :meth:`probe` joins a batch's map-side band rows against the live
+      index on ``(band_idx, band_val)`` — the only shuffle is batch-sized
+      band keys (in a real deployment the index table is bucketed by
+      ``band_val`` so the probe is a bucket-pruned scan), then verifies
+      candidates by exact signature overlap. Never all-pairs.
+
+    Tests pin every state bit-identical to a from-scratch :meth:`build`
+    on the live corpus, and probe results to a brute-force banded check.
+    The reference has no content dedup at all (its README's "duplicate
+    check by SHA-256" is URL-only, models.py:207-216); this is the
+    engine's scale path for the training-data extension.
+    """
+
+    TABLE = "neardup_lsh"
+    _SCHEMA = ["op", "band_idx", "band_val", "doc_id", "sig"]
+
+    def __init__(
+        self,
+        store,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_bands: int = 4,
+        min_est_jaccard: float = 0.25,
+    ):
+        if not 1 <= n_bands <= ts.N_MINHASH:
+            raise ValueError(f"n_bands must be in 1..{ts.N_MINHASH}")
+        self.store = store
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_bands = n_bands
+        self.min_est_jaccard = min_est_jaccard
+
+    # -- shared shapes ---------------------------------------------------------
+    def _band_rows(self, docs: DataFrame) -> DataFrame:
+        """Map-side banded signatures: (band_idx, band_val, doc_id, sig)."""
+        sigs = docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            ts.minhash_signature(self.text_col).alias("sig"),
+        )
+        return sigs.select(
+            F.posexplode(F.slice(F.col("sig"), 1, self.n_bands)).alias(
+                "band_idx", "band_val"
+            ),
+            "doc_id",
+            "sig",
+        ).select(*self._SCHEMA[1:])
+
+    def _op_rows(self, op: str, frame: DataFrame) -> DataFrame:
+        cols = [F.lit(op).alias("op")]
+        for c in self._SCHEMA[1:]:
+            if c in frame.columns:
+                cols.append(F.col(c))
+            elif c == "sig":
+                cols.append(
+                    F.expr("CAST(array() AS array<bigint>)").alias("sig")
+                )
+            elif c == "band_idx":
+                cols.append(F.lit(0).cast("int").alias(c))
+            else:
+                cols.append(F.lit(0).cast("long").alias(c))
+        return frame.select(*cols)
+
+    def _check_meta(self) -> None:
+        snap = self.store.current_snapshot(self.TABLE)
+        if snap is None:
+            raise KeyError("near-dup index not built")
+        nb = int(snap["meta"]["n_bands"])
+        if nb != self.n_bands:
+            raise ValueError(
+                f"index was built with n_bands={nb}, opened with {self.n_bands}"
+            )
+
+    # -- writes ----------------------------------------------------------------
+    def build(self, docs: DataFrame) -> None:
+        """Full (re)build: one base snapshot of banded signatures."""
+        self.store.write(
+            self.TABLE,
+            self._op_rows("add", self._band_rows(docs)),
+            meta={"base": True, "n_bands": self.n_bands},
+        )
+
+    def update(self, diff: DataFrame, new_docs: DataFrame) -> None:
+        """Fold one capture diff in — a single atomic delta commit.
+
+        ``diff`` carries (id_col, status in added|removed|changed|unchanged);
+        removed+changed tombstone, added+changed are re-signed from
+        ``new_docs`` (the post-diff corpus).
+        """
+        self._check_meta()
+        dels = diff.where(F.col("status").isin("removed", "changed")).select(
+            F.col(self.id_col).alias("doc_id")
+        )
+        upserted = diff.where(F.col("status").isin("added", "changed")).select(
+            F.col(self.id_col)
+        )
+        adds = self._band_rows(
+            new_docs.join(upserted, self.id_col, "left_semi")
+        )
+        self.store.write(
+            self.TABLE,
+            self._op_rows("del", dels).unionByName(self._op_rows("add", adds)),
+            meta={"n_bands": self.n_bands},
+        )
+
+    def compact(self) -> None:
+        """Materialize the merge-on-read fold as a new base snapshot."""
+        self._check_meta()
+        self.store.write(
+            self.TABLE,
+            self._op_rows("add", self.rows()),
+            meta={"base": True, "n_bands": self.n_bands},
+        )
+
+    # -- reads -----------------------------------------------------------------
+    def rows(self) -> DataFrame:
+        """Live band rows: fold base + deltas, applying doc tombstones."""
+        self._check_meta()
+        cur = None
+        for p in self.store.chain_parts(self.TABLE):
+            df = self.store.read(self.TABLE, p["id"])
+            adds = df.where(F.col("op") == "add").select(*self._SCHEMA[1:])
+            if cur is None:
+                cur = adds
+                continue
+            dels = df.where(F.col("op") == "del").select("doc_id")
+            cur = (
+                cur.join(dels, "doc_id", "left_anti")
+                .select(*self._SCHEMA[1:])
+                .unionByName(adds)
+            )
+        return cur
+
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """Near-dup candidates of ``batch`` against the standing corpus.
+
+        Returns (probe_id, index_id, n_sig_match) with signature overlap
+        >= min_est_jaccard * k, self-matches (same id on both sides)
+        excluded. Plan: batch band rows (map-only) ⋈ index band rows on
+        (band_idx, band_val) → distinct pairs → exact overlap verify.
+        """
+        idx = self.rows().select(
+            "band_idx",
+            "band_val",
+            F.col("doc_id").alias("index_id"),
+            F.col("sig").alias("sig_i"),
+        )
+        pb = self._band_rows(batch).select(
+            "band_idx",
+            "band_val",
+            F.col("doc_id").alias("probe_id"),
+            F.col("sig").alias("sig_p"),
+        )
+        cand = (
+            pb.join(idx, on=["band_idx", "band_val"], how="inner")
+            .where(F.col("probe_id") != F.col("index_id"))
+            .dropDuplicates(["probe_id", "index_id"])
+        )
+        overlap = F.expr(
+            "size(filter(zip_with(sig_p, sig_i, (a, b) -> a = b), x -> x))"
+        ).cast("long")
+        return (
+            cand.withColumn("n_sig_match", overlap)
+            .where(
+                F.col("n_sig_match")
+                >= F.lit(self.min_est_jaccard * ts.N_MINHASH)
+            )
+            .select("probe_id", "index_id", "n_sig_match")
+        )

@@ -1,0 +1,165 @@
+"""NearDupIndex — standing incremental LSH index, LSM discipline.
+
+Every maintained state is pinned bit-identical to a from-scratch build on
+the live corpus, and probe results to a brute-force banded check computed
+in plain Python from collected signatures.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.functions import textstats as ts
+from scrape_spark.operators.dedup import NearDupIndex, minhash_signatures
+from scrape_spark.plans.statestore import SnapshotStore
+
+N_BANDS = 4
+MIN_J = 0.25
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus_v1():
+    # planted near-dup families: i and i+100 share most words
+    rows = []
+    for i in range(40):
+        base = " ".join(f"w{i}g{j}" for j in range(10))
+        rows.append((i, base))
+        rows.append((i + 100, base + " extra tail"))
+    rows.append((900, ""))  # empty doc
+    return rows
+
+
+def _band_set(df):
+    return {
+        (r["band_idx"], r["band_val"], r["doc_id"], tuple(r["sig"]))
+        for r in df.collect()
+    }
+
+
+def _brute_probe(spark, batch_rows, corpus_rows):
+    """Banded-LSH probe spec in plain Python over collected signatures."""
+    sig = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in minhash_signatures(
+            _docs(spark, batch_rows + corpus_rows)
+        ).collect()
+    }
+    out = {}
+    for bid, _ in batch_rows:
+        for cid, _ in corpus_rows:
+            if bid == cid:
+                continue
+            if not any(sig[bid][b] == sig[cid][b] for b in range(N_BANDS)):
+                continue
+            n = sum(a == b for a, b in zip(sig[bid], sig[cid]))
+            if n >= MIN_J * ts.N_MINHASH:
+                out[(bid, cid)] = n
+    return out
+
+
+def _probe_dict(df):
+    return {
+        (r["probe_id"], r["index_id"]): r["n_sig_match"] for r in df.collect()
+    }
+
+
+def _idx(spark, tmp_path, name="ndx"):
+    return NearDupIndex(
+        SnapshotStore(spark, str(tmp_path / name)),
+        n_bands=N_BANDS,
+        min_est_jaccard=MIN_J,
+    )
+
+
+def test_build_rows_match_map_side_band_rows(spark, tmp_path):
+    idx = _idx(spark, tmp_path)
+    corpus = _docs(spark, _corpus_v1())
+    idx.build(corpus)
+    assert _band_set(idx.rows()) == _band_set(idx._band_rows(corpus))
+    # n_bands rows per doc
+    assert idx.rows().count() == len(_corpus_v1()) * N_BANDS
+
+
+def test_probe_matches_brute_force(spark, tmp_path):
+    corpus = _corpus_v1()
+    batch = [(5000 + i, " ".join(f"w{i}g{j}" for j in range(10)) + " suffix")
+             for i in range(8)]
+    batch.append((5100, "completely unrelated zz yy xx"))
+    idx = _idx(spark, tmp_path)
+    idx.build(_docs(spark, corpus))
+    got = _probe_dict(idx.probe(_docs(spark, batch)))
+    assert got == _brute_probe(spark, batch, corpus)
+    assert got  # the planted families must actually collide
+
+
+def test_update_pinned_to_full_rebuild(spark, tmp_path):
+    v1 = _corpus_v1()
+    idx = _idx(spark, tmp_path)
+    idx.build(_docs(spark, v1))
+
+    # v2: doc 0 changed, doc 1 removed, doc 7777 added
+    v2 = {i: t for i, t in v1}
+    v2[0] = "entirely new words here now"
+    del v2[1]
+    v2[7777] = " ".join(f"w3g{j}" for j in range(10))
+    v2_rows = sorted(v2.items())
+    diff = spark.createDataFrame(
+        [(0, "changed"), (1, "removed"), (7777, "added")]
+        + [(i, "unchanged") for i in v2 if i not in (0, 7777)],
+        "doc_id long, status string",
+    )
+    idx.update(diff, _docs(spark, v2_rows))
+
+    fresh = _idx(spark, tmp_path, "fresh")
+    fresh.build(_docs(spark, v2_rows))
+    assert _band_set(idx.rows()) == _band_set(fresh.rows())
+
+    # probe parity on the maintained index
+    batch = [(8888, " ".join(f"w3g{j}" for j in range(10)))]
+    assert _probe_dict(idx.probe(_docs(spark, batch))) == _brute_probe(
+        spark, batch, v2_rows
+    )
+
+
+def test_compact_preserves_state(spark, tmp_path):
+    v1 = _corpus_v1()
+    idx = _idx(spark, tmp_path)
+    idx.build(_docs(spark, v1))
+    diff = spark.createDataFrame([(1, "removed")], "doc_id long, status string")
+    idx.update(diff, _docs(spark, [r for r in v1 if r[0] != 1]))
+    before = _band_set(idx.rows())
+    assert idx.store.chain_length(idx.TABLE) == 1  # deltas since base
+    idx.compact()
+    assert idx.store.chain_length(idx.TABLE) == 0
+    assert _band_set(idx.rows()) == before
+
+
+def test_n_bands_mismatch_raises(spark, tmp_path):
+    idx = _idx(spark, tmp_path)
+    idx.build(_docs(spark, _corpus_v1()[:4]))
+    other = NearDupIndex(idx.store, n_bands=2)
+    with pytest.raises(ValueError, match="n_bands"):
+        other.rows()
+
+
+def test_unbuilt_index_raises(spark, tmp_path):
+    with pytest.raises(KeyError, match="not built"):
+        _idx(spark, tmp_path).rows()
+
+
+def test_changed_doc_old_signature_gone(spark, tmp_path):
+    """A changed doc's OLD band rows must not produce probe candidates."""
+    v1 = [(1, "alpha beta gamma delta"), (2, "unrelated text body")]
+    idx = _idx(spark, tmp_path)
+    idx.build(_docs(spark, v1))
+    v2 = [(1, "zz qq rr ss"), (2, "unrelated text body")]
+    diff = spark.createDataFrame(
+        [(1, "changed"), (2, "unchanged")], "doc_id long, status string"
+    )
+    idx.update(diff, _docs(spark, v2))
+    # a probe identical to doc 1's OLD text must not match doc 1 anymore
+    got = _probe_dict(idx.probe(_docs(spark, [(99, "alpha beta gamma delta")])))
+    assert got == _brute_probe(spark, [(99, "alpha beta gamma delta")], v2)
+    assert (99, 1) not in got
