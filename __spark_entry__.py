@@ -1273,6 +1273,74 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_DSUB, _PQ_STRIDE = 8, 8, 25
+
+
+def _pq_l2_duck(vec: str, sub: str, cv: str) -> str:
+    """DuckDB subspace squared-L2: in-order list_sum, double-cast-first —
+    the bit-replay of similarity._l2sq over a slice."""
+    x = f"CAST({vec}[({sub}) * {_PQ_DSUB} + j] AS DOUBLE)"
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_DSUB + 1}), "
+        f"j -> ({x} - {cv}[j]) * ({x} - {cv}[j])))"
+    )
+
+
+@_q(
+    "pq_ann_topk",
+    f"""WITH cbrows AS (SELECT vec_id, embedding,
+        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+      FROM embeddings WHERE vec_id % {_PQ_STRIDE} = 0),
+entries AS (SELECT s.sub, c.code,
+        list_transform(range(1, {_PQ_DSUB + 1}),
+                       j -> CAST(c.embedding[s.sub * {_PQ_DSUB} + j] AS DOUBLE)) AS cv
+      FROM cbrows c, (SELECT unnest(range(0, {_PQ_M})) AS sub) s),
+enc0 AS (SELECT e.vec_id, en.sub, en.code,
+        {_pq_l2_duck('e.embedding', 'en.sub', 'en.cv')} AS dist
+      FROM embeddings e, entries en),
+encr AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, code) AS rn FROM enc0),
+codes AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+      FROM encr WHERE rn = 1 GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0),
+dt0 AS (SELECT q.query_id, en.sub, en.code,
+        {_pq_l2_duck('q.qv', 'en.sub', 'en.cv')} AS d
+      FROM q, entries en),
+dt AS (SELECT query_id,
+        list({{'sub': sub, 'code': code, 'd': d}} ORDER BY sub, code) AS dtl
+      FROM dt0 GROUP BY query_id),
+sc AS (SELECT d.query_id, c.vec_id,
+        list_sum(list_transform(range(0, {_PQ_M}), s ->
+          list_filter(d.dtl, e -> e.sub = s
+                             AND e.code = c.codes[s + 1])[1].d)) AS adist
+      FROM codes c, dt d WHERE d.query_id <> c.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, vec_id) AS rank FROM sc)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, adist
+FROM r WHERE rank <= 10""",
+)
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN: stride-deterministic codebooks, codes-only corpus scan.
+
+    The 10^10-vector path: the per-query scan reads m=8 codes per row
+    instead of the 64-float vector (~32× less I/O); distances come from a
+    broadcast per-query table. The DuckDB oracle replays codebook build →
+    encoding → distance table → ADC ranking stage for stage.
+    """
+    from scrape_spark.operators.similarity import pq_index, pq_topk
+
+    emb = _emb(spark, sf_dir)
+    cb, codes = pq_index(emb, m=_PQ_M, stride=_PQ_STRIDE, dim=64)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(codes, cb, queries, k=10, m=_PQ_M, dim=64)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "adist"
+    )
+
+
 # hex-digit value of char i (1-based) of a sha256 hex string, DuckDB-side
 def _duck_hexdig(sha: str, i: int) -> str:
     return f"(strpos('0123456789abcdef', substr({sha}, {i}, 1)) - 1)"

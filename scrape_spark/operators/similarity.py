@@ -317,6 +317,204 @@ def ivf_topk(
     )
 
 
+# -- Product quantization (ADC) ----------------------------------------------
+#
+# The genuinely-10^10-scale vector path: PQ replaces each d-dim float vector
+# with m small codes (one per subspace), so the query-time corpus scan reads
+# m bytes per row instead of 4d — the standing `codes` table is ~32× smaller
+# than the vector table at d=64/m=8, and the scan is the whole cost at scale.
+# Asymmetric distance computation (ADC, Jégou et al. TPAMI'11): the query
+# keeps its exact vector, each subspace contributes the exact distance from
+# the query subvector to the row's assigned codeword, looked up from a tiny
+# per-query distance table built ONCE (m·ksub entries) and broadcast.
+#
+# Determinism discipline matches the IVF path: no k-means RNG — codewords are
+# the subvectors of stride-sampled corpus rows; all distances are double
+# in-order folds; argmin ties break toward the smaller code. Every stage is
+# therefore replayable in DuckDB (oracle `pq_ann_topk`).
+
+
+def _l2sq(a: str, b: str) -> str:
+    """Squared L2 between two double arrays — in-order fold, exact replay."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _subvec(vec_col: str, start_1b: str, dsub: int) -> str:
+    """Double-cast subvector slice (1-based start may be an expression)."""
+    return (
+        f"transform(slice({vec_col}, {start_1b}, {dsub}), "
+        f"x -> CAST(x AS DOUBLE))"
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    stride: int = 25,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: ``(sub, code, cv)`` — ksub codewords per
+    subspace, taken from the subvectors of corpus rows with
+    ``id % stride == 0`` (no k-means RNG: resumable, oracle-replayable).
+    ``code`` is the rank of the sampled row's id, so codes are dense
+    ``0..ksub-1`` and identical across subspaces. The unpartitioned
+    row_number window is safe: the codebook is tiny by construction
+    (ksub = n/stride rows; pass ``stride=None``-style sqrt sizing upstream
+    if needed — ksub ≈ 256 is the classic operating point)."""
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("pq_codebooks: empty corpus")
+        dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = corpus.where(F.col(id_col) % stride == 0).select(id_col, vec_col)
+    if rows.isEmpty():
+        raise ValueError(
+            f"pq_codebooks: no corpus id divisible by stride={stride}; "
+            "every codebook would be empty."
+        )
+    coded = rows.withColumn(
+        "code", (F.row_number().over(Window.orderBy(id_col)) - 1).cast("long")
+    )
+    subs = F.array(
+        *[
+            F.expr(
+                f"named_struct('sub', CAST({s} AS INT), "
+                f"'cv', {_subvec(vec_col, str(s * dsub + 1), dsub)})"
+            )
+            for s in range(m)
+        ]
+    )
+    return coded.select("code", F.explode(subs).alias("_e")).select(
+        F.col("_e.sub").alias("sub"), "code", F.col("_e.cv").alias("cv")
+    )
+
+
+def _argmin_code_expr(vec_col: str, s: int, dsub: int) -> str:
+    """Map-side nearest-codeword for subspace ``s``: fold over the broadcast
+    ``_cb`` entry array (same order-independent min-compare as the IVF
+    argmax; ties break toward the smaller code)."""
+    dist = _l2sq(_subvec(vec_col, str(s * dsub + 1), dsub), "e.cv")
+    return f"""aggregate(
+  transform(filter(_cb, e -> e.sub = {s}),
+            e -> named_struct('c', e.code, 'd', {dist})),
+  named_struct('bc', CAST(-1 AS BIGINT), 'bd', CAST('Infinity' AS DOUBLE)),
+  (acc, x) -> CASE
+      WHEN x.d < acc.bd OR (x.d = acc.bd AND x.c < acc.bc)
+      THEN named_struct('bc', x.c, 'bd', x.d)
+      ELSE acc END,
+  acc -> acc.bc)"""
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``(id, codes: array<bigint>)`` — one corpus
+    scan, codebooks broadcast as a single collected array row, argmin per
+    subspace as a JVM fold (no Python, no groupBy, no Exchange on the corpus
+    side). In production the result is the standing index table: write it
+    out once and amortize over every query batch."""
+    dsub = dim // m
+    cb_arr = codebooks.agg(
+        F.collect_list(F.struct("sub", "code", "cv")).alias("_cb")
+    )
+    codes = F.array(
+        *[F.expr(_argmin_code_expr(vec_col, s, dsub)) for s in range(m)]
+    )
+    return (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(cb_arr))
+        .select(id_col, codes.alias("codes"))
+    )
+
+
+def pq_index(
+    corpus: DataFrame,
+    m: int = 8,
+    stride: int = 25,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Convenience: ``(codebooks, codes)`` for ``pq_topk(codes, codebooks,…)``."""
+    cb = pq_codebooks(corpus, m, stride, dim, id_col, vec_col)
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    return cb, pq_encode(corpus, cb, m, dim, id_col, vec_col)
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC approximate top-k by squared L2: ``(query_id, vec_id, rank, adist)``.
+
+    Per-query distance table = queries × codebooks (both tiny; m·ksub rows
+    per query), collapsed to one array row per query and broadcast. The
+    corpus-side scan touches ONLY the codes table — never the vectors — and
+    each row costs m table lookups (the in-order sum keeps adist
+    bit-replayable). The only hash shuffle is the final per-query top-k
+    window, same as the IVF/LSH paths. Compose with IVF for list pruning
+    (filter codes by probed centroid ids before scoring) — classic IVF-PQ;
+    plain ADC is the exhaustive-scan variant (still ~32× less I/O than
+    brute force at d=64, m=8).
+
+    stride=1 codebooks make encoding lossless (every subvector is its own
+    codeword at distance 0), so ``pq_topk`` degrades exactly to brute-force
+    squared-L2 ranking — pinned in tests.
+    """
+    dsub = dim // m
+    q = queries.select(query_id_col, F.col(vec_col).alias("qv"))
+    d_expr = _l2sq(_subvec("qv", f"sub * {dsub} + 1", dsub), "cv")
+    dt = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(query_id_col, "sub", "code", F.expr(d_expr).alias("d"))
+        .groupBy(query_id_col)
+        .agg(F.collect_list(F.struct("sub", "code", "d")).alias("_dt"))
+    )
+    # (sub, code) is unique within _dt, so the filter-lookup is order-safe
+    # under collect_list's nondeterministic element order.
+    adist = F.expr(
+        f"""aggregate(
+  transform(sequence(0, {m - 1}), s ->
+    element_at(filter(_dt, e -> e.sub = s
+                             AND e.code = element_at(codes, s + 1)), 1).d),
+  CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+    )
+    scored = (
+        codes.join(F.broadcast(dt))
+        .where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("adist", adist)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "adist")
+    )
+
+
 def lsh_signature_duck_sql(vec: str, n_bits: int = 8, table: int = 0) -> str:
     """DuckDB rendering of ``lsh_signature`` — same planes, same fold order.
 
