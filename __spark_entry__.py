@@ -3715,6 +3715,98 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs)
 
 
+# -- linear classifier inference (FineWeb-Edu / fastText serving shape) -------
+# Deterministic synthetic model: vocabulary = distinct lowercased corpus
+# tokens whose char-fold hash ≡ 0 (mod 3) (so ~1/3 of tokens are in-vocab and
+# OOV handling is exercised); weight = (fold % 2001) - 1000 ∈ [-1000, 1000].
+# In production the frame carries a real trained model's quantized weights.
+def _clf_weights_duck() -> str:
+    from scrape_spark.functions.textstats import DUCK_DIALECT, _char_fold
+    from scrape_spark.operators.lmquality import tokens_sql
+
+    cf = _char_fold("_t", DUCK_DIALECT)
+    toks = tokens_sql("text", DUCK_DIALECT)
+    return f"""SELECT _t AS token,
+       CAST(({cf}) % 2001 - 1000 AS BIGINT) AS weight
+FROM (SELECT DISTINCT unnest({toks}) AS _t FROM documents)
+WHERE ({cf}) % 3 = 0"""
+
+
+def _clf_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrape_spark.functions.textstats import SPARK_DIALECT, _char_fold
+    from scrape_spark.operators.lmquality import tokens_sql
+
+    cf = _char_fold("_t", SPARK_DIALECT)
+    toks = tokens_sql("text", SPARK_DIALECT)
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(toks)).alias("_t"))
+        .distinct()
+        .where(F.expr(f"({cf}) % 3 = 0"))
+        .select(
+            F.col("_t").alias("token"),
+            F.expr(f"CAST(({cf}) % 2001 - 1000 AS BIGINT)").alias("weight"),
+        )
+    )
+
+
+def _clf_oracle() -> str:
+    from scrape_spark.operators.lmquality import classifier_score_sql
+
+    return classifier_score_sql(
+        "SELECT doc_id, text FROM documents", _clf_weights_duck()
+    )
+
+
+@_q("classifier_score", _clf_oracle())
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast linear model, map-side lookup, one doc-keyed shuffle."""
+    from scrape_spark.operators.lmquality import classifier_score
+
+    return classifier_score(
+        _docs(spark, sf_dir), _clf_weights_spark(spark, sf_dir)
+    )
+
+
+# -- bad-word token-ratio filter (RefinedWeb / C4 word blocklist) --------------
+def _badwords_duck() -> str:
+    from scrape_spark.functions.textstats import DUCK_DIALECT, _char_fold
+    from scrape_spark.operators.lmquality import tokens_sql
+
+    cf = _char_fold("_t", DUCK_DIALECT)
+    toks = tokens_sql("text", DUCK_DIALECT)
+    return f"""SELECT _t AS word
+FROM (SELECT DISTINCT unnest({toks}) AS _t FROM documents)
+WHERE ({cf}) % 37 = 0"""
+
+
+def _badwords_oracle() -> str:
+    from scrape_spark.operators.corpus import badword_stats_sql
+
+    return badword_stats_sql(
+        "SELECT doc_id, text FROM documents", _badwords_duck(), max_ratio_q4=100
+    )
+
+
+@_q("badword_flags", _badwords_oracle())
+def q_badword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklisted-token ratio per doc (synthetic fold-derived word list)."""
+    from scrape_spark.functions.textstats import SPARK_DIALECT, _char_fold
+    from scrape_spark.operators.corpus import badword_stats
+    from scrape_spark.operators.lmquality import tokens_sql
+
+    cf = _char_fold("_t", SPARK_DIALECT)
+    toks = tokens_sql("text", SPARK_DIALECT)
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(toks)).alias("_t"))
+        .distinct()
+        .where(F.expr(f"({cf}) % 37 = 0"))
+        .select(F.col("_t").alias("word"))
+    )
+    return badword_stats(_docs(spark, sf_dir), words, max_ratio_q4=100)
+
+
 # -- Count-Min heavy hitters + salting plan (mega-host skew detection) --------
 # Skewed synthetic stream: half the URLs belong to one mega-host, the rest
 # spread over 50 small hosts — the screen must keep exactly the mega-host.

@@ -1050,3 +1050,86 @@ def soft404_flags(
     return df.select(
         "*", *(F.expr(expr).alias(name) for name, expr in sig.items())
     )
+
+
+# ---------------------------------------------------------------------------
+# token blocklist (NSFW / bad-word ratio — the word complement of
+# blocklist_filter's URL-domain rules; RefinedWeb / C4 run both)
+# ---------------------------------------------------------------------------
+
+
+def badword_stats(
+    docs: DataFrame,
+    badwords: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_col: str = "word",
+    max_ratio_q4: int = 100,
+) -> DataFrame:
+    """Per-doc blocklisted-token ratio + flag.
+
+    ``(id, n_tokens, n_flagged, badword_ratio_q4, is_flagged)`` where
+    ``badword_ratio_q4 = floor(1e4 · n_flagged / n_tokens)`` (exact int64)
+    and ``is_flagged = ratio > max_ratio_q4`` (default 1%). Tokens are the
+    lowercased whitespace tokens of ``lmquality.tokens_sql`` — the same
+    tokenizer as classifier_score/vocab, so thresholds transfer. The word
+    list (LDNOOBW etc. in production; any one-column frame) is lowercased,
+    deduped, and broadcast — it never shuffles, and the only shuffle is the
+    doc-keyed count/sum with map-side combine. Zero-token docs yield no row.
+    """
+    from scrape_spark.operators.lmquality import tokens_sql
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(tokens_sql(text_col, ts.SPARK_DIALECT))).alias("_tok"),
+    )
+    b = F.broadcast(
+        badwords.select(F.lower(F.col(word_col)).alias("_tok"))
+        .distinct()
+        .withColumn("_bad", F.lit(1).cast("long"))
+    )
+    agg = (
+        toks.join(b, on="_tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_bad"), F.lit(0))).cast("long").alias(
+                "n_flagged"
+            ),
+        )
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_flagged",
+        F.expr("CAST(10000 * n_flagged div n_tokens AS BIGINT)").alias(
+            "badword_ratio_q4"
+        ),
+    ).withColumn("is_flagged", F.col("badword_ratio_q4") > F.lit(max_ratio_q4))
+
+
+def badword_stats_sql(
+    docs_sql: str,
+    badwords_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_col: str = "word",
+    max_ratio_q4: int = 100,
+) -> str:
+    """DuckDB replay of ``badword_stats`` (same tokenizer, same idiv)."""
+    from scrape_spark.operators.lmquality import tokens_sql
+
+    toks = tokens_sql(text_col, ts.DUCK_DIALECT)
+    return f"""WITH _docs AS ({docs_sql}),
+_bw AS (SELECT DISTINCT lower({word_col}) AS _t FROM ({badwords_sql})),
+_tok AS (SELECT {id_col}, unnest({toks}) AS _t FROM _docs),
+_j AS (SELECT t.{id_col},
+              CASE WHEN b._t IS NULL THEN 0 ELSE 1 END AS _bad
+       FROM _tok t LEFT JOIN _bw b USING (_t)),
+_a AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(_bad) AS BIGINT) AS n_flagged
+       FROM _j GROUP BY {id_col})
+SELECT {id_col}, n_tokens, n_flagged,
+       CAST(10000 * n_flagged // n_tokens AS BIGINT) AS badword_ratio_q4,
+       (10000 * n_flagged // n_tokens > {max_ratio_q4}) AS is_flagged
+FROM _a"""

@@ -357,3 +357,92 @@ SELECT {id_col}, n_feats,
   CAST(floor({SCORE_Q}.0 * (_s / CAST(n_feats AS DOUBLE))) AS BIGINT)
     AS logw_q6
 FROM _per"""
+
+
+# ---------------------------------------------------------------------------
+# linear text-classifier inference (fastText-style bag-of-words scoring)
+# ---------------------------------------------------------------------------
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    weight_col: str = "weight",
+    bias: int = 0,
+    threshold_q6: int = 0,
+) -> DataFrame:
+    """Linear bag-of-words classifier inference at corpus scale.
+
+    The FineWeb-Edu / fastText-supervised serving shape: a trained linear
+    model (one integer weight per vocabulary token — quantize float weights
+    upstream; ``token`` must be unique) is broadcast, every token occurrence
+    looks its weight up map-side, and the per-doc score is the weight mean:
+    ``score_q6 = floor(1e6 · (bias + Σ w(tok)) / n_tokens)`` with OOV
+    tokens contributing 0. ``label = score_q6 >= threshold_q6``.
+
+    Scale shape: ONE doc-keyed shuffle (count+sum partials map-side
+    combined after the broadcast join); the model never shuffles. Exact
+    int64 sums; only the final mean touches IEEE doubles, via the same
+    floor-over-double both engines replay identically. Zero-token docs
+    yield no row (same contract as ``doc_bigrams``).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(tokens_sql(text_col, _SD))).alias("_tok"),
+    )
+    w = F.broadcast(
+        weights.select(
+            F.col(token_col).alias("_tok"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+    )
+    agg = (
+        toks.join(w, on="_tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum(F.coalesce(F.col("_w"), F.lit(0))) + F.lit(bias))
+            .cast("long")
+            .alias("raw_score"),
+        )
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "raw_score",
+        F.expr(
+            f"CAST(floor({SCORE_Q}.0 * CAST(raw_score AS DOUBLE) "
+            f"/ CAST(n_tokens AS DOUBLE)) AS BIGINT)"
+        ).alias("score_q6"),
+    ).withColumn("label", F.col("score_q6") >= F.lit(threshold_q6))
+
+
+def classifier_score_sql(
+    docs_sql: str,
+    weights_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    weight_col: str = "weight",
+    bias: int = 0,
+    threshold_q6: int = 0,
+) -> str:
+    """DuckDB replay of ``classifier_score`` (same tokenizer, same floor)."""
+    toks = tokens_sql(text_col, _DD)
+    return f"""WITH _docs AS ({docs_sql}),
+_wt AS ({weights_sql}),
+_tok AS (SELECT {id_col}, unnest({toks}) AS _t FROM _docs),
+_j AS (SELECT t.{id_col}, CAST(coalesce(w.{weight_col}, 0) AS BIGINT) AS _wv
+       FROM _tok t LEFT JOIN _wt w ON t._t = w.{token_col}),
+_a AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(_wv) + {bias} AS BIGINT) AS raw_score
+       FROM _j GROUP BY {id_col}),
+_s AS (SELECT *, CAST(floor({SCORE_Q}.0 * CAST(raw_score AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS score_q6
+       FROM _a)
+SELECT {id_col}, n_tokens, raw_score, score_q6,
+       (score_q6 >= {threshold_q6}) AS label
+FROM _s"""

@@ -120,3 +120,94 @@ def test_lm_and_dsir_match_duckdb(spark):
         ).fetchall()
     )
     assert got2 == want2
+
+
+# -- linear classifier inference ----------------------------------------------
+
+
+def test_classifier_score_hand_computed(spark):
+    from scrape_spark.operators.lmquality import classifier_score
+
+    docs = _docs(spark, [(1, "Good good bad"), (2, "meh meh"), (3, "")])
+    weights = spark.createDataFrame(
+        [("good", 10), ("bad", -30)], "token string, weight long"
+    )
+    got = {r["doc_id"]: r for r in classifier_score(docs, weights).collect()}
+    # d1: tokens good,good,bad (lowercased) -> raw -10, mean -10/3
+    assert got[1]["n_tokens"] == 3 and got[1]["raw_score"] == -10
+    assert got[1]["score_q6"] == math.floor(1e6 * -10 / 3)
+    assert not got[1]["label"]
+    # d2: both OOV -> raw 0, label at threshold 0 is True
+    assert got[2]["raw_score"] == 0 and got[2]["label"]
+    # d3: zero tokens -> no row
+    assert 3 not in got
+
+
+def test_classifier_bias_threshold(spark):
+    from scrape_spark.operators.lmquality import classifier_score
+
+    docs = _docs(spark, [(1, "x y")])
+    weights = spark.createDataFrame([("x", 4)], "token string, weight long")
+    r = classifier_score(docs, weights, bias=6, threshold_q6=5_000_000).head()
+    # raw = 4 + 6 = 10, mean 5.0 -> q6 exactly 5e6 -> label True
+    assert r["raw_score"] == 10 and r["score_q6"] == 5_000_000 and r["label"]
+
+
+def test_classifier_negative_floor_matches_duck(spark):
+    """floor() on negative means must agree across engines (div-vs-floor trap)."""
+    import duckdb
+
+    from scrape_spark.operators.lmquality import (
+        classifier_score,
+        classifier_score_sql,
+    )
+
+    docs_rows = [(1, "a a b"), (2, "b c"), (3, "a c c")]
+    w_rows = [("a", -7), ("c", 5)]
+    docs = _docs(spark, docs_rows)
+    weights = spark.createDataFrame(w_rows, "token string, weight long")
+    got = sorted(
+        map(tuple, classifier_score(docs, weights).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs_rows)
+        + ") t(doc_id, text)"
+    )
+    con.execute(
+        "CREATE TABLE w AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}', {v})" for t, v in w_rows)
+        + ") t(token, weight)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                classifier_score_sql(
+                    "SELECT doc_id, text FROM d", "SELECT * FROM w"
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+# -- badword ratio -------------------------------------------------------------
+
+
+def test_badword_stats(spark):
+    from scrape_spark.operators.corpus import badword_stats
+
+    docs = _docs(
+        spark,
+        [(1, "clean text only here"), (2, "BAD bad ok"), (3, "bad")],
+    )
+    words = spark.createDataFrame([("Bad",)], "word string")
+    got = {r["doc_id"]: r for r in badword_stats(docs, words).collect()}
+    assert got[1]["n_flagged"] == 0 and not got[1]["is_flagged"]
+    # case-insensitive on both sides: 2/3 tokens flagged
+    assert got[2]["n_flagged"] == 2
+    assert got[2]["badword_ratio_q4"] == 10000 * 2 // 3
+    assert got[2]["is_flagged"]
+    assert got[3]["badword_ratio_q4"] == 10000 and got[3]["is_flagged"]
