@@ -1736,6 +1736,21 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition(lined)
 
 
+# -- training-data: the full Gopher n-gram repetition panel --------------------
+def _ngram_rep_oracle() -> str:
+    from scrape_spark.operators.corpus import ngram_repetition_sql
+
+    return ngram_repetition_sql("SELECT doc_id, text FROM documents")
+
+
+@_q("ngram_repetition", _ngram_rep_oracle())
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-{2,3,4}-gram coverage + dup-{5..10}-gram fraction, map-only."""
+    from scrape_spark.operators.corpus import ngram_repetition
+
+    return ngram_repetition(_docs(spark, sf_dir))
+
+
 # -- training-data: cross-corpus line-level dedup (CCNet boilerplate removal) --
 # shared CTE chain: fixture lines -> (doc, pos, line, hash) -> occurrence
 # count -> per-doc reassembly; `line_dedup` selects it directly and

@@ -299,44 +299,87 @@ def dup_line_frac_q4_sql(text: str, d: dict) -> str:
     return _bind(f"CAST({expr} AS BIGINT)", "__ln", lines, d)
 
 
-def top_bigram_cover_q4_sql(text: str, d: dict) -> str:
-    """Coverage of the most frequent word bigram (Gopher top-n-gram rule), q4.
+def _gram_hashes_sql(d: dict, n: int) -> str:
+    """Word n-gram hashes over the bound ``__wh`` word-hash array.
 
-    Bigram hashes over the first SHINGLE_WORDS tokens (cost cap — O(cap²)
-    worst case for the per-distinct occurrence counts, constant per row);
-    coverage = floor(1e4 * max_count / n_bigrams), 0 when under two words.
+    Left-fold base-1000003 mixing, unrolled per position (exact int64:
+    every partial stays < P·1e6·2 < 2^52). Guarded empty under n words —
+    sequence(1, 0) is DESCENDING on Spark, same trap as shingles.
     """
-    wh = word_hashes_sql(text, d, SHINGLE_WORDS)
-    n = d["size"].format(arr="__wh")
-    a1 = d["at"].format(arr="__wh", i="i")
-    a2 = d["at"].format(arr="__wh", i="i + 1")
-    bh = d["transform"].format(
-        arr=d["seq"].format(a="1", b=f"{n} - 1"),
-        lam=f"i -> ({a1} * 1000003 + {a2}) % {HASH_P}",
+    nvar = d["size"].format(arr="__wh")
+    expr = d["at"].format(arr="__wh", i="i")
+    for j in range(1, n):
+        nxt = d["at"].format(arr="__wh", i=f"i + {j}")
+        expr = f"(({expr}) * 1000003 + {nxt}) % {HASH_P}"
+    body = d["transform"].format(
+        arr=d["seq"].format(a="1", b=f"{nvar} - {n - 1}"),
+        lam=f"i -> {expr}",
     )
-    # guard: sequence(1, 0) is DESCENDING on Spark — same trap as shingles
-    bh_guarded = (
-        f"CASE WHEN {n} < 2 THEN {d['empty_bigint_array']} ELSE {bh} END"
+    return (
+        f"CASE WHEN {nvar} < {n} THEN {d['empty_bigint_array']} "
+        f"ELSE {body} END"
     )
-    counts = d["transform"].format(
-        arr=d["adistinct"].format(arr="__bh"),
+
+
+def _gram_counts_sql(d: dict) -> str:
+    """Occurrence count per distinct gram of the bound ``__gh`` array
+    (O(cap²) worst case — constant per row under the SHINGLE_WORDS cap)."""
+    return d["transform"].format(
+        arr=d["adistinct"].format(arr="__gh"),
         lam=(
             "__x -> CAST("
             + d["size"].format(
-                arr=d["filter"].format(arr="__bh", lam="__y -> __y = __x")
+                arr=d["filter"].format(arr="__gh", lam="__y -> __y = __x")
             )
             + " AS BIGINT)"
         ),
     )
-    nb = d["size"].format(arr="__bh")
+
+
+def top_ngram_cover_q4_sql(text: str, d: dict, n: int = 2) -> str:
+    """Share of n-gram occurrences held by the most frequent word n-gram
+    (Gopher "top n-gram fraction" repetition rule, Rae et al. A1.1 —
+    occurrence-count form of the paper's character fraction), q4:
+    floor(1e4 * max_count / n_grams), 0 when under n words.
+    """
+    wh = word_hashes_sql(text, d, SHINGLE_WORDS)
+    counts = _gram_counts_sql(d)
+    ng = d["size"].format(arr="__gh")
     cover = d["idiv"].format(
-        a=f"10000 * {d['amax'].format(arr=f'({counts})')}", b=nb
+        a=f"10000 * {d['amax'].format(arr=f'({counts})')}", b=ng
     )
     expr = (
-        f"CASE WHEN {nb} = 0 THEN CAST(0 AS BIGINT) "
+        f"CASE WHEN {ng} = 0 THEN CAST(0 AS BIGINT) "
         f"ELSE CAST({cover} AS BIGINT) END"
     )
-    return _bind(_bind(expr, "__bh", bh_guarded, d), "__wh", wh, d)
+    return _bind(_bind(expr, "__gh", _gram_hashes_sql(d, n), d), "__wh", wh, d)
+
+
+def top_bigram_cover_q4_sql(text: str, d: dict) -> str:
+    """Coverage of the most frequent word bigram — ``top_ngram_cover`` at
+    n=2 (kept as the named kernel doc_repetition ships)."""
+    return top_ngram_cover_q4_sql(text, d, 2)
+
+
+def dup_ngram_frac_q4_sql(text: str, d: dict, n: int) -> str:
+    """Share of n-gram positions whose n-gram occurs more than once
+    (Gopher "duplicate n-gram fraction", occurrence form), q4:
+    floor(1e4 * (n_grams - n_singleton_grams) / n_grams), 0 under n words.
+    Each singleton gram contributes exactly one position, so duplicated
+    positions = total - singletons — no per-position second pass needed.
+    """
+    wh = word_hashes_sql(text, d, SHINGLE_WORDS)
+    counts = _gram_counts_sql(d)
+    ng = d["size"].format(arr="__gh")
+    n_once = d["size"].format(
+        arr=d["filter"].format(arr=f"({counts})", lam="__c -> __c = 1")
+    )
+    frac = d["idiv"].format(a=f"10000 * ({ng} - {n_once})", b=ng)
+    expr = (
+        f"CASE WHEN {ng} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({frac} AS BIGINT) END"
+    )
+    return _bind(_bind(expr, "__gh", _gram_hashes_sql(d, n), d), "__wh", wh, d)
 
 
 def _bind(expr: str, var: str, value: str, d: dict) -> str:

@@ -1133,3 +1133,57 @@ SELECT {id_col}, n_tokens, n_flagged,
        CAST(10000 * n_flagged // n_tokens AS BIGINT) AS badword_ratio_q4,
        (10000 * n_flagged // n_tokens > {max_ratio_q4}) AS is_flagged
 FROM _a"""
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The full Gopher n-gram repetition panel (Rae et al. 2021 Table A1),
+    map-only: ``top_{n}gram_cover_q4`` for n ∈ top_ns (share of n-gram
+    occurrences held by the most frequent one) and ``dup_{n}gram_frac_q4``
+    for n ∈ dup_ns (share of n-gram positions occurring more than once),
+    all exact int64 over the SHINGLE_WORDS token cap — zero Python, zero
+    shuffle, bit-identical on the DuckDB oracle side. Compose with
+    ``.where`` thresholds for the filter form; ``doc_repetition`` carries
+    the line-granular complement.
+    """
+    cols = [F.col(id_col)]
+    for n in top_ns:
+        cols.append(
+            F.expr(ts.top_ngram_cover_q4_sql(text_col, ts.SPARK_DIALECT, n))
+            .alias(f"top_{n}gram_cover_q4")
+        )
+    for n in dup_ns:
+        cols.append(
+            F.expr(ts.dup_ngram_frac_q4_sql(text_col, ts.SPARK_DIALECT, n))
+            .alias(f"dup_{n}gram_frac_q4")
+        )
+    return docs.select(*cols)
+
+
+def ngram_repetition_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> str:
+    """DuckDB replay of ``ngram_repetition`` — same kernels, other dialect."""
+    cols = []
+    for n in top_ns:
+        cols.append(
+            f"{ts.top_ngram_cover_q4_sql(text_col, ts.DUCK_DIALECT, n)}"
+            f" AS top_{n}gram_cover_q4"
+        )
+    for n in dup_ns:
+        cols.append(
+            f"{ts.dup_ngram_frac_q4_sql(text_col, ts.DUCK_DIALECT, n)}"
+            f" AS dup_{n}gram_frac_q4"
+        )
+    return (
+        f"SELECT {id_col}, " + ", ".join(cols) + f" FROM ({docs_sql})"
+    )

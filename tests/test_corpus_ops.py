@@ -609,3 +609,47 @@ def test_soft404_matches_duckdb(spark):
         )
     )
     assert got == want
+
+
+# -- Gopher n-gram repetition panel -------------------------------------------
+
+
+def test_ngram_repetition_hand_computed(spark):
+    from scrape_spark.operators.corpus import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # 6 tokens; bigrams: ab,ba,ab,bc,cd -> top "a b" 2/5
+            (1, "a b a b c d"),
+            # all identical -> every gram duplicated, top covers all
+            (2, "x x x x x x x x"),
+            (3, "one two"),  # under n for n>=3
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_repetition(docs).collect()}
+    assert got[1]["top_2gram_cover_q4"] == 10000 * 2 // 5
+    # d1 5-grams: ababc, babcd — all singleton -> dup frac 0
+    assert got[1]["dup_5gram_frac_q4"] == 0
+    assert got[2]["top_2gram_cover_q4"] == 10000
+    assert got[2]["dup_5gram_frac_q4"] == 10000  # 4 positions, one gram
+    assert got[3]["top_3gram_cover_q4"] == 0  # under 3 words
+    assert got[4]["dup_10gram_frac_q4"] == 0
+    # d2 has 8 tokens: exactly one 8-gram (singleton), no 9/10-grams
+    assert got[2]["dup_8gram_frac_q4"] == 0
+    assert got[2]["dup_9gram_frac_q4"] == 0
+
+
+def test_top_bigram_matches_general_kernel(spark):
+    """The named bigram kernel is the n=2 instance (regression pin)."""
+    from scrape_spark.functions import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "q r s")], "i long, s string"
+    )
+    rows = df.selectExpr(
+        f"{ts.top_bigram_cover_q4_sql('s', ts.SPARK_DIALECT)} AS a",
+        f"{ts.top_ngram_cover_q4_sql('s', ts.SPARK_DIALECT, 2)} AS b",
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows)

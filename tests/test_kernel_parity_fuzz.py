@@ -45,6 +45,8 @@ _KERNELS = {
     "sim": ts.simhash_sql,
     "simw": ts.simhash_wide_sql,
     "mh0": lambda s, d: ts.minhash_sig_sql(s, d, 0),
+    "tn3": lambda s, d: ts.top_ngram_cover_q4_sql(s, d, 3),
+    "dn5": lambda s, d: ts.dup_ngram_frac_q4_sql(s, d, 5),
     "scm": lambda s, d: ts.main_script_sql(ts.script_counts_sql(s, d), d),
 }
 
