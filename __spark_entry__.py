@@ -3822,6 +3822,49 @@ def q_badword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return badword_stats(_docs(spark, sf_dir), words, max_ratio_q4=100)
 
 
+# -- IP-scope politeness (Heritrix/Nutch by-IP queues) -------------------------
+# Fixture: the frontier's 20 hosts; 16 of them resolve, sharing 3 IPs, so
+# scopes mix delays {120, 2, 5, 0} and the max-over-scope rule is exercised;
+# 4 hosts stay unresolved (degrade to per-host).
+_IP_HOSTS_SQL = """\
+SELECT 'host' || CAST(host_id AS STRING) || '.test' AS host,
+       CAST(CASE host_id % 4 WHEN 0 THEN 120 WHEN 1 THEN 2
+                             WHEN 2 THEN 5 ELSE 0 END AS INT) AS crawl_delay
+FROM (SELECT DISTINCT doc_id % 20 AS host_id FROM documents)"""
+_IP_MAP_SQL = """\
+SELECT 'host' || CAST(host_id AS STRING) || '.test' AS host,
+       '10.0.0.' || CAST(host_id % 3 AS STRING) AS ip
+FROM (SELECT DISTINCT doc_id % 20 AS host_id FROM documents)
+WHERE host_id % 5 <> 4"""
+_IP_QUOTA_SQL = (
+    "CASE WHEN eff_delay IS NULL OR eff_delay <= 0 THEN 10 "
+    "WHEN eff_delay > 60 THEN 1 "
+    "ELSE CAST(floor(CAST(60 AS DOUBLE) / eff_delay) AS INT) END"
+)
+
+
+def _ip_politeness_oracle() -> str:
+    from scrape_spark.operators.politeness import ip_politeness_dim_sql
+
+    dim = ip_politeness_dim_sql(_IP_HOSTS_SQL, _IP_MAP_SQL)
+    return f"SELECT *, {_IP_QUOTA_SQL} AS quota FROM ({dim})"
+
+
+@_q("ip_politeness_quota", _ip_politeness_oracle())
+def q_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-server politeness scope: shared IP → shared (max) delay → quota."""
+    from scrape_spark.operators.politeness import (
+        host_quota_expr,
+        ip_politeness_dim,
+    )
+
+    _view(spark, sf_dir, "documents")
+    dim = ip_politeness_dim(spark.sql(_IP_HOSTS_SQL), spark.sql(_IP_MAP_SQL))
+    return dim.withColumn(
+        "quota", host_quota_expr(F.col("eff_delay"), 60, 10)
+    )
+
+
 # -- Count-Min heavy hitters + salting plan (mega-host skew detection) --------
 # Skewed synthetic stream: half the URLs belong to one mega-host, the rest
 # spread over 50 small hosts — the screen must keep exactly the mega-host.

@@ -359,3 +359,76 @@ SELECT m.host, m.last_ok_ts, m.err_streak, m.backoff_mult,
        CAST(COALESCE(d.crawl_delay, 0) * m.backoff_mult AS BIGINT)
          AS effective_delay
 FROM _bk_m m LEFT JOIN _bk_d d USING (host)"""
+
+
+# ---------------------------------------------------------------------------
+# IP-level politeness scope (Heritrix/Nutch "by-IP" queue assignment)
+# ---------------------------------------------------------------------------
+
+
+def ip_politeness_dim(
+    host_delays: DataFrame,
+    ip_map: DataFrame | None = None,
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    ip_col: str = "ip",
+) -> DataFrame:
+    """Resolve the politeness SCOPE per host: ``(host, pol_key, eff_delay)``.
+
+    Many virtual hosts share one server; a crawler that spaces fetches per
+    hostname can still hammer the box. Heritrix and Nutch therefore offer
+    by-IP politeness queues — this operator computes that scope on the
+    (small) host dimension, never on the frontier:
+
+    - ``pol_key`` = the host's resolved IP when ``ip_map`` knows it, else
+      the host itself (unresolved hosts degrade to per-host politeness).
+    - ``eff_delay`` = the MOST CONSERVATIVE crawl delay over the scope
+      (max over the IP's hosts, NULLs ignored; all-NULL scopes stay NULL =
+      unknown → downstream ``host_quota_expr`` treats it as delay 0).
+
+    The result replaces ``(host, crawl_delay)`` wherever quota/slots are
+    computed: group ``per_host_take``/``assign_fetch_slots`` by ``pol_key``
+    with ``eff_delay`` and the contract becomes per-server spacing. Scale
+    shape: one shuffle over the host dim (≪ frontier; ≤ one row per host),
+    then the dim broadcasts into the frontier join exactly like robots.
+    """
+    hosts = host_delays.select(host_col, delay_col)
+    if ip_map is None:
+        return hosts.select(
+            host_col,
+            F.col(host_col).alias("pol_key"),
+            F.col(delay_col).alias("eff_delay"),
+        )
+    # deterministic pick when a host maps to several IPs: smallest wins
+    m = (
+        ip_map.select(host_col, ip_col)
+        .groupBy(host_col)
+        .agg(F.min(ip_col).alias(ip_col))
+    )
+    keyed = hosts.join(F.broadcast(m), on=host_col, how="left").withColumn(
+        "pol_key", F.coalesce(F.col(ip_col), F.col(host_col))
+    )
+    eff = keyed.groupBy("pol_key").agg(
+        F.max(delay_col).cast("int").alias("eff_delay")
+    )
+    return keyed.join(eff, on="pol_key").select(host_col, "pol_key", "eff_delay")
+
+
+def ip_politeness_dim_sql(
+    hosts_sql: str,
+    ip_map_sql: str,
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    ip_col: str = "ip",
+) -> str:
+    """DuckDB replay of ``ip_politeness_dim`` (same coalesce/max semantics)."""
+    return f"""WITH _h AS ({hosts_sql}),
+_m AS (SELECT {host_col}, min({ip_col}) AS {ip_col}
+       FROM ({ip_map_sql}) GROUP BY {host_col}),
+_k AS (SELECT h.{host_col}, h.{delay_col},
+              coalesce(m.{ip_col}, h.{host_col}) AS pol_key
+       FROM _h h LEFT JOIN _m m USING ({host_col})),
+_e AS (SELECT pol_key, CAST(max({delay_col}) AS INT) AS eff_delay
+       FROM _k GROUP BY pol_key)
+SELECT k.{host_col}, k.pol_key, e.eff_delay
+FROM _k k JOIN _e e USING (pol_key)"""

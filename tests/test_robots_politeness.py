@@ -389,3 +389,45 @@ def test_host_backoff_feeds_quota_expr(spark):
     q = {r["host"]: r["quota"] for r in out.collect()}
     assert q["d"] == 12  # healthy host: floor(60/5)
     assert q["b"] == 1  # 5s delay backed off 8x -> 40s -> one fetch/round
+
+
+# -- IP-scope politeness --------------------------------------------------------
+
+
+def test_ip_politeness_dim_scopes(spark):
+    from scrape_spark.operators.politeness import ip_politeness_dim
+
+    hosts = spark.createDataFrame(
+        [("a.test", 2), ("b.test", 120), ("c.test", None), ("d.test", 5)],
+        "host string, crawl_delay int",
+    )
+    ips = spark.createDataFrame(
+        [
+            ("a.test", "10.0.0.1"),
+            ("b.test", "10.0.0.1"),  # shares a server with a.test
+            ("c.test", "10.0.0.2"),
+            ("a.test", "10.0.0.9"),  # duplicate mapping: min ip wins
+            # d.test unresolved
+        ],
+        "host string, ip string",
+    )
+    got = {r["host"]: r for r in ip_politeness_dim(hosts, ips).collect()}
+    assert got["a.test"]["pol_key"] == "10.0.0.1"
+    # shared scope takes the most conservative delay
+    assert got["a.test"]["eff_delay"] == 120
+    assert got["b.test"]["eff_delay"] == 120
+    # all-NULL scope stays NULL (unknown -> delay-0 cap downstream)
+    assert got["c.test"]["eff_delay"] is None
+    # unresolved host degrades to per-host scope
+    assert got["d.test"]["pol_key"] == "d.test"
+    assert got["d.test"]["eff_delay"] == 5
+
+
+def test_ip_politeness_dim_no_map_is_identity(spark):
+    from scrape_spark.operators.politeness import ip_politeness_dim
+
+    hosts = spark.createDataFrame(
+        [("a.test", 3)], "host string, crawl_delay int"
+    )
+    r = ip_politeness_dim(hosts, None).head()
+    assert r["pol_key"] == "a.test" and r["eff_delay"] == 3
