@@ -3822,6 +3822,51 @@ def q_badword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return badword_stats(_docs(spark, sf_dir), words, max_ratio_q4=100)
 
 
+# -- text cleaning: punctuation normalization + mojibake detection ------------
+# The synthetic corpus is ASCII-clean, so dirt is grafted deterministically:
+# class-0 docs gain typographic punctuation + a zero-width char, class-1 docs
+# gain UTF-8-as-1252 mojibake, class-2 a plain tail, class-3 stay unchanged.
+_DIRTY_TEXT_SQL = (
+    "text || CASE doc_id % 4 "
+    "WHEN 0 THEN ' don’t — “quoted” … zero‌width' "
+    "WHEN 1 THEN ' Ã©tÃ© dÃ©jÃ  â€™ Â«quoteÂ»' "
+    "WHEN 2 THEN ' plain tail' ELSE '' END"
+)
+
+
+def _cleantext_oracle() -> str:
+    from scrape_spark.functions.cleantext import (
+        mojibake_count_sql,
+        normalize_punct_sql,
+    )
+
+    return f"""WITH d AS (SELECT doc_id, {_DIRTY_TEXT_SQL} AS text
+                          FROM documents)
+SELECT doc_id,
+       {normalize_punct_sql('text')} AS text_norm,
+       {mojibake_count_sql('text')} AS mojibake_hits,
+       ({mojibake_count_sql('text')} > 0) AS is_mojibake
+FROM d"""
+
+
+@_q("clean_text_stats", _cleantext_oracle())
+def q_clean_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only punctuation normalization + encoding-damage flag."""
+    from scrape_spark.functions.cleantext import (
+        mojibake_count,
+        normalize_punct,
+    )
+
+    _view(spark, sf_dir, "documents")
+    d = spark.sql(f"SELECT doc_id, {_DIRTY_TEXT_SQL} AS text FROM documents")
+    return d.select(
+        "doc_id",
+        normalize_punct("text").alias("text_norm"),
+        mojibake_count("text").alias("mojibake_hits"),
+        (mojibake_count("text") > 0).alias("is_mojibake"),
+    )
+
+
 # -- IP-scope politeness (Heritrix/Nutch by-IP queues) -------------------------
 # Fixture: the frontier's 20 hosts; 16 of them resolve, sharing 3 IPs, so
 # scopes mix delays {120, 2, 5, 0} and the max-over-scope rule is exercised;

@@ -11,6 +11,7 @@ import random
 
 import duckdb
 
+from scrape_spark.functions import cleantext as ct
 from scrape_spark.functions import textstats as ts
 
 _WORDS = ["spark", "row", "a", "the", "héllo", "wörld", "dup", "line", "x9"]
@@ -30,6 +31,10 @@ def _cases() -> list[str]:
         " ".join(f"t{i}" for i in range(ts.SHINGLE_WORDS + 5)),  # over the cap
         "héllo wörld héllo wörld",
         "x\ty tab inside token",
+        "don’t — “quoted” … end",
+        "Ã©tÃ© dÃ©jÃ  â€™ Â«xÂ» Â°",
+        "zero​width‌ and nbsp thin",
+        "mixed Ã© … — plain",
     ]
     for _ in range(40):
         n = rng.randint(1, 40)
@@ -47,6 +52,8 @@ _KERNELS = {
     "mh0": lambda s, d: ts.minhash_sig_sql(s, d, 0),
     "tn3": lambda s, d: ts.top_ngram_cover_q4_sql(s, d, 3),
     "dn5": lambda s, d: ts.dup_ngram_frac_q4_sql(s, d, 5),
+    "np": ct.normalize_punct_sql,
+    "mj": ct.mojibake_count_sql,
     "scm": lambda s, d: ts.main_script_sql(ts.script_counts_sql(s, d), d),
 }
 
