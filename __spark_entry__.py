@@ -3822,6 +3822,23 @@ def q_badword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return badword_stats(_docs(spark, sf_dir), words, max_ratio_q4=100)
 
 
+# -- semantic near-dup pairs straight from raw text ----------------------------
+def _text_sem_oracle() -> str:
+    from scrape_spark.operators.dedup import text_semantic_pairs_sql
+
+    return text_semantic_pairs_sql(
+        "SELECT doc_id, text FROM documents", min_cosine=0.80
+    )
+
+
+@_q("text_semantic_pairs", _text_sem_oracle())
+def q_text_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hash embedding → LSH bucket → within-bucket cosine pairs."""
+    from scrape_spark.operators.dedup import text_semantic_pairs
+
+    return text_semantic_pairs(_docs(spark, sf_dir), min_cosine=0.80)
+
+
 # -- text cleaning: punctuation normalization + mojibake detection ------------
 # The synthetic corpus is ASCII-clean, so dirt is grafted deterministically:
 # class-0 docs gain typographic punctuation + a zero-width char, class-1 docs

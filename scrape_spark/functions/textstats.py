@@ -614,3 +614,48 @@ def script_counts(text_col: str) -> Column:
 
 def main_script(counts_col: str) -> Column:
     return F.expr(main_script_sql(counts_col, SPARK_DIALECT))
+
+
+# ---------------------------------------------------------------------------
+# hashed bag-of-words embedding (feature hashing / "hashing trick")
+# ---------------------------------------------------------------------------
+
+
+def hash_embedding_sql(
+    text: str, d: dict, dim: int = 16, cap: int = SHINGLE_WORDS
+) -> str:
+    """Deterministic dense text embedding via feature hashing
+    (Weinberger et al. 2009): component b = Σ over the first ``cap`` tokens
+    with ``word_hash % dim = b`` of a ±1 sign drawn from the hash's next
+    bits. Exact int64 (``array<bigint>``) — no floats, no model — so the
+    kernel is bit-replayable on the oracle side; cast to double downstream
+    to feed the cosine/LSH/IVF/PQ vector operators (the raw-text on-ramp to
+    semantic dedup when no learned embeddings exist). Map-only, O(dim·cap)
+    per row.
+    """
+    wh = word_hashes_sql(text, d, cap)
+    comps = []
+    for b in range(dim):
+        filt = d["filter"].format(arr="__wh", lam=f"__h -> __h % {dim} = {b}")
+        signed = d["transform"].format(
+            arr=f"({filt})",
+            lam=(
+                "__h -> CAST("
+                + d["idiv"].format(a="__h", b=str(dim))
+                + " % 2 * 2 - 1 AS BIGINT)"
+            ),
+        )
+        # coalesce: DuckDB list_sum([]) is NULL where Spark's fold is 0
+        comps.append(
+            f"coalesce({d['asum'].format(arr=f'({signed})')}, CAST(0 AS BIGINT))"
+        )
+    arr = (
+        "array(" + ", ".join(comps) + ")"
+        if d is SPARK_DIALECT
+        else "[" + ", ".join(comps) + "]"
+    )
+    return _bind(arr, "__wh", wh, d)
+
+
+def hash_embedding(text_col: str, dim: int = 16) -> Column:
+    return F.expr(hash_embedding_sql(text_col, SPARK_DIALECT, dim))

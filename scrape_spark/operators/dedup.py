@@ -780,3 +780,115 @@ class NearDupIndex:
             )
             .select("probe_id", "index_id", "n_sig_match")
         )
+
+
+# ---------------------------------------------------------------------------
+# semantic near-dup straight from raw text (no learned embeddings needed)
+# ---------------------------------------------------------------------------
+
+
+def text_semantic_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+    n_bits: int = 8,
+    n_tables: int = 3,
+    min_cosine: float = 0.90,
+) -> DataFrame:
+    """SemDeDup-shaped near-dup pairs from raw text: hashed bag-of-words
+    embedding (textstats.hash_embedding — exact int64 feature hashing) →
+    multi-table sign-bit LSH buckets → within-bucket cosine ≥ threshold.
+
+    The raw-text on-ramp to the vector dedup stack when no learned
+    embeddings exist: the embedding and all ``n_tables`` bucket signatures
+    are ONE map-side projection (corpus scanned once, never hash-shuffled
+    on content), exploded to (table, bucket) rows; the pair join is
+    bucket-local per table (never all-pairs), candidate pairs are deduped
+    across tables BEFORE scoring so each pair's cosine is computed once.
+    Recall grows with ``n_tables`` at fixed ``n_bits`` — the same knob as
+    ``lsh_topk``. Only (id, vector, bucket) rows ride the exchange — text
+    stays in the scan. Returns (id_1, id_2, cosine), id_1 < id_2.
+    Zero-vector docs (no tokens) yield NULL cosine and drop at the
+    threshold — both engines agree (NULL comparison semantics).
+    """
+    from scrape_spark.operators.similarity import cosine_expr, lsh_signature
+
+    emb = docs.select(
+        F.col(id_col),
+        F.expr(
+            "transform("
+            + ts.hash_embedding_sql(text_col, ts.SPARK_DIALECT, dim)
+            + ", x -> CAST(x AS DOUBLE))"
+        ).alias("_hv"),
+    )
+    sig_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("_tbl"),
+                lsh_signature("_hv", n_bits, table=t).alias("_bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    b = emb.select(id_col, "_hv", F.explode(sig_arr).alias("_s")).select(
+        id_col, "_hv", "_s._tbl", "_s._bkt"
+    )
+    left = b.select(
+        F.col(id_col).alias("id_1"), F.col("_hv").alias("v1"), "_tbl", "_bkt"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_2"), F.col("_hv").alias("v2"), "_tbl", "_bkt"
+    )
+    return (
+        left.join(right, on=["_tbl", "_bkt"], how="inner")
+        .where(F.col("id_1") < F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+        .withColumn("cosine", cosine_expr("v1", "v2"))
+        .where(F.col("cosine") >= F.lit(min_cosine))
+        .select("id_1", "id_2", "cosine")
+    )
+
+
+def text_semantic_pairs_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+    n_bits: int = 8,
+    n_tables: int = 3,
+    min_cosine: float = 0.90,
+) -> str:
+    """DuckDB replay of ``text_semantic_pairs`` (same kernels, same fold
+    order — embedding via hash_embedding_sql, per-table buckets via
+    lsh_signature_duck_sql, OR-of-collisions with DISTINCT pair dedup,
+    cosine via the cast-first in-order list_sum)."""
+    from scrape_spark.operators.similarity import lsh_signature_duck_sql
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({x}) + 1), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    cos = (
+        f"({dot('v1', 'v2')} / "
+        f"(sqrt({dot('v1', 'v1')}) * sqrt({dot('v2', 'v2')})))"
+    )
+    hv = (
+        "list_transform("
+        + ts.hash_embedding_sql(text_col, ts.DUCK_DIALECT, dim)
+        + ", x -> CAST(x AS DOUBLE))"
+    )
+    sigs = ", ".join(
+        f"{lsh_signature_duck_sql('_hv', n_bits, t)} AS _b{t}"
+        for t in range(n_tables)
+    )
+    collide = " OR ".join(f"a._b{t} = b._b{t}" for t in range(n_tables))
+    return f"""WITH _e AS (SELECT {id_col}, {hv} AS _hv FROM ({docs_sql})),
+_b AS (SELECT *, {sigs} FROM _e),
+_c AS (SELECT DISTINCT a.{id_col} AS id_1, b.{id_col} AS id_2,
+              a._hv AS v1, b._hv AS v2
+       FROM _b a JOIN _b b ON ({collide}) AND a.{id_col} < b.{id_col}),
+_p AS (SELECT id_1, id_2, {cos} AS cosine FROM _c)
+SELECT id_1, id_2, cosine FROM _p WHERE cosine >= {min_cosine}"""

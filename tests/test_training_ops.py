@@ -881,3 +881,53 @@ def test_simhash_neardup_wide_matches_bruteforce(spark):
         for r in simhash_neardup_pairs(df, bits=bits, max_hamming=k).collect()
     }
     assert got == expected
+
+
+# -- text semantic near-dup (hash embedding + LSH bucket + cosine) -------------
+
+
+def test_text_semantic_pairs_planted(spark):
+    from scrape_spark.operators.dedup import text_semantic_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"unrelated document number {i} with words w{i} x{i*7} y{i*13}")
+            for i in range(20)]
+    # planted near-identical pair (one word changed) + an exact duplicate
+    rows += [(100, base), (101, base.replace("lazy", "sleepy")), (102, base)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_1, r.id_2): r.cosine
+        for r in text_semantic_pairs(docs, min_cosine=0.8).collect()
+    }
+    assert (100, 102) in pairs and abs(pairs[(100, 102)] - 1.0) < 1e-12
+    assert (100, 101) in pairs and pairs[(100, 101)] >= 0.8
+    # ordering contract
+    assert all(a < b for a, b in pairs)
+
+
+def test_text_semantic_pairs_no_cartesian_and_empty_ok(spark):
+    from scrape_spark.operators.dedup import text_semantic_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    out = text_semantic_pairs(docs, min_cosine=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = out.collect()
+    ids = {i for r in got for i in (r.id_1, r.id_2)}
+    assert (1, 3) == (got[0].id_1, got[0].id_2) if got else True
+    assert 2 not in ids  # zero-vector doc drops at the NULL-cosine threshold
+
+
+def test_text_semantic_recall_monotone_in_tables(spark):
+    from scrape_spark.operators.dedup import text_semantic_pairs
+
+    rows = [(i, f"doc {i} tok{i} tok{i*3} tok{i*5} shared common words here")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sizes = [
+        text_semantic_pairs(docs, n_tables=nt, min_cosine=0.5).count()
+        for nt in (1, 2, 4)
+    ]
+    assert sizes[0] <= sizes[1] <= sizes[2]
