@@ -3822,6 +3822,34 @@ def q_badword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return badword_stats(_docs(spark, sf_dir), words, max_ratio_q4=100)
 
 
+# -- composed document-level curation funnel -----------------------------------
+# Duplicate content is planted so the first-wins dedup stage has work: every
+# class-7 doc's text is replaced by doc 1's text (doc 1 stays canonical).
+_FUNNEL_DOCS_SQL = (
+    "SELECT d.doc_id, CASE WHEN d.doc_id % 7 = 0 AND d.doc_id <> 1 "
+    "THEN (SELECT text FROM documents WHERE doc_id = 1) "
+    "ELSE d.text END || CASE d.doc_id % 4 "
+    "WHEN 0 THEN ' don’t — “quoted”' WHEN 1 THEN ' Ã©tÃ© â€™' ELSE '' END "
+    "AS text FROM documents d"
+)
+
+
+def _funnel_oracle() -> str:
+    from scrape_spark.operators.corpus import quality_funnel_sql
+
+    return quality_funnel_sql(_FUNNEL_DOCS_SQL, _clf_weights_duck())
+
+
+@_q("quality_funnel", _funnel_oracle())
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean → gates → classifier → first-wins dedup → split, one lazy plan."""
+    from scrape_spark.operators.corpus import quality_funnel
+
+    _view(spark, sf_dir, "documents")
+    docs = spark.sql(_FUNNEL_DOCS_SQL)
+    return quality_funnel(docs, _clf_weights_spark(spark, sf_dir))
+
+
 # -- semantic near-dup pairs straight from raw text ----------------------------
 def _text_sem_oracle() -> str:
     from scrape_spark.operators.dedup import text_semantic_pairs_sql

@@ -1187,3 +1187,183 @@ def ngram_repetition_sql(
     return (
         f"SELECT {id_col}, " + ", ".join(cols) + f" FROM ({docs_sql})"
     )
+
+
+# ---------------------------------------------------------------------------
+# composed document-level curation funnel (the FineWeb-style quality chain)
+# ---------------------------------------------------------------------------
+
+#: Gopher-flavored repetition gates over the q4 kernels (occurrence form)
+FUNNEL_MAX_TOP2_COVER_Q4 = 2000  # top bigram holds <= 20% of bigram slots
+FUNNEL_MAX_DUP5_FRAC_Q4 = 1500  # <= 15% of 5-gram slots duplicated
+
+
+def quality_funnel(
+    docs: DataFrame,
+    clf_weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_lang: str | None = None,
+    clf_threshold_q6: int = 0,
+    split_weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """The document-level curation funnel as ONE lazy plan: punctuation
+    normalization → mojibake gate → lang-ID → Gopher word/stopword rules →
+    n-gram repetition gates → linear classifier gate → exact first-wins
+    dedup → deterministic split. The FineWeb/RefinedWeb processing order,
+    composed from the engine's oracle-checked kernels; each gate is a
+    REPORTED boolean so downstream can audit exactly which rule dropped a
+    page, and ``kept`` is their conjunction AND canonical-copy status.
+
+    Scale shape: stages 1-5 are one map-side projection over the scan;
+    the classifier adds one doc-keyed agg (broadcast model); dedup adds one
+    content-sha window; the final join keys on ``id_col``. Nothing ever
+    shuffles document text except the sha window's input — and that can be
+    pre-hashed upstream if text is wide (pass a sha column as ``text_col``'s
+    companion in a specialized variant).
+
+    ``target_lang=None`` reports ``lang`` without gating on it (synthetic
+    fixtures aren't English-like; production passes 'en').
+    """
+    from scrape_spark.functions.cleantext import (
+        mojibake_count_sql,
+        normalize_punct_sql,
+    )
+    from scrape_spark.operators.lmquality import classifier_score
+
+    d = ts.SPARK_DIALECT
+    norm = docs.select(
+        F.col(id_col),
+        F.expr(normalize_punct_sql(text_col)).alias("_tn"),
+        F.expr(mojibake_count_sql(text_col)).alias("mojibake_hits"),
+    )
+    g = gopher_rules_sql("_tn", d)
+    staged = norm.select(
+        F.col(id_col),
+        "_tn",
+        "mojibake_hits",
+        F.expr(ts.lang_pred_sql("_tn", d)).alias("lang"),
+        F.expr(g["rule_words"]).alias("rule_words"),
+        F.expr(g["rule_word_len"]).alias("rule_word_len"),
+        F.expr(g["rule_stopwords"]).alias("rule_stopwords"),
+        F.expr(ts.top_ngram_cover_q4_sql("_tn", d, 2)).alias("_top2"),
+        F.expr(ts.dup_ngram_frac_q4_sql("_tn", d, 5)).alias("_dup5"),
+    )
+    gates = (
+        staged.withColumn("gate_mojibake", F.col("mojibake_hits") == 0)
+        .withColumn(
+            "gate_lang",
+            F.lit(True) if target_lang is None
+            else F.col("lang") == F.lit(target_lang),
+        )
+        .withColumn(
+            "gate_gopher",
+            F.col("rule_words")
+            & F.col("rule_word_len")
+            & F.col("rule_stopwords"),
+        )
+        .withColumn(
+            "gate_repetition",
+            (F.col("_top2") <= FUNNEL_MAX_TOP2_COVER_Q4)
+            & (F.col("_dup5") <= FUNNEL_MAX_DUP5_FRAC_Q4),
+        )
+    )
+    # first-wins canonical copy per normalized content sha (one window)
+    wsha = Window.partitionBy(F.sha2(F.col("_tn"), 256))
+    gates = gates.withColumn(
+        "is_canonical", F.col(id_col) == F.min(id_col).over(wsha)
+    )
+    clf = classifier_score(
+        norm.select(id_col, F.col("_tn").alias("text")),
+        clf_weights,
+        id_col=id_col,
+        threshold_q6=clf_threshold_q6,
+    ).select(
+        F.col(id_col), F.col("score_q6"), F.col("label").alias("gate_clf")
+    )
+    # zero-token docs have no classifier row: they fail the gate (coalesce)
+    out = gates.join(clf, on=id_col, how="left").withColumn(
+        "gate_clf", F.coalesce(F.col("gate_clf"), F.lit(False))
+    )
+    out = out.withColumn(
+        "kept",
+        F.col("gate_mojibake")
+        & F.col("gate_lang")
+        & F.col("gate_gopher")
+        & F.col("gate_repetition")
+        & F.col("gate_clf")
+        & F.col("is_canonical"),
+    )
+    sw = split_weights or {"train": 98, "valid": 1, "test": 1}
+    out = split_assign(out, sw, id_col=id_col)
+    return out.select(
+        id_col, "lang", "mojibake_hits", "gate_mojibake", "gate_lang",
+        "gate_gopher", "gate_repetition", "gate_clf", "is_canonical",
+        "score_q6", "kept", "split_bucket", "split",
+    )
+
+
+def quality_funnel_sql(
+    docs_sql: str,
+    clf_weights_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_lang: str | None = None,
+    clf_threshold_q6: int = 0,
+    split_weights: dict[str, int] | None = None,
+) -> str:
+    """DuckDB replay of ``quality_funnel`` — every stage reuses the stage
+    kernel's own SQL builder so the funnel oracle can't drift from the
+    per-stage oracles."""
+    from scrape_spark.functions.cleantext import (
+        mojibake_count_sql,
+        normalize_punct_sql,
+    )
+    from scrape_spark.operators.lmquality import classifier_score_sql
+
+    d = ts.DUCK_DIALECT
+    g = gopher_rules_sql("_tn", d)
+    norm_docs = (
+        f"SELECT {id_col}, {normalize_punct_sql(text_col)} AS text "
+        f"FROM ({docs_sql})"
+    )
+    clf = classifier_score_sql(
+        norm_docs, clf_weights_sql, id_col=id_col,
+        threshold_q6=clf_threshold_q6,
+    )
+    gate_lang = (
+        "TRUE" if target_lang is None else f"(lang = '{target_lang}')"
+    )
+    sw = split_weights or {"train": 98, "valid": 1, "test": 1}
+    split_cols = split_assign_sql(sw, id_col=id_col)
+    return f"""WITH _norm AS (
+  SELECT {id_col}, {normalize_punct_sql(text_col)} AS _tn,
+         {mojibake_count_sql(text_col)} AS mojibake_hits
+  FROM ({docs_sql})),
+_st AS (
+  SELECT {id_col}, _tn, mojibake_hits,
+         {ts.lang_pred_sql('_tn', d)} AS lang,
+         {g['rule_words']} AS rule_words,
+         {g['rule_word_len']} AS rule_word_len,
+         {g['rule_stopwords']} AS rule_stopwords,
+         {ts.top_ngram_cover_q4_sql('_tn', d, 2)} AS _top2,
+         {ts.dup_ngram_frac_q4_sql('_tn', d, 5)} AS _dup5
+  FROM _norm),
+_g AS (
+  SELECT *, (mojibake_hits = 0) AS gate_mojibake, {gate_lang} AS gate_lang,
+         (rule_words AND rule_word_len AND rule_stopwords) AS gate_gopher,
+         (_top2 <= {FUNNEL_MAX_TOP2_COVER_Q4}
+          AND _dup5 <= {FUNNEL_MAX_DUP5_FRAC_Q4}) AS gate_repetition,
+         ({id_col} = min({id_col})
+            OVER (PARTITION BY sha256(_tn))) AS is_canonical
+  FROM _st),
+_clf AS (SELECT {id_col}, score_q6, label AS gate_clf FROM ({clf})),
+_j AS (
+  SELECT g.*, c.score_q6, coalesce(c.gate_clf, FALSE) AS gate_clf
+  FROM _g g LEFT JOIN _clf c USING ({id_col}))
+SELECT {id_col}, lang, mojibake_hits, gate_mojibake, gate_lang, gate_gopher,
+       gate_repetition, gate_clf, is_canonical, score_q6,
+       (gate_mojibake AND gate_lang AND gate_gopher AND gate_repetition
+        AND gate_clf AND is_canonical) AS kept,
+       {split_cols}
+FROM _j"""

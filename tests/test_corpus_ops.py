@@ -653,3 +653,46 @@ def test_top_bigram_matches_general_kernel(spark):
         f"{ts.top_ngram_cover_q4_sql('s', ts.SPARK_DIALECT, 2)} AS b",
     ).collect()
     assert all(r["a"] == r["b"] for r in rows)
+
+
+# -- composed quality funnel ----------------------------------------------------
+
+
+def test_quality_funnel_gates_and_dedup(spark):
+    from scrape_spark.operators.corpus import quality_funnel
+
+    fill = ["of", "in", "on", "at", "by", "for"]
+    good = " ".join(
+        w
+        for i in range(12)
+        for w in ("the", f"cat{i}", "is", f"dog{i}", fill[i % 6])
+    )  # 60 words, English stopwords, no repeated n-grams
+    rows = [
+        (1, good),
+        (2, good),  # exact duplicate -> not canonical
+        (3, "Ã©tÃ© " + good),  # mojibake -> gated
+        (4, "tiny doc"),  # under the Gopher word floor
+        (5, " ".join(["spam spam"] * 40)),  # repetition-gated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = spark.createDataFrame([("the", 1)], "token string, weight long")
+    got = {r["doc_id"]: r for r in quality_funnel(docs, w).collect()}
+    assert got[1]["kept"] and got[1]["is_canonical"]
+    assert not got[2]["kept"] and not got[2]["is_canonical"]
+    assert not got[3]["gate_mojibake"] and not got[3]["kept"]
+    assert not got[4]["gate_gopher"]
+    assert not got[5]["gate_repetition"]
+    assert all(r["split"] in ("train", "valid", "test") for r in got.values())
+
+
+def test_quality_funnel_lang_gate(spark):
+    from scrape_spark.operators.corpus import quality_funnel
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of a is")], "doc_id long, text string"
+    )
+    w = spark.createDataFrame([("the", 1)], "token string, weight long")
+    r_off = quality_funnel(docs, w).head()
+    r_on = quality_funnel(docs, w, target_lang="de").head()
+    assert r_off["gate_lang"] and r_off["lang"] == "en"
+    assert not r_on["gate_lang"]
