@@ -2120,6 +2120,35 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(spark.sql(_PR_EDGES_SQL), iterations=3)
 
 
+# -- webgraph shape report ------------------------------------------------------
+# Fixture exercises every stat: 100 sources linking into a 250-node id space
+# (≥150 dangling nodes), duplicate edge rows from the modding, and planted
+# self-loops on the class-50 sources.
+_GRAPH_STATS_EDGES_SQL = """\
+SELECT CAST(doc_id % 100 AS BIGINT) AS src,
+       CAST((doc_id * 7 + 3) % 250 AS BIGINT) AS dst
+FROM documents
+UNION ALL
+SELECT CAST(doc_id % 100 AS BIGINT) AS src,
+       CAST(doc_id % 100 AS BIGINT) AS dst
+FROM documents WHERE doc_id % 50 = 0"""
+
+
+def _graph_stats_oracle() -> str:
+    from scrape_spark.operators.webrank import graph_stats_sql
+
+    return graph_stats_sql(_GRAPH_STATS_EDGES_SQL)
+
+
+@_q("webgraph_stats", _graph_stats_oracle())
+def q_webgraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph shape report: nodes, edges, dangling, degree stats."""
+    from scrape_spark.operators.webrank import graph_stats
+
+    _view(spark, sf_dir, "documents")
+    return graph_stats(spark.sql(_GRAPH_STATS_EDGES_SQL))
+
+
 # -- sitemap discovery: robots.txt `Sitemap:` directives ----------------------
 # One robots body per host; every line shape exercised: canonical key,
 # indented UPPERCASE key, directive mixed among user-agent groups.
@@ -2808,12 +2837,26 @@ _SITEMAP_ENTRY_DD = """'<url><loc>http://site' || CAST(doc_id // 4 AS VARCHAR)
   || '.test/p/' || CAST(doc_id AS VARCHAR) || '</loc>'
   || CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2025-01-'
        || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
-     ELSE '' END || '</url>'"""
+     ELSE '' END
+  || CASE doc_id % 5 WHEN 0 THEN '<priority>0.8</priority>'
+       WHEN 1 THEN '<priority>bogus</priority>' ELSE '' END
+  || CASE doc_id % 4 WHEN 0 THEN '<changefreq>Daily</changefreq>'
+       WHEN 1 THEN '<changefreq>never</changefreq>' ELSE '' END
+  || '</url>'"""
 
 
 def _sitemap_oracle() -> str:
-    from scrape_spark.sources.sitemap import LASTMOD_RE, LOC_RE, URL_BLOCK_RE
+    from scrape_spark.sources.sitemap import (
+        CHANGEFREQ_RE,
+        LASTMOD_RE,
+        LOC_RE,
+        PRIORITY_RE,
+        URL_BLOCK_RE,
+        changefreq_seconds_sql,
+    )
 
+    prio_raw = f"nullif(regexp_extract(block, '{PRIORITY_RE}', 1), '')"
+    freq = f"lower(nullif(regexp_extract(block, '{CHANGEFREQ_RE}', 1), ''))"
     return f"""WITH E AS (SELECT doc_id // 4 AS sm_id, doc_id,
     {_SITEMAP_ENTRY_DD} AS entry FROM documents),
 X AS (SELECT sm_id,
@@ -2826,11 +2869,15 @@ B AS (SELECT sitemap_url,
         unnest(regexp_extract_all(xml, '{URL_BLOCK_RE}', 1)) AS block,
         generate_subscripts(
           regexp_extract_all(xml, '{URL_BLOCK_RE}', 1), 1) AS entry_pos
-      FROM S)
-SELECT sitemap_url, CAST(entry_pos AS BIGINT) AS entry_pos,
-  regexp_extract(block, '{LOC_RE}', 1) AS loc,
-  nullif(regexp_extract(block, '{LASTMOD_RE}', 1), '') AS lastmod
-FROM B WHERE regexp_extract(block, '{LOC_RE}', 1) <> ''"""
+      FROM S),
+R AS (SELECT sitemap_url, CAST(entry_pos AS BIGINT) AS entry_pos,
+        regexp_extract(block, '{LOC_RE}', 1) AS loc,
+        nullif(regexp_extract(block, '{LASTMOD_RE}', 1), '') AS lastmod,
+        coalesce(CAST(floor(10000 * TRY_CAST({prio_raw} AS DOUBLE))
+                      AS BIGINT), 5000) AS priority_q4,
+        {freq} AS changefreq
+      FROM B WHERE regexp_extract(block, '{LOC_RE}', 1) <> '')
+SELECT *, {changefreq_seconds_sql('changefreq')} AS changefreq_s FROM R"""
 
 
 @_q("sitemap_entries", _sitemap_oracle())
@@ -2853,6 +2900,12 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("</lastmod>"),
             ),
         ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("<priority>0.8</priority>"))
+        .when(d % 5 == 1, F.lit("<priority>bogus</priority>"))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("<changefreq>Daily</changefreq>"))
+        .when(d % 4 == 1, F.lit("<changefreq>never</changefreq>"))
+        .otherwise(F.lit("")),
         F.lit("</url>"),
     )
     per = _docs(spark, sf_dir).select(

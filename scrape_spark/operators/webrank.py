@@ -1171,3 +1171,85 @@ SELECT p.node, p.rank,
        CAST((100 * GREATEST(p.rank - k.k * t.trust, 0)) // p.rank AS BIGINT)
          AS spam_mass_pct
 FROM _sm_pr p JOIN _sm_tr t ON t.node = p.node, _sm_k k"""
+
+
+# ---------------------------------------------------------------------------
+# one-pass webgraph shape report
+# ---------------------------------------------------------------------------
+
+
+def graph_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row structural summary of the crawl webgraph — the shape report
+    every ranking run should gate on (dangling share drives PageRank's
+    virtual-root mass; max out-degree flags link farms / trap hubs before
+    they skew the edge shuffle): ``(n_nodes, n_edges, n_distinct_edges,
+    n_self_loops, n_dangling, max_out_degree, avg_out_degree_q4)``.
+
+    Exact int64 only (avg quantized ×1e4 via integer division). Scale
+    shape: one edge-keyed distinct + one src-keyed count (both map-side
+    combined) + one node union-distinct, each collapsing to a single-row
+    aggregate; the final assembly is cross-joins of 1-row frames, so the
+    whole report is ONE lazy plan with no driver-side action.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = e.select(F.col("s").alias("n")).union(
+        e.select(F.col("d").alias("n"))
+    ).distinct()
+    dist = e.distinct()
+    outdeg = dist.groupBy("s").agg(F.count("*").cast("long").alias("od"))
+    raw_agg = e.agg(F.count("*").cast("long").alias("n_edges"))
+    de_agg = dist.agg(
+        F.count("*").cast("long").alias("n_distinct_edges"),
+        F.coalesce(
+            F.sum((F.col("s") == F.col("d")).cast("long")), F.lit(0)
+        ).alias("n_self_loops"),
+    )
+    od_agg = outdeg.agg(
+        F.coalesce(F.max("od"), F.lit(0)).alias("max_out_degree"),
+        F.coalesce(F.sum("od"), F.lit(0)).alias("_od_tot"),
+    )
+    n_agg = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    # dangling = nodes that never appear as a distinct-edge source
+    dang_agg = nodes.join(
+        outdeg.select(F.col("s").alias("n")), on="n", how="left_anti"
+    ).agg(F.count("*").cast("long").alias("n_dangling"))
+    return (
+        n_agg.crossJoin(raw_agg)
+        .crossJoin(de_agg)
+        .crossJoin(dang_agg)
+        .crossJoin(od_agg)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_distinct_edges",
+            "n_self_loops",
+            "n_dangling",
+            "max_out_degree",
+            F.expr(
+                "CAST(10000 * _od_tot div greatest(1, n_nodes) AS BIGINT)"
+            ).alias("avg_out_degree_q4"),
+        )
+    )
+
+
+def graph_stats_sql(edges_sql: str, src: str = "src", dst: str = "dst") -> str:
+    """DuckDB replay of ``graph_stats`` (same distinct/dangling/avg rules)."""
+    return f"""WITH _e AS (SELECT {src} AS s, {dst} AS d FROM ({edges_sql})),
+_n AS (SELECT DISTINCT n FROM (SELECT s AS n FROM _e
+                               UNION ALL SELECT d FROM _e)),
+_de AS (SELECT DISTINCT s, d FROM _e),
+_od AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM _de GROUP BY s)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM _n) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM _e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM _de) AS n_distinct_edges,
+       (SELECT CAST(coalesce(sum(CASE WHEN s = d THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM _de) AS n_self_loops,
+       (SELECT CAST(count(*) AS BIGINT) FROM _n
+        WHERE n NOT IN (SELECT s FROM _od)) AS n_dangling,
+       (SELECT CAST(coalesce(max(od), 0) AS BIGINT) FROM _od)
+         AS max_out_degree,
+       CAST(10000 * (SELECT coalesce(sum(od), 0) FROM _od)
+            // greatest(1, (SELECT count(*) FROM _n)) AS BIGINT)
+         AS avg_out_degree_q4"""

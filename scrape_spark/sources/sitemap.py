@@ -35,6 +35,29 @@ URL_BLOCK_RE = "(?s)<url>(.*?)</url>"
 SITEMAP_BLOCK_RE = "(?s)<sitemap>(.*?)</sitemap>"
 LOC_RE = "<loc>([^<]*)</loc>"
 LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
+PRIORITY_RE = "<priority>([^<]*)</priority>"
+CHANGEFREQ_RE = "<changefreq>([^<]*)</changefreq>"
+
+#: sitemaps.org <changefreq> → revisit seconds for the freshness scheduler
+#: ('always' → 0 = every round; 'never' → NULL = change-estimate only).
+CHANGEFREQ_SECONDS = {
+    "always": 0,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,
+    "yearly": 31_536_000,
+}
+
+
+def changefreq_seconds_sql(freq: str) -> str:
+    """CASE mapping a (lowercased) changefreq value to seconds — shared
+    verbatim by both engines; unknown/'never'/absent values yield NULL."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS BIGINT)"
+        for k, v in CHANGEFREQ_SECONDS.items()
+    )
+    return f"CASE lower({freq}) {whens} END"
 
 
 def sitemap_entries(
@@ -42,12 +65,21 @@ def sitemap_entries(
     url_col: str = "sitemap_url",
     xml_col: str = "xml",
 ) -> DataFrame:
-    """(sitemap_url, entry_pos, loc, lastmod) per ``<url>`` entry.
+    """(sitemap_url, entry_pos, loc, lastmod, priority_q4, changefreq,
+    changefreq_s) per ``<url>`` entry.
 
     ``entry_pos`` is the 1-based document-order position (sitemaps are
     ordered by convention — position feeds the frontier's FIFO seq like
     link document order does). ``lastmod`` is NULL when absent. Entries
     with an empty ``<loc>`` are dropped (nothing to enqueue).
+
+    Scheduler columns: ``priority_q4`` = floor(1e4 · <priority>) with the
+    spec's 0.5 default when absent/unparseable (try_cast — a malformed
+    value degrades to the default instead of failing the scan under ANSI
+    mode); ``changefreq`` is the declared token (lowercased, NULL when
+    absent) and ``changefreq_s`` its revisit interval in seconds
+    (CHANGEFREQ_SECONDS; 'never'/unknown → NULL so the change-estimate
+    scheduler owns those URLs).
     """
     blocks = sitemaps.select(
         F.col(url_col).alias("sitemap_url"),
@@ -57,12 +89,25 @@ def sitemap_entries(
     )
     loc = F.expr(f"regexp_extract(block, '{LOC_RE}', 1)")
     lastmod = F.expr(f"nullif(regexp_extract(block, '{LASTMOD_RE}', 1), '')")
+    prio_raw = f"nullif(regexp_extract(block, '{PRIORITY_RE}', 1), '')"
+    priority = F.expr(
+        f"coalesce(CAST(floor(10000 * try_cast({prio_raw} AS DOUBLE)) "
+        f"AS BIGINT), 5000)"
+    )
+    freq = F.expr(
+        f"lower(nullif(regexp_extract(block, '{CHANGEFREQ_RE}', 1), ''))"
+    )
     return (
         blocks.select(
             "sitemap_url",
             (F.col("pos") + 1).cast("long").alias("entry_pos"),
             loc.alias("loc"),
             lastmod.alias("lastmod"),
+            priority.alias("priority_q4"),
+            freq.alias("changefreq"),
+        )
+        .withColumn(
+            "changefreq_s", F.expr(changefreq_seconds_sql("changefreq"))
         )
         .where(F.col("loc") != "")
     )

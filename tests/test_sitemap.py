@@ -242,3 +242,30 @@ def test_robots_sitemap_refs_comment_semantics(spark):
         # empties (an empty ref is unfetchable); otherwise identical
         expect = [u for u in (rp.site_maps() or []) if u]
         assert got[host] == expect, host
+
+
+def test_sitemap_priority_changefreq(spark):
+    from scrape_spark.sources.sitemap import sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://a/1</loc><priority>0.8</priority>"
+        "<changefreq>Daily</changefreq></url>"
+        "<url><loc>http://a/2</loc><priority>bogus</priority></url>"
+        "<url><loc>http://a/3</loc><changefreq>never</changefreq></url>"
+        "<url><loc>http://a/4</loc></url>"
+        "</urlset>"
+    )
+    sm = spark.createDataFrame(
+        [("http://a/sitemap.xml", xml)], "sitemap_url string, xml string"
+    )
+    got = {r["loc"]: r for r in sitemap_entries(sm).collect()}
+    assert got["http://a/1"]["priority_q4"] == 8000
+    assert got["http://a/1"]["changefreq"] == "daily"
+    assert got["http://a/1"]["changefreq_s"] == 86_400
+    # malformed priority degrades to the spec default, not a cast failure
+    assert got["http://a/2"]["priority_q4"] == 5000
+    assert got["http://a/3"]["changefreq"] == "never"
+    assert got["http://a/3"]["changefreq_s"] is None
+    assert got["http://a/4"]["priority_q4"] == 5000
+    assert got["http://a/4"]["changefreq"] is None

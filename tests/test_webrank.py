@@ -436,3 +436,35 @@ def test_opic_warm_start_new_nodes_get_fresh_cash(spark):
     }
     want = opic_py(new_edges, iterations=1, init=opic_py(old_edges, iterations=2))
     assert got == want
+
+
+# -- graph shape report ---------------------------------------------------------
+
+
+def test_graph_stats_hand_computed(spark):
+    from scrape_spark.operators.webrank import graph_stats
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 2),  # duplicate edge
+            (1, 3),
+            (2, 2),  # self loop
+            (3, 4),  # 4 is dangling
+        ],
+        "src long, dst long",
+    )
+    r = graph_stats(edges).head()
+    assert r["n_nodes"] == 4 and r["n_edges"] == 5
+    assert r["n_distinct_edges"] == 4 and r["n_self_loops"] == 1
+    assert r["n_dangling"] == 1  # only node 4
+    assert r["max_out_degree"] == 2  # node 1
+    assert r["avg_out_degree_q4"] == 10000 * 4 // 4
+
+
+def test_graph_stats_empty(spark):
+    from scrape_spark.operators.webrank import graph_stats
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    r = graph_stats(edges).head()
+    assert r["n_nodes"] == 0 and r["n_edges"] == 0
+    assert r["max_out_degree"] == 0 and r["avg_out_degree_q4"] == 0
