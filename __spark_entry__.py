@@ -3875,6 +3875,23 @@ def q_badword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return badword_stats(_docs(spark, sf_dir), words, max_ratio_q4=100)
 
 
+# -- training-context chunking (fixed token windows, overlapping optional) ----
+def _chunk_oracle() -> str:
+    from scrape_spark.operators.corpus import chunk_documents_sql
+
+    return chunk_documents_sql(
+        "SELECT doc_id, text FROM documents", window=24, stride=16
+    )
+
+
+@_q("chunk_documents", _chunk_oracle())
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24-token windows at stride 16 (overlap path exercised)."""
+    from scrape_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=24, stride=16)
+
+
 # -- composed document-level curation funnel -----------------------------------
 # Duplicate content is planted so the first-wins dedup stage has work: every
 # class-7 doc's text is replaced by doc 1's text (doc 1 stays canonical).

@@ -1367,3 +1367,81 @@ SELECT {id_col}, lang, mojibake_hits, gate_mojibake, gate_lang, gate_gopher,
         AND gate_clf AND is_canonical) AS kept,
        {split_cols}
 FROM _j"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into fixed-token-window training chunks:
+    ``(id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text)``.
+
+    The context-window prep step between curation and ``pack_sequences``:
+    chunk i covers tokens ``[i·stride, i·stride + window)`` (whitespace
+    tokens; 0-based ``chunk_start``); ``stride < window`` gives overlapping
+    chunks (the eval-time sliding window), the default ``stride = window``
+    tiles without overlap. The final partial chunk is kept (≥ 1 token).
+    Map-only: tokens are split once per row (let-bound), chunks explode from
+    a sequence — zero shuffle, zero Python; chunk_idx is deterministic so
+    downstream shuffles can't reorder meaning.
+    """
+    stride = window if stride is None else stride
+    if window < 1 or stride < 1:
+        raise ValueError("chunk_documents: window and stride must be >= 1")
+    d = ts.SPARK_DIALECT
+    toks = d["split"].format(s=text_col)
+    # number of chunk starts: 1 + floor((n - 1) / stride)  (n >= 1 always:
+    # split('') yields [''] — the empty doc is one empty-token chunk, same
+    # on both engines)
+    n = d["size"].format(arr="__tk")
+    n_chunks = f"(1 + {d['idiv'].format(a=f'({n} - 1)', b=stride)})"
+    chunks = F.expr(
+        ts._bind(
+            f"""transform(sequence(0, {n_chunks} - 1), __i -> named_struct(
+  'chunk_idx', CAST(__i AS BIGINT),
+  'chunk_start', CAST(__i * {stride} AS BIGINT),
+  'n_chunk_tokens',
+    CAST(least({window}, {n} - __i * {stride}) AS BIGINT),
+  'chunk_text',
+    array_join(slice(__tk, __i * {stride} + 1, {window}), ' ')))""",
+            "__tk",
+            toks,
+            d,
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_start").alias("chunk_start"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    docs_sql: str,
+    window: int = 64,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``chunk_documents`` (same tiling arithmetic)."""
+    stride = window if stride is None else stride
+    d = ts.DUCK_DIALECT
+    toks = d["split"].format(s=text_col)
+    return f"""WITH _t AS (SELECT {id_col}, {toks} AS __tk FROM ({docs_sql})),
+_x AS (SELECT {id_col}, __tk,
+         unnest(range(0, 1 + (len(__tk) - 1) // {stride})) AS __i
+       FROM _t)
+SELECT {id_col}, CAST(__i AS BIGINT) AS chunk_idx,
+       CAST(__i * {stride} AS BIGINT) AS chunk_start,
+       CAST(least({window}, len(__tk) - __i * {stride}) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(__tk[__i * {stride} + 1 : __i * {stride} + {window}],
+                       ' ') AS chunk_text
+FROM _x"""

@@ -696,3 +696,44 @@ def test_quality_funnel_lang_gate(spark):
     r_on = quality_funnel(docs, w, target_lang="de").head()
     assert r_off["gate_lang"] and r_off["lang"] == "en"
     assert not r_on["gate_lang"]
+
+
+# -- training-context chunking ---------------------------------------------------
+
+
+def test_chunk_documents_tiling_and_overlap(spark):
+    from scrape_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    # non-overlapping window 4: doc1 -> 3 chunks (4, 4, 2 tokens)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["n_chunk_tokens"],
+         r["chunk_text"])
+        for r in chunk_documents(docs, window=4).collect()
+    )
+    d1 = [g for g in got if g[0] == 1]
+    assert [(g[1], g[2], g[3]) for g in d1] == [(0, 0, 4), (1, 4, 4), (2, 8, 2)]
+    assert d1[0][4] == "t0 t1 t2 t3" and d1[2][4] == "t8 t9"
+    assert [g[3] for g in got if g[0] == 2] == [2]
+    # the empty doc is one empty-token chunk (split('') -> [''])
+    d3 = [g for g in got if g[0] == 3]
+    assert len(d3) == 1 and d3[0][4] == ""
+    # overlap: stride 2, window 4 over 10 tokens -> starts 0,2,4,6,8
+    ov = chunk_documents(docs.where("doc_id = 1"), window=4, stride=2)
+    assert [r["chunk_start"] for r in
+            sorted(ov.collect(), key=lambda r: r["chunk_idx"])] == [0, 2, 4, 6, 8]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from scrape_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=0)
