@@ -2120,6 +2120,39 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(spark.sql(_PR_EDGES_SQL), iterations=3)
 
 
+# -- URL language hints (pre-fetch routing signal) ------------------------------
+_LANG_HINT_URLS_SQL = """\
+SELECT doc_id, CASE doc_id % 6
+  WHEN 0 THEN 'http://site1.test/en/p/' || CAST(doc_id AS STRING)
+  WHEN 1 THEN 'http://de.site1.test/p/' || CAST(doc_id AS STRING)
+  WHEN 2 THEN 'http://site1.test/p/' || CAST(doc_id AS STRING) || '?hl=ja'
+  WHEN 3 THEN 'http://site1.test/v2/p/' || CAST(doc_id AS STRING)
+  WHEN 4 THEN 'http://js.site1.test/p/' || CAST(doc_id AS STRING)
+  ELSE 'http://site1.test/FR/p/' || CAST(doc_id AS STRING) || '?lang=xx'
+END AS url FROM documents"""
+
+
+def _url_lang_oracle() -> str:
+    from scrape_spark.functions.textstats import DUCK_DIALECT
+    from scrape_spark.functions.urltrap import url_lang_hint_sql
+
+    return (
+        f"SELECT doc_id, url, {url_lang_hint_sql('url', DUCK_DIALECT)} "
+        f"AS lang_hint FROM ({_LANG_HINT_URLS_SQL})"
+    )
+
+
+@_q("url_lang_hint", _url_lang_oracle())
+def q_url_lang_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared language from URL shape: path seg > subdomain > query param."""
+    from scrape_spark.functions.urltrap import url_lang_hint
+
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_LANG_HINT_URLS_SQL).select(
+        "doc_id", "url", url_lang_hint("url").alias("lang_hint")
+    )
+
+
 # -- webgraph shape report ------------------------------------------------------
 # Fixture exercises every stat: 100 sources linking into a 250-node id space
 # (≥150 dangling nodes), duplicate edge rows from the modding, and planted

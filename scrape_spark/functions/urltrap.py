@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from scrape_spark.functions.textstats import DUCK_DIALECT, SPARK_DIALECT
+from scrape_spark.functions.textstats import (
+    DUCK_DIALECT,
+    SPARK_DIALECT,
+    _bind,
+)
 
 # Default thresholds — tuned to the conventional values used by production
 # crawlers (path depth and repetition limits; param and length caps).
@@ -176,3 +180,51 @@ def crawlable_expr(url_col: str = "url") -> Column:
     cls = url_class_sql(url_col, SPARK_DIALECT)
     in_list = ", ".join(f"'{c}'" for c in CRAWLABLE_CLASSES)
     return F.expr(f"({cls}) IN ({in_list})")
+
+
+# ---------------------------------------------------------------------------
+# URL language hints (routing signal before any content is fetched)
+# ---------------------------------------------------------------------------
+
+#: ISO-639-1 codes the hint recognizes — the lang-ID marker languages plus
+#: the most common European/CJK web codes. Whitelisting is load-bearing:
+#: most 2-letter path segments ("js", "v2", "us") are NOT languages.
+URL_LANG_CODES = [
+    "en", "de", "fr", "es", "it", "pt", "nl", "ru", "uk", "ar", "fa",
+    "ja", "ko", "hi", "zh", "sv", "pl", "tr", "cs", "da", "fi", "no",
+    "el", "he", "id", "th", "vi",
+]
+
+#: capture regexes — shared verbatim (no backslashes: character classes and
+#: non-capturing groups only, identical in Java regex and RE2)
+_PATH_LANG_RE = "://[^/]+/([a-zA-Z][a-zA-Z])([/?#]|$)"
+_SUB_LANG_RE = "^[a-z]+://([a-zA-Z][a-zA-Z])[.]"
+_QUERY_LANG_RE = "[?&](?:lang|hl|locale)=([a-zA-Z][a-zA-Z])"
+
+
+def url_lang_hint_sql(url: str, d: dict) -> str:
+    """Declared-language hint from URL structure alone: the routing signal
+    a crawler has BEFORE fetching (content lang-ID needs the body; this
+    needs only the frontier row). Precedence: first path segment
+    (``/en/…``) > language subdomain (``en.site…``) > explicit query param
+    (``?lang=en``/``hl``/``locale``). Values are lowercased and validated
+    against ``URL_LANG_CODES`` — an unlisted 2-letter token is noise, not
+    a hint. NULL when nothing matches. Map-only, dialect-shared."""
+    codes = ", ".join(f"'{c}'" for c in URL_LANG_CODES)
+    arr = f"[{codes}]" if d is DUCK_DIALECT else f"array({codes})"
+
+    def hint(pattern: str) -> str:
+        v = f"lower(nullif(regexp_extract({url}, '{pattern}', 1), ''))"
+        contains = d["acontains"].format(arr=arr, x="__h")
+        # bind the extracted value once (regex runs once per candidate)
+        inner = f"CASE WHEN __h IS NOT NULL AND {contains} THEN __h END"
+        return _bind(inner, "__h", v, d)
+
+    return (
+        f"coalesce({hint(_PATH_LANG_RE)}, {hint(_SUB_LANG_RE)}, "
+        f"{hint(_QUERY_LANG_RE)})"
+    )
+
+
+def url_lang_hint(url_col: str = "url") -> Column:
+    return F.expr(url_lang_hint_sql(url_col, SPARK_DIALECT))

@@ -122,3 +122,32 @@ def test_url_ext_and_class_both_engines(spark):
             + url_class_sql("'" + u + "'", DUCK_DIALECT)
         ).fetchone()
         assert (de, dc) == (ext, cls), u
+
+
+# -- URL language hints -----------------------------------------------------------
+
+
+def test_url_lang_hint_precedence_and_whitelist(spark):
+    from scrape_spark.functions.urltrap import url_lang_hint
+
+    cases = [
+        (1, "http://site.test/en/page", "en"),
+        (2, "http://en.site.test/page", "en"),
+        (3, "http://site.test/page?hl=de", "de"),
+        (4, "http://site.test/v2/page", None),  # non-code segment
+        (5, "http://js.site.test/", None),  # non-code subdomain
+        (6, "http://site.test/EN/page", "en"),  # case-folded
+        (7, "http://site.test/?lang=xx", None),  # unlisted code
+        # precedence: path wins over conflicting query param
+        (8, "http://site.test/fr/page?hl=de", "fr"),
+        # subdomain wins over query param when no path hint
+        (9, "http://ja.site.test/page?hl=de", "ja"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "i long, url string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", url_lang_hint("url").alias("h")).collect()
+    }
+    assert got == {i: want for i, _, want in cases}
