@@ -296,3 +296,73 @@ def test_xml_namespaced_elements_resolve_by_local_name():
     assert extract_links(doc, "http://h.test/p/0") == [
         ("http://h.test/p/0/3", "ns")
     ]
+
+
+# -- main-content extraction (block segmentation + link density) ----------------
+
+
+def test_main_content_strips_chrome_and_link_farms():
+    from scrape_spark.functions.maincontent import extract_main_content
+
+    art1 = "This is the first real paragraph of the article body text here."
+    art2 = "A second substantial paragraph continues the article with detail."
+    html = f"""<html><head><title>T</title>
+    <script>var boiler = 'dropped entirely';</script>
+    <style>.x {{ color: red }}</style></head><body>
+    <nav><ul><li><a href="/a">Home page link</a></li>
+    <li><a href="/b">About page link here</a></li></ul></nav>
+    <div><p>{art1}</p><p>{art2}</p></div>
+    <div><a href="/1">one link</a> <a href="/2">two link</a>
+    <a href="/3">three link</a> farm</div>
+    <p>short</p>
+    <footer>Copyright chrome text that is long enough to pass length</footer>
+    </body></html>"""
+    main, n_blocks, n_kept = extract_main_content(html)
+    assert main == f"{art1}\n{art2}"
+    assert n_kept == 2
+    assert "boiler" not in main and "Copyright" not in main
+    assert n_blocks > n_kept
+
+
+def test_main_content_link_density_boundary():
+    from scrape_spark.functions.maincontent import extract_main_content
+
+    # a block that is exactly 1/3 anchor text is dropped; just under kept
+    body = "x" * 40
+    anchor = "y" * 20  # 20 * 3 >= 60 * 1 -> dropped
+    html = f"<p>{body}<a href='/'>{anchor}</a></p>"
+    main, _, kept = extract_main_content(html)
+    assert kept == 0
+    anchor = "y" * 19  # 19*3 = 57 < 59 -> kept
+    html = f"<p>{body}<a href='/'>{anchor}</a></p>"
+    main, _, kept = extract_main_content(html)
+    assert kept == 1
+
+
+def test_main_content_edge_inputs():
+    from scrape_spark.functions.maincontent import extract_main_content
+
+    assert extract_main_content("") == ("", 0, 0)
+    assert extract_main_content("plain text " * 5)[2] == 1
+    # unclosed boiler container still suppresses following text
+    main, _, kept = extract_main_content(
+        "<footer><p>" + "chrome text here that is long enough ok " * 2
+    )
+    assert kept == 0
+    # nested nav inside article: only the nav block drops
+    art = "Real article sentence that is long enough to be kept for sure."
+    main, _, _ = extract_main_content(
+        f"<article><p>{art}</p><nav>menu menu menu menu menu menu</nav></article>"
+    )
+    assert main == art
+
+
+def test_main_content_udf(spark):
+    from scrape_spark.functions.maincontent import main_content_expr
+
+    art = "Body paragraph long enough to be retained by the extractor rules."
+    df = spark.createDataFrame(
+        [(1, f"<nav>m m m</nav><p>{art}</p>".encode())], "i long, html binary"
+    )
+    r = df.select(main_content_expr("html").alias("m")).head()
+    assert r["m"]["main_text"] == art and r["m"]["n_kept"] == 1
