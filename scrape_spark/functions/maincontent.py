@@ -48,6 +48,11 @@ BLOCK_TAGS = frozenset(
 BOILER_TAGS = frozenset("nav header footer aside form".split())
 #: containers whose text is not document text at all
 IGNORE_TAGS = frozenset("script style noscript template".split())
+#: metadata scope — not article text (the byte-identical reference path
+#: keeps it; the main-content pass must not). Tracked separately from
+#: IGNORE_TAGS because real pages leave <head>/<title> unclosed: a <body>
+#: or block-level start tag force-closes the metadata scope, as browsers do.
+META_TAGS = frozenset("head title".split())
 
 MIN_BLOCK_CHARS = 25
 #: keep a block iff anchor_chars * LINK_DENSITY_DEN < text_chars * LINK_DENSITY_NUM
@@ -71,6 +76,7 @@ class _BlockParser(HTMLParser):
         self._cur: _Block | None = None
         self._boiler = 0
         self._ignore = 0
+        self._meta = 0
         self._anchor = 0
 
     def _flush(self) -> None:
@@ -78,14 +84,23 @@ class _BlockParser(HTMLParser):
         if cur is not None and cur.chunks:
             self.blocks.append(cur)
         self._cur = None
+        # browsers auto-close anchors at block boundaries; HTMLParser does
+        # not, so an unclosed <a> would otherwise mark every later block as
+        # 100% anchor text and empty the whole extraction (anchors that
+        # legitimately span block tags lose attribution — the lesser error)
+        self._anchor = 0
 
     def _start(self, tag: str) -> None:
         if tag in IGNORE_TAGS:
             self._ignore += 1
+        elif tag in META_TAGS:
+            self._meta += 1
         elif tag in BOILER_TAGS:
+            self._meta = 0
             self._flush()
             self._boiler += 1
-        elif tag in BLOCK_TAGS:
+        elif tag in BLOCK_TAGS or tag == "body":
+            self._meta = 0  # body/block content force-closes <head>/<title>
             self._flush()
         elif tag == "a":
             self._anchor += 1
@@ -93,6 +108,8 @@ class _BlockParser(HTMLParser):
     def _end(self, tag: str) -> None:
         if tag in IGNORE_TAGS:
             self._ignore = max(0, self._ignore - 1)
+        elif tag in META_TAGS:
+            self._meta = max(0, self._meta - 1)
         elif tag in BOILER_TAGS:
             self._flush()
             self._boiler = max(0, self._boiler - 1)
@@ -112,7 +129,7 @@ class _BlockParser(HTMLParser):
         self._end(tag)
 
     def handle_data(self, data: str) -> None:
-        if self._ignore or not data:
+        if self._ignore or self._meta or not data:
             return
         if self._cur is None:
             self._cur = _Block(self._boiler > 0)

@@ -1077,32 +1077,22 @@ def badword_stats(
     deduped, and broadcast — it never shuffles, and the only shuffle is the
     doc-keyed count/sum with map-side combine. Zero-token docs yield no row.
     """
-    from scrape_spark.operators.lmquality import tokens_sql
+    from scrape_spark.operators.lmquality import _token_weight_agg
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.expr(tokens_sql(text_col, ts.SPARK_DIALECT))).alias("_tok"),
-    )
-    b = F.broadcast(
-        badwords.select(F.lower(F.col(word_col)).alias("_tok"))
+    # unit-weight model over the deduped lowercased list: n_flagged = Σw.
+    # (The shared core keeps the tokenizer/zero-token/OOV contract in ONE
+    # place for classifier_score and this operator.)
+    unit = (
+        badwords.select(F.lower(F.col(word_col)).alias("word"))
         .distinct()
-        .withColumn("_bad", F.lit(1).cast("long"))
+        .withColumn("w", F.lit(1).cast("long"))
     )
-    agg = (
-        toks.join(b, on="_tok", how="left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("_bad"), F.lit(0))).cast("long").alias(
-                "n_flagged"
-            ),
-        )
-    )
+    agg = _token_weight_agg(docs, unit, id_col, text_col, "word", "w")
     return agg.select(
         F.col(id_col),
         "n_tokens",
-        "n_flagged",
-        F.expr("CAST(10000 * n_flagged div n_tokens AS BIGINT)").alias(
+        F.col("_wsum").alias("n_flagged"),
+        F.expr("CAST(10000 * _wsum div n_tokens AS BIGINT)").alias(
             "badword_ratio_q4"
         ),
     ).withColumn("is_flagged", F.col("badword_ratio_q4") > F.lit(max_ratio_q4))
@@ -1116,19 +1106,17 @@ def badword_stats_sql(
     word_col: str = "word",
     max_ratio_q4: int = 100,
 ) -> str:
-    """DuckDB replay of ``badword_stats`` (same tokenizer, same idiv)."""
-    from scrape_spark.operators.lmquality import tokens_sql
+    """DuckDB replay of ``badword_stats`` (same shared core, same idiv)."""
+    from scrape_spark.operators.lmquality import _token_weight_agg_sql
 
-    toks = tokens_sql(text_col, ts.DUCK_DIALECT)
-    return f"""WITH _docs AS ({docs_sql}),
-_bw AS (SELECT DISTINCT lower({word_col}) AS _t FROM ({badwords_sql})),
-_tok AS (SELECT {id_col}, unnest({toks}) AS _t FROM _docs),
-_j AS (SELECT t.{id_col},
-              CASE WHEN b._t IS NULL THEN 0 ELSE 1 END AS _bad
-       FROM _tok t LEFT JOIN _bw b USING (_t)),
-_a AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
-              CAST(sum(_bad) AS BIGINT) AS n_flagged
-       FROM _j GROUP BY {id_col})
+    unit = (
+        f"SELECT DISTINCT lower({word_col}) AS word, "
+        f"CAST(1 AS BIGINT) AS w FROM ({badwords_sql})"
+    )
+    core = _token_weight_agg_sql(docs_sql, unit, id_col, text_col, "word", "w")
+    return f"""WITH _a AS (SELECT {id_col}, n_tokens,
+                    CAST(_wsum AS BIGINT) AS n_flagged
+              FROM ({core}))
 SELECT {id_col}, n_tokens, n_flagged,
        CAST(10000 * n_flagged // n_tokens AS BIGINT) AS badword_ratio_q4,
        (10000 * n_flagged // n_tokens > {max_ratio_q4}) AS is_flagged

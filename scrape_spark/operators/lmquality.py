@@ -364,6 +364,65 @@ FROM _per"""
 # ---------------------------------------------------------------------------
 
 
+def _token_weight_agg(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Shared explode → broadcast-left-join → doc-keyed (count, Σweight)
+    core behind ``classifier_score`` and ``corpus.badword_stats``:
+    ``(id, n_tokens, _wsum)`` with OOV occurrences contributing 0.
+
+    Weight-table tokens are LOWERCASED to match the tokenizer — a
+    mixed-case vocab row ('The', 'NASA') would otherwise be permanent OOV.
+    Tokens must be unique after lowercasing (duplicates would multiply
+    matching occurrences). ONE doc-keyed shuffle, map-side combined; the
+    model never shuffles. Zero-token docs yield no row.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(tokens_sql(text_col, _SD))).alias("_tok"),
+    )
+    w = F.broadcast(
+        weights.select(
+            F.lower(F.col(token_col)).alias("_tok"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+    )
+    return (
+        toks.join(w, on="_tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_w"), F.lit(0)))
+            .cast("long")
+            .alias("_wsum"),
+        )
+    )
+
+
+def _token_weight_agg_sql(
+    docs_sql: str,
+    weights_sql: str,
+    id_col: str,
+    text_col: str,
+    token_col: str,
+    weight_col: str,
+) -> str:
+    """DuckDB replay of ``_token_weight_agg`` (same tokenizer + lowercase)."""
+    toks = tokens_sql(text_col, _DD)
+    return f"""SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(_wv) AS BIGINT) AS _wsum
+FROM (SELECT t.{id_col}, CAST(coalesce(w.{weight_col}, 0) AS BIGINT) AS _wv
+      FROM (SELECT {id_col}, unnest({toks}) AS _t FROM ({docs_sql})) t
+      LEFT JOIN (SELECT lower({token_col}) AS _t, {weight_col}
+                 FROM ({weights_sql})) w USING (_t))
+GROUP BY {id_col}"""
+
+
 def classifier_score(
     docs: DataFrame,
     weights: DataFrame,
@@ -378,37 +437,17 @@ def classifier_score(
 
     The FineWeb-Edu / fastText-supervised serving shape: a trained linear
     model (one integer weight per vocabulary token — quantize float weights
-    upstream; ``token`` must be unique) is broadcast, every token occurrence
-    looks its weight up map-side, and the per-doc score is the weight mean:
-    ``score_q6 = floor(1e6 · (bias + Σ w(tok)) / n_tokens)`` with OOV
-    tokens contributing 0. ``label = score_q6 >= threshold_q6``.
-
-    Scale shape: ONE doc-keyed shuffle (count+sum partials map-side
-    combined after the broadcast join); the model never shuffles. Exact
-    int64 sums; only the final mean touches IEEE doubles, via the same
-    floor-over-double both engines replay identically. Zero-token docs
-    yield no row (same contract as ``doc_bigrams``).
+    upstream; tokens unique after lowercasing) is broadcast, every token
+    occurrence looks its weight up map-side, and the per-doc score is the
+    weight mean: ``score_q6 = floor(1e6 · (bias + Σ w(tok)) / n_tokens)``
+    with OOV tokens contributing 0. ``label = score_q6 >= threshold_q6``.
+    Exact int64 sums; only the final mean touches IEEE doubles, via the
+    same floor-over-double both engines replay identically. Scale shape and
+    zero-token contract: see ``_token_weight_agg``.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.expr(tokens_sql(text_col, _SD))).alias("_tok"),
-    )
-    w = F.broadcast(
-        weights.select(
-            F.col(token_col).alias("_tok"),
-            F.col(weight_col).cast("long").alias("_w"),
-        )
-    )
-    agg = (
-        toks.join(w, on="_tok", how="left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (F.sum(F.coalesce(F.col("_w"), F.lit(0))) + F.lit(bias))
-            .cast("long")
-            .alias("raw_score"),
-        )
-    )
+    agg = _token_weight_agg(
+        docs, weights, id_col, text_col, token_col, weight_col
+    ).withColumn("raw_score", (F.col("_wsum") + F.lit(bias)).cast("long"))
     return agg.select(
         F.col(id_col),
         "n_tokens",
@@ -431,15 +470,13 @@ def classifier_score_sql(
     threshold_q6: int = 0,
 ) -> str:
     """DuckDB replay of ``classifier_score`` (same tokenizer, same floor)."""
-    toks = tokens_sql(text_col, _DD)
-    return f"""WITH _docs AS ({docs_sql}),
-_wt AS ({weights_sql}),
-_tok AS (SELECT {id_col}, unnest({toks}) AS _t FROM _docs),
-_j AS (SELECT t.{id_col}, CAST(coalesce(w.{weight_col}, 0) AS BIGINT) AS _wv
-       FROM _tok t LEFT JOIN _wt w ON t._t = w.{token_col}),
-_a AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
-              CAST(sum(_wv) + {bias} AS BIGINT) AS raw_score
-       FROM _j GROUP BY {id_col}),
+    core = _token_weight_agg_sql(
+        docs_sql, weights_sql, id_col, text_col, token_col, weight_col
+    )
+    return f"""WITH _a AS (
+  SELECT {id_col}, n_tokens,
+         CAST(_wsum + {bias} AS BIGINT) AS raw_score
+  FROM ({core})),
 _s AS (SELECT *, CAST(floor({SCORE_Q}.0 * CAST(raw_score AS DOUBLE)
                       / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS score_q6
        FROM _a)

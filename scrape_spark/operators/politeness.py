@@ -394,10 +394,12 @@ def ip_politeness_dim(
     """
     hosts = host_delays.select(host_col, delay_col)
     if ip_map is None:
+        # cast matches the grouped branch (and the oracle): a consumer
+        # unioning resolved and unresolved dims must see ONE schema
         return hosts.select(
             host_col,
             F.col(host_col).alias("pol_key"),
-            F.col(delay_col).alias("eff_delay"),
+            F.col(delay_col).cast("int").alias("eff_delay"),
         )
     # deterministic pick when a host maps to several IPs: smallest wins
     m = (

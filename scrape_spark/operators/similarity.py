@@ -451,9 +451,14 @@ def pq_index(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """Convenience: ``(codebooks, codes)`` for ``pq_topk(codes, codebooks,…)``."""
-    cb = pq_codebooks(corpus, m, stride, dim, id_col, vec_col)
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        # infer ONCE here (pq_codebooks would otherwise run its own
+        # first() — a second single-row corpus job at build time)
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("pq_index: empty corpus")
+        dim = len(first[0])
+    cb = pq_codebooks(corpus, m, stride, dim, id_col, vec_col)
     return cb, pq_encode(corpus, cb, m, dim, id_col, vec_col)
 
 

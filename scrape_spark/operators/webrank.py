@@ -1192,8 +1192,15 @@ def graph_stats(
     combined) + one node union-distinct, each collapsing to a single-row
     aggregate; the final assembly is cross-joins of 1-row frames, so the
     whole report is ONE lazy plan with no driver-side action.
+
+    Edges with a NULL endpoint (unresolvable link target) are not graph
+    edges and are excluded from EVERY stat — the rule both engines apply
+    identically (NULL would otherwise poison the oracle's NOT-IN dangling
+    count while the anti-join kept it).
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s").isNotNull() & F.col("d").isNotNull()
+    )
     nodes = e.select(F.col("s").alias("n")).union(
         e.select(F.col("d").alias("n"))
     ).distinct()
@@ -1235,8 +1242,10 @@ def graph_stats(
 
 
 def graph_stats_sql(edges_sql: str, src: str = "src", dst: str = "dst") -> str:
-    """DuckDB replay of ``graph_stats`` (same distinct/dangling/avg rules)."""
-    return f"""WITH _e AS (SELECT {src} AS s, {dst} AS d FROM ({edges_sql})),
+    """DuckDB replay of ``graph_stats`` (same distinct/dangling/avg and
+    NULL-endpoint-exclusion rules)."""
+    return f"""WITH _e AS (SELECT {src} AS s, {dst} AS d FROM ({edges_sql})
+            WHERE {src} IS NOT NULL AND {dst} IS NOT NULL),
 _n AS (SELECT DISTINCT n FROM (SELECT s AS n FROM _e
                                UNION ALL SELECT d FROM _e)),
 _de AS (SELECT DISTINCT s, d FROM _e),

@@ -366,3 +366,26 @@ def test_main_content_udf(spark):
     )
     r = df.select(main_content_expr("html").alias("m")).head()
     assert r["m"]["main_text"] == art and r["m"]["n_kept"] == 1
+
+
+def test_main_content_review_regressions():
+    from scrape_spark.functions.maincontent import extract_main_content
+
+    art = "Real prose paragraph long enough to clear the length floor easily."
+    # unclosed <a> must not poison later blocks (browsers auto-close at
+    # block boundaries)
+    main, _, kept = extract_main_content(
+        f"<body><p><a href='/x'>home</p><p>{art}</p></body>"
+    )
+    assert main == art and kept == 1
+    # <title> / head metadata is not article text
+    main, _, _ = extract_main_content(
+        f"<html><head><title>Breaking News Site: daily headlines here"
+        f"</title></head><body><p>{art}</p></body></html>"
+    )
+    assert main == art
+    # unclosed <head> is force-closed by body content
+    main, _, _ = extract_main_content(
+        f"<html><head><title>T</title><body><p>{art}</p>"
+    )
+    assert main == art

@@ -211,3 +211,15 @@ def test_badword_stats(spark):
     assert got[2]["badword_ratio_q4"] == 10000 * 2 // 3
     assert got[2]["is_flagged"]
     assert got[3]["badword_ratio_q4"] == 10000 and got[3]["is_flagged"]
+
+
+def test_classifier_mixed_case_vocab_matches(spark):
+    """Model tokens are case-folded to the tokenizer's casing (review fix)."""
+    from scrape_spark.operators.lmquality import classifier_score
+
+    docs = _docs(spark, [(1, "The NASA probe")])
+    weights = spark.createDataFrame(
+        [("The", 10), ("NASA", 20)], "token string, weight long"
+    )
+    r = classifier_score(docs, weights).head()
+    assert r["raw_score"] == 30

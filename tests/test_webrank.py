@@ -468,3 +468,13 @@ def test_graph_stats_empty(spark):
     r = graph_stats(edges).head()
     assert r["n_nodes"] == 0 and r["n_edges"] == 0
     assert r["max_out_degree"] == 0 and r["avg_out_degree_q4"] == 0
+
+
+def test_graph_stats_null_endpoints_excluded(spark):
+    from scrape_spark.operators.webrank import graph_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, None), (None, 3)], "src long, dst long"
+    )
+    r = graph_stats(edges).head()
+    assert r["n_edges"] == 1 and r["n_nodes"] == 2 and r["n_dangling"] == 1
