@@ -2967,6 +2967,139 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(sitemaps)
 
 
+# -- discovery: RSS/Atom feed parsing (sources/feeds.py) -----------------------
+# Forge a mixed RSS/ATOM feed set from documents (5 entries per feed, even
+# feed ids RSS / odd Atom; every 7th entry linkless → dropped; pubDate/
+# updated on every 3rd, guid/id on every 4th), parse back with the shared
+# regexp kernels. The oracle reuses feed_entries_sql verbatim.
+_FEED_ENTRY_DD = """CASE WHEN (doc_id // 5) % 2 = 1 THEN
+  '<entry><title>t' || CAST(doc_id AS VARCHAR) || '</title>'
+  || CASE WHEN doc_id % 7 <> 0 THEN '<link rel="alternate" href="http://f'
+       || CAST(doc_id // 5 AS VARCHAR) || '.test/e/'
+       || CAST(doc_id AS VARCHAR) || '"/>' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0 THEN '<updated>2025-02-'
+       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       || 'T00:00:00Z</updated>' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN '<id>tag:' || CAST(doc_id AS VARCHAR)
+       || '</id>' ELSE '' END
+  || '</entry>'
+ELSE
+  '<item><title>t' || CAST(doc_id AS VARCHAR) || '</title>'
+  || CASE WHEN doc_id % 7 <> 0 THEN '<link>http://f'
+       || CAST(doc_id // 5 AS VARCHAR) || '.test/e/'
+       || CAST(doc_id AS VARCHAR) || '</link>' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0 THEN '<pubDate>Mon, '
+       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       || ' Feb 2025 10:00:00 GMT</pubDate>' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN '<guid isPermaLink="false">g'
+       || CAST(doc_id AS VARCHAR) || '</guid>' ELSE '' END
+  || '</item>'
+END"""
+
+
+def _feeds_fixture_sql() -> str:
+    return f"""SELECT 'http://f' || CAST(fd_id AS VARCHAR)
+    || '.test/feed.xml' AS feed_url,
+  CASE WHEN fd_id % 2 = 1 THEN '<feed>' || body || '</feed>'
+       ELSE '<rss version="2.0"><channel>' || body || '</channel></rss>' END
+    AS xml
+FROM (SELECT fd_id, string_agg(entry, '' ORDER BY doc_id) AS body
+      FROM (SELECT doc_id // 5 AS fd_id, doc_id, {_FEED_ENTRY_DD} AS entry
+            FROM documents)
+      GROUP BY fd_id)"""
+
+
+def _feed_oracle() -> str:
+    from scrape_spark.sources.feeds import feed_entries_sql
+
+    return feed_entries_sql(_feeds_fixture_sql())
+
+
+@_q("feed_entries", _feed_oracle())
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forge RSS+Atom feeds from documents, parse back (link, title, ts)."""
+    from scrape_spark.sources.feeds import feed_entries
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    fd = F.expr("doc_id div 5")
+    is_atom = F.expr("(doc_id div 5) % 2 = 1")
+    link_url = F.concat(
+        F.lit("http://f"), fd.cast("string"), F.lit(".test/e/"), ds
+    )
+    ts_day = F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    atom_entry = F.concat(
+        F.lit("<entry><title>t"), ds, F.lit("</title>"),
+        F.when(
+            d % 7 != 0,
+            F.concat(
+                F.lit('<link rel="alternate" href="'), link_url, F.lit('"/>')
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<updated>2025-02-"), ts_day, F.lit("T00:00:00Z</updated>")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0, F.concat(F.lit("<id>tag:"), ds, F.lit("</id>"))
+        ).otherwise(F.lit("")),
+        F.lit("</entry>"),
+    )
+    rss_entry = F.concat(
+        F.lit("<item><title>t"), ds, F.lit("</title>"),
+        F.when(
+            d % 7 != 0,
+            F.concat(F.lit("<link>"), link_url, F.lit("</link>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<pubDate>Mon, "), ts_day,
+                F.lit(" Feb 2025 10:00:00 GMT</pubDate>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit('<guid isPermaLink="false">g'), ds, F.lit("</guid>")),
+        ).otherwise(F.lit("")),
+        F.lit("</item>"),
+    )
+    per = _docs(spark, sf_dir).select(
+        fd.alias("fd_id"),
+        d.alias("doc_id"),
+        F.when(is_atom, atom_entry).otherwise(rss_entry).alias("entry"),
+    )
+    body = per.groupBy("fd_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s["entry"],
+            ),
+        ).alias("body")
+    )
+    feeds = body.select(
+        F.concat(
+            F.lit("http://f"), F.col("fd_id").cast("string"),
+            F.lit(".test/feed.xml"),
+        ).alias("feed_url"),
+        F.when(
+            F.col("fd_id") % 2 == 1,
+            F.concat(F.lit("<feed>"), F.col("body"), F.lit("</feed>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<rss version="2.0"><channel>'), F.col("body"),
+                F.lit("</channel></rss>"),
+            )
+        )
+        .alias("xml"),
+    )
+    return feed_entries(feeds)
+
+
 # -- crawl scheduling: global round-budget apportionment across hosts ----------
 _BUDGET = 1000
 _HOST_COUNTS_DD = """SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,

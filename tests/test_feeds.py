@@ -1,0 +1,126 @@
+"""RSS/Atom feed parsing + HTML autodiscovery semantics."""
+
+from pyspark.sql import functions as F
+
+from scrape_spark.sources.feeds import (
+    feed_autodiscovery_refs,
+    feed_entries,
+    feed_entries_sql,
+)
+
+_RSS = (
+    "<rss version=\"2.0\"><channel>"
+    "<title>Chan</title><link>http://a.test/</link>"
+    "<item><title>First</title><link>http://a.test/p1</link>"
+    "<pubDate>Mon, 03 Feb 2025 10:00:00 GMT</pubDate>"
+    "<guid isPermaLink=\"false\">g-1</guid></item>\n"
+    "<item><link>http://a.test/p2</link></item>"
+    "<item><title>No link</title></item>"  # dropped: nothing to enqueue
+    "</channel></rss>"
+)
+
+_ATOM = (
+    "<feed xmlns=\"http://www.w3.org/2005/Atom\">"
+    "<title>Feed</title><link href=\"http://b.test/\"/>"
+    "<entry><title>E1</title>"
+    "<link rel=\"alternate\" href=\"http://b.test/e1\"/>"
+    "<updated>2025-02-03T10:00:00Z</updated><id>tag:b,e1</id></entry>"
+    "<entry><link href=\"http://b.test/e2\"/></entry>"
+    "</feed>"
+)
+
+
+def _feeds(spark, *rows):
+    return spark.createDataFrame(
+        [(f"http://f{i}.test/feed.xml", xml) for i, xml in enumerate(rows)],
+        "feed_url string, xml string",
+    )
+
+
+def test_rss_entries(spark):
+    rows = feed_entries(_feeds(spark, _RSS)).collect()
+    assert [
+        (r["kind"], r["entry_pos"], r["link"], r["title"], r["published_raw"], r["guid"])
+        for r in rows
+    ] == [
+        ("rss", 1, "http://a.test/p1", "First",
+         "Mon, 03 Feb 2025 10:00:00 GMT", "g-1"),
+        ("rss", 2, "http://a.test/p2", None, None, None),
+    ]
+
+
+def test_atom_entries(spark):
+    rows = feed_entries(_feeds(spark, _ATOM)).collect()
+    assert [
+        (r["kind"], r["entry_pos"], r["link"], r["published_raw"], r["guid"])
+        for r in rows
+    ] == [
+        ("atom", 1, "http://b.test/e1", "2025-02-03T10:00:00Z", "tag:b,e1"),
+        ("atom", 2, "http://b.test/e2", None, None),
+    ]
+
+
+def test_mixed_frame_and_truncation(spark):
+    cut = _RSS[: _RSS.index("http://a.test/p2")]  # killed mid-second-item
+    rows = feed_entries(_feeds(spark, cut, _ATOM)).collect()
+    by_feed = {}
+    for r in rows:
+        by_feed.setdefault(r["feed_url"], []).append(r["link"])
+    assert by_feed == {
+        "http://f0.test/feed.xml": ["http://a.test/p1"],
+        "http://f1.test/feed.xml": ["http://b.test/e1", "http://b.test/e2"],
+    }
+
+
+def test_duckdb_oracle_parity(spark):
+    import duckdb
+
+    df = feed_entries(_feeds(spark, _RSS, _ATOM))
+    got = sorted(
+        (r["feed_url"], r["kind"], r["entry_pos"], r["link"], r["title"],
+         r["published_raw"], r["guid"])
+        for r in df.collect()
+    )
+    con = duckdb.connect()
+    feeds_sql = " UNION ALL ".join(
+        "SELECT '{u}' AS feed_url, '{x}' AS xml".format(
+            u=f"http://f{i}.test/feed.xml", x=xml.replace("'", "''")
+        )
+        for i, xml in enumerate([_RSS, _ATOM])
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(feed_entries_sql(feeds_sql)).fetchall()
+    )
+    assert got == want
+
+
+def test_autodiscovery(spark):
+    html = (
+        "<html><head>"
+        "<link rel=\"stylesheet\" href=\"/s.css\">"
+        "<LINK rel=\"alternate\" TYPE=\"application/rss+xml\" "
+        "href=\"http://a.test/feed.xml\" title=\"RSS\">"
+        "<link href=\"/atom.xml\" type=\"application/atom+xml\" "
+        "rel=\"alternate\">"
+        "<link rel=\"alternate\" type=\"application/atom+xml\">"  # no href
+        "</head><body></body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("http://a.test/", html), ("http://b.test/", "<html></html>")],
+        "url string, html_str string",
+    )
+    rows = feed_autodiscovery_refs(pages).collect()
+    assert [(r["ref_pos"], r["feed_url"], r["feed_kind"]) for r in rows] == [
+        (1, "http://a.test/feed.xml", "rss"),
+        (2, "/atom.xml", "atom"),
+    ]
+
+
+def test_feed_parse_is_pure_jvm(spark):
+    plan = (
+        feed_entries(_feeds(spark, _RSS))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
