@@ -3100,6 +3100,176 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+# -- curation: structured page metadata (OpenGraph / meta / JSON-LD) ----------
+# Forge heads from documents: og:title in both attribute orders (mod 3),
+# meta description (mod 4), a JSON-LD block that is valid (mod 5 == 0) or
+# BROKEN (mod 5 == 1; must degrade to NULL on both engines), og:image on
+# even ids. Oracle reuses page_metadata_sql verbatim.
+_META_HTML_DD = """'<html><head>'
+  || CASE doc_id % 3
+       WHEN 0 THEN '<meta property="og:title" content="T'
+         || CAST(doc_id AS VARCHAR) || '">'
+       WHEN 1 THEN '<meta content="T' || CAST(doc_id AS VARCHAR)
+         || '" property="og:title">'
+       ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN '<meta name="description" content="D'
+       || CAST(doc_id AS VARCHAR) || '">' ELSE '' END
+  || CASE WHEN doc_id % 2 = 0 THEN '<meta property="og:image"'
+       || ' content="http://img.test/' || CAST(doc_id AS VARCHAR)
+       || '.png">' ELSE '' END
+  || CASE doc_id % 5
+       WHEN 0 THEN '<script type="application/ld+json">{"@type":"Article",'
+         || '"headline":"H' || CAST(doc_id AS VARCHAR)
+         || '","datePublished":"2025-02-'
+         || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || '"}</script>'
+       WHEN 1 THEN '<script type="application/ld+json">{broken'
+         || CAST(doc_id AS VARCHAR) || '</script>'
+       ELSE '' END
+  || '</head><body></body></html>'"""
+
+
+def _metadata_oracle() -> str:
+    from scrape_spark.functions.metadata import page_metadata_sql
+
+    fixture = (
+        "SELECT 'http://m.test/' || CAST(doc_id AS VARCHAR) AS url, "
+        f"{_META_HTML_DD} AS html_str FROM documents"
+    )
+    return page_metadata_sql(fixture)
+
+
+@_q("page_metadata", _metadata_oracle())
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forge heads from documents, extract og/meta/JSON-LD back."""
+    from scrape_spark.functions.metadata import page_metadata
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="T'), ds, F.lit('">')
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<meta content="T'), ds, F.lit('" property="og:title">')
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="D'), ds, F.lit('">')
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<meta property="og:image" content="http://img.test/'),
+                ds,
+                F.lit('.png">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(
+                    '<script type="application/ld+json">'
+                    '{"@type":"Article","headline":"H'
+                ),
+                ds,
+                F.lit('","datePublished":"2025-02-'),
+                F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                F.lit('"}</script>'),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit('<script type="application/ld+json">{broken'),
+                ds,
+                F.lit("</script>"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://m.test/"), ds).alias("url"),
+        html.alias("html_str"),
+    )
+    return page_metadata(pages)
+
+
+# -- multimodal curation: image-text pair mining -------------------------------
+# Forge bodies from documents: a root-relative img whose alt is the doc's
+# leading text (kept), a generic-alt img every 7th doc (gated out), and a
+# figure+figcaption every 5th doc (caption beats alt). Oracle reuses
+# image_text_pairs_sql verbatim.
+_IMGTEXT_HTML_DD = """'<html><body><img src="/i/' || CAST(doc_id AS VARCHAR)
+  || '.png" alt="' || substr(text, 1, 20) || '">'
+  || CASE WHEN doc_id % 7 = 0
+       THEN '<img src="x.gif" alt="logo">' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '<figure><img src="/f/'
+       || CAST(doc_id AS VARCHAR) || '.png" alt="fa"><figcaption>Caption '
+       || substr(text, 21, 24) || '</figcaption></figure>' ELSE '' END
+  || '</body></html>'"""
+
+
+def _imgtext_oracle() -> str:
+    from scrape_spark.functions.imgtext import image_text_pairs_sql
+
+    fixture = (
+        "SELECT 'http://d' || CAST(doc_id % 9 AS VARCHAR) || '.test/p/' "
+        "|| CAST(doc_id AS VARCHAR) || '/page.html' AS url, "
+        f"{_IMGTEXT_HTML_DD} AS html_str FROM documents"
+    )
+    return image_text_pairs_sql(fixture)
+
+
+@_q("image_text_pairs", _imgtext_oracle())
+def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forge img/figure bodies from documents, mine pairs back."""
+    from scrape_spark.functions.imgtext import image_text_pairs
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit('<html><body><img src="/i/'),
+        ds,
+        F.lit('.png" alt="'),
+        F.expr("substr(text, 1, 20)"),
+        F.lit('">'),
+        F.when(d % 7 == 0, F.lit('<img src="x.gif" alt="logo">')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit('<figure><img src="/f/'),
+                ds,
+                F.lit('.png" alt="fa"><figcaption>Caption '),
+                F.expr("substr(text, 21, 24)"),
+                F.lit("</figcaption></figure>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://d"), (d % 9).cast("string"), F.lit(".test/p/"), ds,
+            F.lit("/page.html"),
+        ).alias("url"),
+        html.alias("html_str"),
+    )
+    return image_text_pairs(pages)
+
+
 # -- crawl scheduling: global round-budget apportionment across hosts ----------
 _BUDGET = 1000
 _HOST_COUNTS_DD = """SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
