@@ -3270,6 +3270,41 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_text_pairs(pages)
 
 
+# -- tokenizer prep: BPE first-iteration pair statistics -----------------------
+def _bpe_oracle() -> str:
+    from scrape_spark.operators.corpus import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql("SELECT text FROM documents", k=100)
+
+
+@_q("bpe_pair_counts", _bpe_oracle())
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent char pairs over the documents corpus (BPE iter 1)."""
+    from scrape_spark.operators.corpus import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=100)
+
+
+# -- multilingual curation: temperature-based language sampling plan -----------
+_LANG_BUDGET = 200
+
+
+def _langmix_oracle() -> str:
+    from scrape_spark.operators.corpus import lang_temperature_sample_sql
+
+    return lang_temperature_sample_sql(
+        "SELECT lang FROM documents", budget=_LANG_BUDGET
+    )
+
+
+@_q("lang_temperature_plan", _langmix_oracle())
+def q_lang_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p^0.5 language rebalancing plan over the documents corpus."""
+    from scrape_spark.operators.corpus import lang_temperature_sample
+
+    return lang_temperature_sample(_docs(spark, sf_dir), budget=_LANG_BUDGET)
+
+
 # -- crawl scheduling: global round-budget apportionment across hosts ----------
 _BUDGET = 1000
 _HOST_COUNTS_DD = """SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,

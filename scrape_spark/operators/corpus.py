@@ -1433,3 +1433,224 @@ SELECT {id_col}, CAST(__i AS BIGINT) AS chunk_idx,
        array_to_string(__tk[__i * {stride} + 1 : __i * {stride} + {window}],
                        ' ') AS chunk_text
 FROM _x"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer prep: distributed BPE statistics and training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) corpus word frequencies — the classic BPE trainer's input.
+
+    The word-frequency contraction is what makes distributed BPE cheap:
+    every later pass runs over DISTINCT words (Zipf: orders of magnitude
+    smaller than the corpus), weighted by ``n``. Whitespace tokenization
+    matches the engine's token kernels (textstats.words_sql); words keep
+    their case (the trainer sees surface forms — case folding is a
+    pre-tokenization normalization choice that belongs to the caller).
+    """
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Top-k adjacent character-pair frequencies — BPE's first merge table.
+
+    (pair, n_occurrences) over the word-frequency contraction: every
+    adjacent 2-character window of every distinct word, weighted by the
+    word's corpus count. Count-desc, pair-asc ordering makes the table
+    reproducible across partitionings (same discipline as vocab_topk).
+    One shuffle for the word contraction, one for the pair agg — both
+    map-side-combined hash aggs; nothing here is corpus-proportional
+    after the first contraction, so the op survives 100 TB.
+
+    This is iteration 1 of the trainer exposed as an oracled table (the
+    full trainer is :func:`bpe_train`); single words never pair across a
+    boundary (length-1 words contribute nothing).
+    """
+    words = _bpe_words(docs, text_col).where(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        F.col("n"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(docs_sql: str, k: int = 50, text_col: str = "text") -> str:
+    """DuckDB replay of :func:`bpe_pair_counts` (same contraction + window)."""
+    return f"""WITH W AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split({text_col}, ' ')) AS word
+        FROM ({docs_sql}))
+  WHERE length(word) > 0 GROUP BY word),
+P AS (SELECT unnest(list_transform(range(1, length(word)),
+               i -> substr(word, CAST(i AS INTEGER), 2))) AS pair, n
+      FROM W WHERE length(word) >= 2)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM P
+GROUP BY pair ORDER BY n DESC, pair LIMIT {k}"""
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    list in rank order — the tokenizer's merges.txt.
+
+    The textbook Sennrich trainer, distributed the only way it can be:
+    merge selection is inherently sequential (merge r+1's statistics
+    depend on merge r), so the driver loops ``n_merges`` times and each
+    iteration is ONE Spark job over the cached word-frequency contraction
+    — count all adjacent symbol pairs (weighted), take the (count desc,
+    pair asc) argmax, apply the merge map-side. State between iterations
+    lives in the symbol-array column, re-cached each round; corpus text is
+    read exactly once. At CC scale the contraction is ~10^8 distinct words
+    — executor-resident, never driver-side; only the single winning pair
+    (a few bytes) ever reaches the driver per round.
+
+    Merge application is the greedy left-to-right fold (aggregate lambda):
+    overlapping occurrences merge non-overlapping-first, matching the
+    reference trainer's behavior on runs like ``aaaa`` → ``(aa)(aa)``.
+    Ties break lexicographically — deterministic across partitionings.
+    No end-of-word marker (documented divergence from tokenizers that
+    append ``</w>``; callers wanting it can append the marker to words
+    upstream, the trainer is agnostic).
+    """
+    words = _bpe_words(docs, text_col).select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("sym"),
+        "n",
+    )
+    words = words.cache()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = words.where(F.size("sym") >= 2).select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1),"
+                        " i -> struct(element_at(sym, i) AS a,"
+                        " element_at(sym, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            top = (
+                pairs.groupBy("p")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+            merges.append((a, b))
+            a_lit = a.replace("\\", "\\\\").replace("'", "\\'")
+            b_lit = b.replace("\\", "\\\\").replace("'", "\\'")
+            merged = words.select(
+                F.expr(
+                    "aggregate(sym, CAST(array() AS array<string>),"
+                    " (acc, x) -> CASE WHEN size(acc) > 0"
+                    f" AND element_at(acc, -1) = '{a_lit}' AND x = '{b_lit}'"
+                    " THEN concat(slice(acc, 1, size(acc) - 1),"
+                    f" array('{a_lit}{b_lit}'))"
+                    " ELSE concat(acc, array(x)) END)"
+                ).alias("sym"),
+                "n",
+            )
+            nxt = merged.cache()
+            nxt.count()  # materialize before dropping the parent cache
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Multilingual curation: temperature-based language sampling
+# ---------------------------------------------------------------------------
+
+
+def lang_temperature_sample(
+    docs: DataFrame, budget: int, lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language sampling plan at temperature alpha = 0.5
+    (mC4/XLM-R-style ``p^alpha`` rebalancing): (lang, n_docs, weight_ppm,
+    expected_docs, rate_ppm).
+
+    High-resource languages are downweighted and low-resource ones
+    upweighted by sampling language l with probability proportional to
+    ``(n_l / N) ^ 0.5``. All derived quantities are integer-quantized
+    EARLY so the plan is bit-reproducible across engines and
+    partitionings: ``s_l = floor(1e6 * sqrt(n_l / N))`` (IEEE sqrt is
+    correctly rounded — identical on both engines), then exact integer
+    arithmetic: ``weight_ppm = 1e6 * s_l // S``, ``expected_docs =
+    budget * s_l // S``, ``rate_ppm = min(1e6, 1e6 * expected // n_l)``
+    (the per-doc keep probability a Bernoulli sampler applies
+    downstream). One hash agg over the corpus; the per-language table is
+    trivially driver-size.
+    """
+    counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy()
+    s = F.floor(1e6 * F.sqrt(F.col("n_docs") / F.sum("n_docs").over(w))).cast(
+        "long"
+    )
+    scored = counts.select("lang", "n_docs", s.alias("s"))
+    return scored.select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(1000000 * s AS BIGINT) div sum(s) OVER ()").alias(
+            "weight_ppm"
+        ),
+        F.expr(f"CAST({budget} * s AS BIGINT) div sum(s) OVER ()").alias(
+            "expected_docs"
+        ),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(
+                f"(1000000 * (CAST({budget} * s AS BIGINT)"
+                " div sum(s) OVER ())) div n_docs"
+            ),
+        ).alias("rate_ppm"),
+    )
+
+
+def lang_temperature_sample_sql(
+    docs_sql: str, budget: int, lang_col: str = "lang"
+) -> str:
+    """DuckDB replay of :func:`lang_temperature_sample` (same early-quantize
+    integer arithmetic, so parity is exact, not approximate)."""
+    return f"""WITH C AS (
+  SELECT {lang_col} AS lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM ({docs_sql}) GROUP BY {lang_col}),
+S AS (SELECT lang, n_docs,
+        CAST(floor(1e6 * sqrt(n_docs / (sum(n_docs) OVER ()))) AS BIGINT)
+          AS s
+      FROM C)
+SELECT lang, n_docs,
+  (1000000 * s) // (sum(s) OVER ()) AS weight_ppm,
+  ({budget} * s) // (sum(s) OVER ()) AS expected_docs,
+  least(1000000,
+    (1000000 * (({budget} * s) // (sum(s) OVER ()))) // n_docs) AS rate_ppm
+FROM S"""

@@ -1,0 +1,131 @@
+"""BPE trainer parity vs a pure-Python reference; temperature sampling."""
+
+from collections import Counter
+
+from scrape_spark.operators.corpus import (
+    bpe_pair_counts,
+    bpe_pair_counts_sql,
+    bpe_train,
+    lang_temperature_sample,
+    lang_temperature_sample_sql,
+)
+
+_TEXTS = [
+    "low low low low low lower lower newest newest",
+    "newest newest newest newest widest widest widest",
+    "low lower newest widest a",
+]
+
+
+def _py_bpe(texts, n_merges):
+    """Sennrich reference trainer: greedy left-to-right merge application,
+    (count desc, pair asc) selection."""
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, n in words.items():
+            sym = vocab[w]
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in vocab:
+            sym, out = vocab[w], []
+            for x in sym:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges
+
+
+def _docs(spark, texts=_TEXTS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_pair_counts_values(spark):
+    rows = bpe_pair_counts(_docs(spark), k=3).collect()
+    # 'lo' in low(6)+lower(3)=9; 'es' and 'st' in newest(7)+widest(4)=11 each;
+    # 'ne'/'ew' in newest(7) and 'we' in newest+lower+widest...
+    got = [(r["pair"], r["n"]) for r in rows]
+    assert got[0][1] >= got[1][1] >= got[2][1]
+    assert ("es", 11) in got and ("st", 11) in got
+
+
+def test_pair_counts_duckdb_parity(spark):
+    import duckdb
+
+    got = sorted(
+        (r["pair"], r["n"]) for r in bpe_pair_counts(_docs(spark), k=100).collect()
+    )
+    docs_sql = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in enumerate(_TEXTS)
+    )
+    want = sorted(
+        tuple(r) for r in duckdb.sql(bpe_pair_counts_sql(docs_sql, k=100)).fetchall()
+    )
+    assert got == want
+
+
+def test_bpe_train_matches_python_reference(spark):
+    got = bpe_train(_docs(spark), n_merges=6)
+    want = _py_bpe(_TEXTS, 6)
+    assert got == want
+
+
+def test_bpe_train_overlapping_runs(spark):
+    # 'aaaa' x5 + 'aaa' x2: first merge (a,a); greedy left-to-right then
+    # pairs aaaa -> (aa)(aa), aaa -> (aa)a.
+    texts = ["aaaa aaaa aaaa aaaa aaaa aaa aaa"]
+    got = bpe_train(_docs(spark, texts), n_merges=2)
+    assert got == _py_bpe(texts, 2)
+    assert got[0] == ("a", "a") and got[1] == ("aa", "aa")
+
+
+def test_bpe_train_exhausts(spark):
+    # single repeated 2-char word: only one merge possible, then no pairs
+    got = bpe_train(_docs(spark, ["ab ab ab"]), n_merges=5)
+    assert got == [("a", "b")]
+
+
+def test_lang_temperature_plan(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "sw") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    rows = {r["lang"]: r for r in lang_temperature_sample(docs, budget=50).collect()}
+    en, sw = rows["en"], rows["sw"]
+    # temperature flattens: sw share rises from 10% to sqrt(.1)/(sqrt(.9)+sqrt(.1)) ~ 25%
+    assert 0.20 < sw["weight_ppm"] / 1e6 < 0.30
+    assert en["weight_ppm"] + sw["weight_ppm"] <= 1_000_000
+    assert en["expected_docs"] + sw["expected_docs"] <= 50
+    # rate = expected/n, capped at 1
+    assert sw["rate_ppm"] == min(1_000_000, 1_000_000 * sw["expected_docs"] // 10)
+
+
+def test_lang_temperature_duckdb_parity(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "sw", "yo"][i % 4] if i % 7 else "en") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    got = sorted(tuple(r) for r in lang_temperature_sample(docs, budget=77).collect())
+    docs_sql = (
+        "SELECT i AS doc_id, CASE WHEN i % 7 = 0 THEN 'en' ELSE "
+        "['en','de','sw','yo'][(i % 4) + 1] END AS lang "
+        "FROM (SELECT unnest(range(200)) AS i)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(lang_temperature_sample_sql(docs_sql, budget=77)).fetchall()
+    )
+    assert got == want
