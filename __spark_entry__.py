@@ -3270,6 +3270,127 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_text_pairs(pages)
 
 
+# -- graph hygiene: robots meta directives + rel=nofollow edge policy ----------
+# Forge per-doc heads/anchors: meta robots cycles noindex / none / noarchive
+# / absent (mod 4); anchor 1 is rel=nofollow every 3rd doc, anchor 2 always
+# plain. The edges frame carries both anchors per doc; the policy must drop
+# every edge of a meta-nofollow page ('none' implies it) plus each
+# anchor-disavowed edge. Oracles reuse the *_sql twins verbatim.
+_ROBOTSMETA_HTML_DD = """'<html><head>'
+  || CASE doc_id % 4
+       WHEN 0 THEN '<meta name="robots" content="noindex">'
+       WHEN 1 THEN '<meta name="robots" content="NONE">'
+       WHEN 2 THEN '<meta name="robots" content="noarchive, nosnippet">'
+       ELSE '' END
+  || '</head><body><a href="http://t.test/' || CAST(doc_id AS VARCHAR)
+  || '/1" rel="' || CASE WHEN doc_id % 3 = 0 THEN 'external nofollow'
+       ELSE 'ext' END || '">a</a>'
+  || '<a href="http://t.test/' || CAST(doc_id AS VARCHAR)
+  || '/2">b</a></body></html>'"""
+
+_ROBOTSMETA_PAGES_DD = (
+    "SELECT 'http://rm.test/' || CAST(doc_id AS VARCHAR) AS url, "
+    f"{_ROBOTSMETA_HTML_DD} AS html_str FROM documents"
+)
+
+
+def _robotsmeta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 4 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 4 == 1, F.lit('<meta name="robots" content="NONE">'))
+        .when(
+            d % 4 == 2,
+            F.lit('<meta name="robots" content="noarchive, nosnippet">'),
+        )
+        .otherwise(F.lit("")),
+        F.lit('</head><body><a href="http://t.test/'),
+        ds,
+        F.lit('/1" rel="'),
+        F.when(d % 3 == 0, F.lit("external nofollow")).otherwise(F.lit("ext")),
+        F.lit('">a</a><a href="http://t.test/'),
+        ds,
+        F.lit('/2">b</a></body></html>'),
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://rm.test/"), ds).alias("url"),
+        html.alias("html_str"),
+    )
+
+
+def _robotsmeta_flags_oracle() -> str:
+    from scrape_spark.functions.robotsmeta import robots_meta_flags_sql
+
+    return robots_meta_flags_sql(_ROBOTSMETA_PAGES_DD)
+
+
+@_q("robots_meta_flags", _robotsmeta_flags_oracle())
+def q_robots_meta_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """noindex/nofollow flags over forged robots-meta heads."""
+    from scrape_spark.functions.robotsmeta import robots_meta_flags
+
+    return robots_meta_flags(_robotsmeta_pages(spark, sf_dir))
+
+
+def _nofollow_edges_oracle() -> str:
+    from scrape_spark.functions.robotsmeta import nofollow_edges_sql
+
+    return nofollow_edges_sql(_ROBOTSMETA_PAGES_DD)
+
+
+@_q("nofollow_edges", _nofollow_edges_oracle())
+def q_nofollow_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-level disavowed (url, href) pairs over the same fixture."""
+    from scrape_spark.functions.robotsmeta import nofollow_edges
+
+    return nofollow_edges(_robotsmeta_pages(spark, sf_dir))
+
+
+_ROBOTSMETA_EDGES_DD = """SELECT 'http://rm.test/' || CAST(doc_id AS VARCHAR)
+    AS src,
+  'http://t.test/' || CAST(doc_id AS VARCHAR) || '/' || CAST(tgt AS VARCHAR)
+    AS dst
+FROM documents, (VALUES (1), (2)) AS t(tgt)"""
+
+
+def _link_policy_oracle() -> str:
+    from scrape_spark.functions.robotsmeta import (
+        nofollow_edges_sql,
+        robots_meta_flags_sql,
+    )
+
+    return f"""WITH E AS ({_ROBOTSMETA_EDGES_DD}),
+M AS (SELECT url FROM ({robots_meta_flags_sql(_ROBOTSMETA_PAGES_DD)})
+      WHERE nofollow),
+N AS ({nofollow_edges_sql(_ROBOTSMETA_PAGES_DD)})
+SELECT e.src, e.dst FROM E e
+WHERE e.src NOT IN (SELECT url FROM M)
+  AND NOT EXISTS (SELECT 1 FROM N
+                  WHERE N.url = e.src AND N.href = e.dst)"""
+
+
+@_q("link_policy_filter", _link_policy_oracle())
+def q_link_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webgraph edges surviving meta-nofollow + anchor-nofollow pruning."""
+    from scrape_spark.functions.robotsmeta import apply_link_policy
+
+    pages = _robotsmeta_pages(spark, sf_dir)
+    edges = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://rm.test/"), F.col("doc_id").cast("string")).alias(
+            "src"
+        ),
+        F.explode(
+            F.expr(
+                "array('http://t.test/' || CAST(doc_id AS STRING) || '/1',"
+                " 'http://t.test/' || CAST(doc_id AS STRING) || '/2')"
+            )
+        ).alias("dst"),
+    )
+    return apply_link_policy(edges, pages)
+
+
 # -- tokenizer prep: BPE first-iteration pair statistics -----------------------
 def _bpe_oracle() -> str:
     from scrape_spark.operators.corpus import bpe_pair_counts_sql
