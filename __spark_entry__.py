@@ -3270,6 +3270,33 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_text_pairs(pages)
 
 
+# -- multilingual curation: margin-based bitext mining -------------------------
+def _bitext_oracle() -> str:
+    from scrape_spark.operators.similarity import bitext_mine_sql
+
+    return bitext_mine_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1",
+        _duck_cos,
+        k=4,
+        margin_threshold=1.0,
+    )
+
+
+@_q("bitext_margin_pairs", _bitext_oracle())
+def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat even/odd embedding ids as two languages; mine margin pairs."""
+    from scrape_spark.operators.similarity import bitext_mine
+
+    emb = _emb(spark, sf_dir)
+    return bitext_mine(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        k=4,
+        margin_threshold=1.0,
+    )
+
+
 # -- graph hygiene: robots meta directives + rel=nofollow edge policy ----------
 # Forge per-doc heads/anchors: meta robots cycles noindex / none / noarchive
 # / absent (mod 4); anchor 1 is rel=nofollow every 3rd doc, anchor 2 always

@@ -594,3 +594,110 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual bitext mining (margin-based, CCMatrix/LASER-style)
+# ---------------------------------------------------------------------------
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mine translation pairs between two embedding sets by ratio margin:
+    (src_id, tgt_id, cosine, margin, mutual).
+
+    The Artetxe-Schwenk criterion behind CCMatrix/WikiMatrix corpora: raw
+    cosine over-selects hub sentences (near everything in the other
+    language), so each source row's BEST target is scored by
+    ``margin = cos(x, y) / ((avgNN_k(x→tgt) + avgNN_k(y→src)) / 2)`` and
+    kept when the margin clears the threshold; ``mutual`` marks pairs
+    that are each other's rank-1 match (the high-precision subset).
+
+    The candidate stage here is the exact scorer (one pass over
+    src × broadcast(tgt), the oracle baseline — same positioning as
+    ``cosine_topk``): both direction's top-k lists and both margin
+    denominators are derived from that single scored sliver
+    ((src_id, tgt_id, cosine) — vectors never enter the windows'
+    exchanges). At CC scale swap the scored frame for LSH/IVF candidates
+    (``lsh_topk`` / ``ivf_topk`` produce the same (query, id, cosine)
+    shape); margin math and mutuality are unchanged downstream.
+    """
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
+    scored = (
+        s.crossJoin(F.broadcast(t))
+        .withColumn("cosine", cosine_expr("sv", "tv"))
+        .select("src_id", "tgt_id", "cosine")
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), F.col("src_id")
+    )
+    ranked = scored.withColumn("fr", F.row_number().over(wf)).withColumn(
+        "br", F.row_number().over(wb)
+    )
+    fwd_avg = (
+        ranked.where(F.col("fr") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cosine").alias("favg"))
+    )
+    bwd_avg = (
+        ranked.where(F.col("br") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cosine").alias("bavg"))
+    )
+    best = ranked.where(F.col("fr") == 1)
+    return (
+        best.join(fwd_avg, "src_id")
+        .join(bwd_avg, "tgt_id")
+        .withColumn(
+            "margin", F.col("cosine") / ((F.col("favg") + F.col("bavg")) / 2)
+        )
+        .where(F.col("margin") >= F.lit(margin_threshold))
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            "margin",
+            (F.col("br") == 1).alias("mutual"),
+        )
+    )
+
+
+def bitext_mine_sql(
+    src_sql: str,
+    tgt_sql: str,
+    duck_cos: "callable",
+    k: int = 4,
+    margin_threshold: float = 1.0,
+) -> str:
+    """DuckDB replay of :func:`bitext_mine` over ``(vec_id, embedding)``
+    relations; ``duck_cos(a, b)`` renders the engine-parity cosine (the
+    caller owns it so the fold order matches its Spark twin)."""
+    return f"""WITH S AS ({src_sql}), T AS ({tgt_sql}),
+SC AS (SELECT S.vec_id AS src_id, T.vec_id AS tgt_id,
+         {duck_cos('S.embedding', 'T.embedding')} AS cosine
+       FROM S, T),
+R AS (SELECT *,
+        row_number() OVER (PARTITION BY src_id
+                           ORDER BY cosine DESC, tgt_id) AS fr,
+        row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY cosine DESC, src_id) AS br
+      FROM SC),
+FA AS (SELECT src_id, avg(cosine) AS favg FROM R WHERE fr <= {k}
+       GROUP BY src_id),
+BA AS (SELECT tgt_id, avg(cosine) AS bavg FROM R WHERE br <= {k}
+       GROUP BY tgt_id),
+B AS (SELECT R.*, FA.favg, BA.bavg FROM R
+      JOIN FA USING (src_id) JOIN BA USING (tgt_id) WHERE R.fr = 1)
+SELECT src_id, tgt_id, cosine, cosine / ((favg + bavg) / 2) AS margin,
+  (br = 1) AS mutual
+FROM B WHERE cosine / ((favg + bavg) / 2) >= {margin_threshold}"""
