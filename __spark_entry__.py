@@ -3270,6 +3270,83 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_text_pairs(pages)
 
 
+# -- multimodal: perceptual (average-hash) fingerprints + near-dup pairs -------
+# The decode STUB is a pure formula over two chained sha256 digests
+# (multimodal._fake_decode_pixels), so the whole chain — pixels → integer
+# mean-threshold bits → Manku banded pair search — is oracle-checkable; a
+# real deployment swaps only the pixel decode.
+def _duck_ahash(m_sql: str) -> str:
+    """CTE chain computing ahash per media row; ``m_sql`` must yield
+    (media_id, sa, sb) where sa/sb are the two stub digests (hex)."""
+    px = ", ".join(
+        _duck_hexbyte("sa", i) if i < 32 else _duck_hexbyte("sb", i - 32)
+        for i in range(64)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN px[{i + 1}] * 64 > total "
+        f"THEN (CAST(1 AS BIGINT) << {59 - i}) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""M AS ({m_sql}),
+PX AS (SELECT media_id, [{px}] AS px FROM M),
+S AS (SELECT media_id, px, list_sum(px) AS total FROM PX),
+H AS (SELECT media_id, CAST({bits} AS BIGINT) AS ahash FROM S)"""
+
+
+@_q(
+    "media_ahash",
+    f"""WITH {_duck_ahash(
+        "SELECT doc_id AS media_id, sha256(text) AS sa,"
+        " sha256(text || '.') AS sb FROM documents"
+    )}
+SELECT media_id, ahash FROM H""",
+)
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash fingerprints over document-derived media payloads."""
+    from scrape_spark.functions.multimodal import (
+        ahash_features,
+        media_from_documents,
+    )
+
+    return ahash_features(media_from_documents(_docs(spark, sf_dir)))
+
+
+_AHASH_GROUPED_M = (
+    "SELECT doc_id AS media_id, "
+    "sha256('payload-' || CAST(doc_id // 3 AS VARCHAR)) AS sa, "
+    "sha256('payload-' || CAST(doc_id // 3 AS VARCHAR) || '.') AS sb "
+    "FROM documents"
+)
+
+
+@_q(
+    "media_neardup_pairs",
+    # oracle = EXACT all-pairs Hamming<=3 — the banded search must equal it
+    # (the Manku recall-1.0 guarantee is what's being value-checked)
+    f"""WITH {_duck_ahash(_AHASH_GROUPED_M)}
+SELECT l.media_id AS id_1, r.media_id AS id_2,
+  CAST(bit_count(xor(l.ahash, r.ahash)) AS BIGINT) AS hamming
+FROM H l JOIN H r ON l.media_id < r.media_id
+WHERE bit_count(xor(l.ahash, r.ahash)) <= 3""",
+)
+def q_media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped payloads (3 docs share one) → perceptual dup pairs."""
+    from scrape_spark.functions.multimodal import media_neardup_pairs
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("payload-"), F.expr("doc_id div 3").cast("string")
+            ),
+            "utf-8",
+        ).alias("media"),
+        F.lit("image").alias("media_type"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return media_neardup_pairs(media)
+
+
 # -- multilingual curation: margin-based bitext mining -------------------------
 def _bitext_oracle() -> str:
     from scrape_spark.operators.similarity import bitext_mine_sql

@@ -164,3 +164,76 @@ def frame_sample(media: DataFrame, k: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup: average-hash fingerprints over decoded pixels
+# ---------------------------------------------------------------------------
+
+
+def _fake_decode_pixels(payload: bytes) -> list[int]:
+    """STUB pixel decode — 64 deterministic grayscale bytes in place of the
+    real decode+downsample (PIL ``convert('L').resize((8, 8))``, not
+    installed here). Two chained digests so tests and the DuckDB oracle
+    share an exact formula; a real deployment replaces ONLY this function —
+    the bit-assembly and pair-search stages below are payload-agnostic."""
+    a = hashlib.sha256(payload).digest()
+    b = hashlib.sha256(payload + b".").digest()
+    return list(a + b)
+
+
+def ahash_features(media: DataFrame, bits: int = 60) -> DataFrame:
+    """(media_id, ahash) — the classic average-hash perceptual fingerprint.
+
+    Decode to an 8x8 grayscale grid, then bit i = 1 iff pixel i exceeds the
+    grid mean — assembled MSB-first over the first ``bits`` pixels. The
+    mean test is exact integer arithmetic (``pixel * 64 > sum``), so the
+    fingerprint is bit-reproducible across engines (no float threshold).
+    ``bits`` defaults to 60 (not the canonical 64) so the value stays in
+    int64's non-negative range, which the Manku block search's div/mod
+    block split requires; four low-order pixels of an 8x8 aHash carry
+    negligible discrimination.
+
+    Arrow-batched mapInPandas, map-only: payload bytes are read once per
+    batch and never shuffled — only the (id, int64) sliver leaves the scan,
+    so the stage costs the same at 100 TB as the feature extractor.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                data = bytes(payload) if payload is not None else b""
+                px = _fake_decode_pixels(data)
+                total = sum(px)
+                v = 0
+                for i in range(bits):
+                    v = (v << 1) | (1 if px[i] * 64 > total else 0)
+                rows.append((int(mid), v))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(run, schema="media_id long, ahash long")
+
+
+def media_neardup_pairs(
+    media: DataFrame, bits: int = 60, max_hamming: int = 3
+) -> DataFrame:
+    """(id_1, id_2, hamming) pairs of perceptually-near media items.
+
+    Average-hash fingerprints + the exact Manku block-pigeonhole search
+    shared with SimHash text dedup (operators/dedup.py
+    ``fingerprint_neardup_pairs``): recall 1.0 at Hamming <= ``max_hamming``
+    with ONE bucket shuffle of (id, int64) rows — never all-pairs, media
+    bytes never leave the map side. This is how image dedup runs at
+    LAION scale: re-encoded/resized copies land within a few bits of each
+    other while distinct images are ~30 bits apart.
+    """
+    from scrape_spark.operators.dedup import fingerprint_neardup_pairs
+
+    return fingerprint_neardup_pairs(
+        ahash_features(media, bits=bits),
+        bits=bits,
+        max_hamming=max_hamming,
+        id_col="media_id",
+        fp_col="ahash",
+    )

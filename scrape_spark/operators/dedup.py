@@ -151,12 +151,32 @@ def simhash_neardup_pairs(
 
     Returns (id_1, id_2, hamming) with id_1 < id_2.
     """
+    fp = ts.simhash_wide(text_col, bits) if bits > 31 else ts.simhash(text_col, bits)
+    return fingerprint_neardup_pairs(
+        docs.select(F.col(id_col).alias("id"), fp.alias("sh")),
+        bits=bits,
+        max_hamming=max_hamming,
+    )
+
+
+def fingerprint_neardup_pairs(
+    fps: DataFrame,
+    bits: int,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    fp_col: str = "sh",
+) -> DataFrame:
+    """The Manku block-pigeonhole search over an ARBITRARY non-negative
+    fingerprint column — the machinery behind :func:`simhash_neardup_pairs`,
+    shared with the media average-hash path (functions/multimodal.py
+    ``media_neardup_pairs``): any map-computable <= 63-bit fingerprint gets
+    exact Hamming-<= k pairing with one bucket shuffle. Same plan shape and
+    guarantees as documented above. Returns (id_1, id_2, hamming)."""
     n_blocks = max_hamming + 1
     if bits % n_blocks:
         raise ValueError(f"bits={bits} must divide into {n_blocks} blocks")
     width = bits // n_blocks
-    fp = ts.simhash_wide(text_col, bits) if bits > 31 else ts.simhash(text_col, bits)
-    sh = docs.select(F.col(id_col).alias("id"), fp.alias("sh"))
+    sh = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("sh"))
     block_vals = F.array(
         *[
             F.expr(f"(sh div {1 << (j * width)}) % {1 << width}")
