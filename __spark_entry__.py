@@ -3270,6 +3270,34 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_text_pairs(pages)
 
 
+# -- curation: in-engine classifier training (fixed-point GD, unrolled) --------
+_CLF_DOCS_DD = (
+    "SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS label FROM documents"
+)
+
+
+def _clf_train_oracle() -> str:
+    from scrape_spark.operators.lmquality import train_token_classifier_sql
+
+    return train_token_classifier_sql(_CLF_DOCS_DD, n_iters=2)
+
+
+@_q("classifier_train", _clf_train_oracle())
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two GD iterations over labeled documents; exact-integer weights.
+
+    Training is deterministic fixed-point arithmetic, so even this
+    ITERATIVE op is value-checked against a DuckDB replay with the
+    iterations unrolled into CTEs — no rows-only weak check needed.
+    """
+    from scrape_spark.operators.lmquality import train_token_classifier
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", (F.col("doc_id") % 2).cast("int").alias("label")
+    )
+    return train_token_classifier(docs, n_iters=2)
+
+
 # -- multimodal: perceptual (average-hash) fingerprints + near-dup pairs -------
 # The decode STUB is a pure formula over two chained sha256 digests
 # (multimodal._fake_decode_pixels), so the whole chain — pixels → integer

@@ -483,3 +483,183 @@ _s AS (SELECT *, CAST(floor({SCORE_Q}.0 * CAST(raw_score AS DOUBLE)
 SELECT {id_col}, n_tokens, raw_score, score_q6,
        (score_q6 >= {threshold_q6}) AS label
 FROM _s"""
+
+
+# ---------------------------------------------------------------------------
+# linear text-classifier TRAINING (fixed-point batch gradient descent)
+# ---------------------------------------------------------------------------
+# Completes the classifier story: ``classifier_score`` serves a (token,
+# weight) table; this trains one in-engine from labeled documents
+# (curated-vs-random, the FineWeb-Edu / CCNet recipe) without ever moving
+# the corpus to one machine. All arithmetic is EXACT int64 fixed-point
+# (q6), with a hard-sigmoid link instead of exp — so training is
+# bit-reproducible across engines and partitionings, and even the
+# iterative loop is oracle-checkable by unrolling iterations into CTEs.
+# Divisions use TRUNCATION toward zero on both engines (Spark's `div`
+# truncates; DuckDB's `//` floors, so the oracle splices the sign-split
+# form below).
+
+
+def _idiv_trunc_sql(x: str, d: str) -> str:
+    """Truncating integer division, identical on both engines."""
+    return (
+        f"(CASE WHEN ({x}) >= 0 THEN ({x}) div ({d}) "
+        f"ELSE -((-({x})) div ({d})) END)"
+    )
+
+
+def _idiv_trunc_duck(x: str, d: str) -> str:
+    return (
+        f"(CASE WHEN ({x}) >= 0 THEN ({x}) // ({d}) "
+        f"ELSE -((-({x})) // ({d})) END)"
+    )
+
+
+def train_token_classifier(
+    docs: DataFrame,
+    n_iters: int = 3,
+    lr_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Train a linear bag-of-words classifier; returns (token, weight_q6).
+
+    Batch gradient descent on mean-of-token features (``x_t = cnt_t / n``,
+    matching ``classifier_score``'s weight-mean scoring) with a
+    hard-sigmoid link ``p = clamp(1/2 + s/4, 0, 1)``: per iteration, score
+    every doc (one doc-keyed agg over the cached token-count sliver with
+    the broadcast weight table), form integer residuals ``p_q6 - y*1e6``,
+    accumulate per-token gradients ``sum(trunc(resid * cnt / n))`` (one
+    token-keyed agg), and step ``w -= trunc(grad / (lr_den * n_docs))``.
+    The corpus is tokenized ONCE; each iteration touches only the
+    (id, token, cnt, n, y) sliver, the weight table stays distributed
+    (never collected), and per-iteration driver traffic is zero. Bias is
+    intentionally absent: token-mean features make a bias redundant with a
+    constant shift of the decision threshold, and dropping it keeps every
+    update corpus-side.
+
+    ``label_col`` is 0/1 (1 = quality/curated). Zero-token docs carry no
+    gradient. n_iters Spark jobs total, like the BPE trainer's loop —
+    gradient descent is inherently sequential; each step is fully
+    distributed.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_y"),
+        F.explode(F.expr(tokens_sql(text_col, _SD))).alias("token"),
+    )
+    counts = (
+        toks.groupBy("_id", "_y", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        .withColumn(
+            "_n", F.sum("_cnt").over(Window.partitionBy("_id")).cast("long")
+        )
+        .cache()
+    )
+    n_docs = counts.select("_id").distinct().count()
+    weights = counts.select("token").distinct().withColumn(
+        "weight_q6", F.lit(0).cast("long")
+    )
+    step_den = lr_den * n_docs
+    for _ in range(n_iters):
+        scored = (
+            counts.join(F.broadcast(weights), "token")
+            .groupBy("_id", "_y", "_n")
+            .agg(F.sum(F.col("weight_q6") * F.col("_cnt")).alias("_ws"))
+            .select(
+                "_id",
+                "_y",
+                "_n",
+                F.expr(_idiv_trunc_sql("_ws", "_n")).alias("_s"),
+            )
+            .select(
+                "_id",
+                "_n",
+                (
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.least(
+                            F.lit(SCORE_Q).cast("long"),
+                            F.lit(SCORE_Q // 2)
+                            + F.expr(_idiv_trunc_sql("_s", "4")),
+                        ),
+                    )
+                    - F.col("_y") * F.lit(SCORE_Q)
+                ).alias("_resid"),
+            )
+        )
+        grads = (
+            counts.join(scored.select("_id", "_resid"), "_id")
+            .select(
+                "token",
+                F.expr(_idiv_trunc_sql("_resid * _cnt", "_n")).alias("_g"),
+            )
+            .groupBy("token")
+            .agg(F.sum("_g").cast("long").alias("_grad"))
+        )
+        nxt = (
+            weights.join(grads, "token", "left")
+            .select(
+                "token",
+                (
+                    F.col("weight_q6")
+                    - F.expr(
+                        _idiv_trunc_sql("coalesce(_grad, 0)", str(step_den))
+                    )
+                ).cast("long").alias("weight_q6"),
+            )
+            .cache()
+        )
+        nxt.count()  # materialize before dropping the parent cache
+        weights.unpersist()
+        weights = nxt
+    counts.unpersist()
+    return weights
+
+
+def train_token_classifier_sql(
+    docs_sql: str,
+    n_iters: int = 3,
+    lr_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> str:
+    """DuckDB replay of :func:`train_token_classifier` — iterations
+    UNROLLED into a CTE chain (training is deterministic integer math, so
+    parity is exact, not approximate)."""
+    toks = tokens_sql(text_col, _DD)
+    parts = [
+        f"""T AS (
+  SELECT _id, _y, token, CAST(count(*) AS BIGINT) AS _cnt,
+         CAST(sum(count(*)) OVER (PARTITION BY _id) AS BIGINT) AS _n
+  FROM (SELECT {id_col} AS _id, CAST({label_col} AS BIGINT) AS _y,
+               unnest({toks}) AS token
+        FROM ({docs_sql}))
+  GROUP BY _id, _y, token),
+ND AS (SELECT count(DISTINCT _id) AS n_docs FROM T),
+W0 AS (SELECT DISTINCT token, CAST(0 AS BIGINT) AS weight_q6 FROM T)"""
+    ]
+    half, full = SCORE_Q // 2, SCORE_Q
+    for i in range(n_iters):
+        s = _idiv_trunc_duck("_ws", "_n")
+        p = f"greatest(0, least({full}, {half} + {_idiv_trunc_duck('_s', '4')}))"
+        g = _idiv_trunc_duck("_resid * _cnt", "_n")
+        step = _idiv_trunc_duck("coalesce(_grad, 0)", f"{lr_den} * n_docs")
+        parts.append(
+            f"""S{i} AS (
+  SELECT _id, _y, _n, {s} AS _s
+  FROM (SELECT T._id, T._y, T._n,
+          CAST(sum(W{i}.weight_q6 * T._cnt) AS BIGINT) AS _ws
+        FROM T JOIN W{i} USING (token)
+        GROUP BY T._id, T._y, T._n)),
+R{i} AS (SELECT _id, CAST({p} - _y * {full} AS BIGINT) AS _resid FROM S{i}),
+G{i} AS (SELECT token, CAST(sum({g}) AS BIGINT) AS _grad
+         FROM T JOIN R{i} USING (_id) GROUP BY token),
+W{i + 1} AS (SELECT W{i}.token,
+         CAST(W{i}.weight_q6 - {step} AS BIGINT) AS weight_q6
+       FROM W{i} LEFT JOIN G{i} USING (token), ND)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT token, weight_q6 FROM W{n_iters}"
