@@ -3100,6 +3100,21 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+# -- discovery → scheduling: feed entries collapsed to enqueue candidates ------
+def _feed_schedule_oracle() -> str:
+    from scrape_spark.sources.feeds import feed_entries_sql, feed_schedule_sql
+
+    return feed_schedule_sql(feed_entries_sql(_feeds_fixture_sql()))
+
+
+@_q("feed_schedule", _feed_schedule_oracle())
+def q_feed_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed feeds → (url, priority, n_feeds) enqueue plan."""
+    from scrape_spark.sources.feeds import feed_schedule
+
+    return feed_schedule(q_feed_entries(spark, sf_dir))
+
+
 # -- curation: structured page metadata (OpenGraph / meta / JSON-LD) ----------
 # Forge heads from documents: og:title in both attribute orders (mod 3),
 # meta description (mod 4), a JSON-LD block that is valid (mod 5 == 0) or
@@ -3107,9 +3122,9 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # even ids. Oracle reuses page_metadata_sql verbatim.
 _META_HTML_DD = """'<html><head>'
   || CASE doc_id % 3
-       WHEN 0 THEN '<meta property="og:title" content="T'
+       WHEN 0 THEN '<meta property="og:title" content="Title '
          || CAST(doc_id AS VARCHAR) || '">'
-       WHEN 1 THEN '<meta content="T' || CAST(doc_id AS VARCHAR)
+       WHEN 1 THEN '<meta content="Title ' || CAST(doc_id AS VARCHAR)
          || '" property="og:title">'
        ELSE '' END
   || CASE WHEN doc_id % 4 = 0 THEN '<meta name="description" content="D'
@@ -3129,21 +3144,9 @@ _META_HTML_DD = """'<html><head>'
   || '</head><body></body></html>'"""
 
 
-def _metadata_oracle() -> str:
-    from scrape_spark.functions.metadata import page_metadata_sql
-
-    fixture = (
-        "SELECT 'http://m.test/' || CAST(doc_id AS VARCHAR) AS url, "
-        f"{_META_HTML_DD} AS html_str FROM documents"
-    )
-    return page_metadata_sql(fixture)
-
-
-@_q("page_metadata", _metadata_oracle())
-def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forge heads from documents, extract og/meta/JSON-LD back."""
-    from scrape_spark.functions.metadata import page_metadata
-
+def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the _META_HTML_DD forged heads (shared by the
+    page_metadata and og_image_pairs queries)."""
     d = F.col("doc_id")
     ds = d.cast("string")
     html = F.concat(
@@ -3151,13 +3154,17 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             d % 3 == 0,
             F.concat(
-                F.lit('<meta property="og:title" content="T'), ds, F.lit('">')
+                F.lit('<meta property="og:title" content="Title '),
+                ds,
+                F.lit('">'),
             ),
         )
         .when(
             d % 3 == 1,
             F.concat(
-                F.lit('<meta content="T'), ds, F.lit('" property="og:title">')
+                F.lit('<meta content="Title '),
+                ds,
+                F.lit('" property="og:title">'),
             ),
         )
         .otherwise(F.lit("")),
@@ -3199,11 +3206,49 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.lit("</head><body></body></html>"),
     )
-    pages = _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).select(
         F.concat(F.lit("http://m.test/"), ds).alias("url"),
         html.alias("html_str"),
     )
-    return page_metadata(pages)
+
+
+def _metadata_oracle() -> str:
+    from scrape_spark.functions.metadata import page_metadata_sql
+
+    fixture = (
+        "SELECT 'http://m.test/' || CAST(doc_id AS VARCHAR) AS url, "
+        f"{_META_HTML_DD} AS html_str FROM documents"
+    )
+    return page_metadata_sql(fixture)
+
+
+@_q("page_metadata", _metadata_oracle())
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forge heads from documents, extract og/meta/JSON-LD back."""
+    from scrape_spark.functions.metadata import page_metadata
+
+    return page_metadata(_meta_pages(spark, sf_dir))
+
+
+# -- multimodal curation: OpenGraph card image-text pairs ----------------------
+def _og_pairs_oracle() -> str:
+    from scrape_spark.functions.imgtext import og_image_pairs_sql
+
+    fixture = (
+        "SELECT 'http://m.test/' || CAST(doc_id AS VARCHAR) AS url, "
+        f"{_META_HTML_DD} AS html_str FROM documents"
+    )
+    return og_image_pairs_sql(fixture)
+
+
+@_q("og_image_pairs", _og_pairs_oracle())
+def q_og_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """og:image + card text pairs over the shared metadata fixture."""
+    from scrape_spark.functions.imgtext import og_image_pairs
+
+    return og_image_pairs(_meta_pages(spark, sf_dir))
+
+
 
 
 # -- multimodal curation: image-text pair mining -------------------------------

@@ -192,3 +192,48 @@ J AS (SELECT IM.url, IM.img_pos, IM.raw_src, IM.alt, FG.caption,
 SELECT url, img_pos, {resolve_src_sql('raw_src', 'url')} AS img_src,
   alt, caption, pair_text
 FROM J WHERE {_gate_sql('pair_text', min_text_chars)}"""
+
+
+def og_image_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_str",
+    min_text_chars: int = 5,
+) -> DataFrame:
+    """(url, img_src, pair_text) from OpenGraph card declarations — the
+    second image-text pair source besides inline ``<img>`` mining: one
+    representative image per page (``og:image``) paired with the
+    publisher-written card text (``og:description``, else ``og:title``).
+    Card text is editorial rather than accessibility markup, so it is
+    usually richer than alt text; dedup across both sources on (url,
+    img_src) belongs to the caller. Map-side only — same gate and src
+    resolution as :func:`image_text_pairs`.
+    """
+    from scrape_spark.functions.metadata import og_sql
+
+    raw = pages.select(
+        F.col(url_col).alias("url"),
+        F.expr(og_sql(html_col, "image")).alias("raw_src"),
+        F.expr(
+            f"coalesce({og_sql(html_col, 'description')}, "
+            f"{og_sql(html_col, 'title')})"
+        ).alias("pair_text"),
+    ).where(F.col("raw_src").isNotNull())
+    return raw.select(
+        "url",
+        F.expr(resolve_src_sql("raw_src", "url")).alias("img_src"),
+        "pair_text",
+    ).where(F.expr(_gate_sql("pair_text", min_text_chars)))
+
+
+def og_image_pairs_sql(pages_sql: str, min_text_chars: int = 5) -> str:
+    """DuckDB twin of :func:`og_image_pairs` (same spliced kernels)."""
+    from scrape_spark.functions.metadata import og_sql
+
+    return f"""WITH R AS (
+  SELECT url, {og_sql('html_str', 'image')} AS raw_src,
+    coalesce({og_sql('html_str', 'description')},
+             {og_sql('html_str', 'title')}) AS pair_text
+  FROM ({pages_sql}))
+SELECT url, {resolve_src_sql('raw_src', 'url')} AS img_src, pair_text
+FROM R WHERE raw_src IS NOT NULL AND {_gate_sql('pair_text', min_text_chars)}"""

@@ -202,3 +202,39 @@ def feed_autodiscovery_refs(
     return kept.select(
         "url", w.alias("ref_pos"), "feed_url", "feed_kind"
     )
+
+
+def feed_schedule(
+    entries: DataFrame, base_priority: int = 1_000_000
+) -> DataFrame:
+    """Collapse parsed feed entries into frontier enqueue candidates:
+    (url, priority, n_feeds) — the glue between :func:`feed_entries` and
+    the frontier's priority dequeue (operators/politeness.py
+    ``priority_expr``), mirroring how sitemap ``<priority>``/
+    ``<changefreq>`` feed the revisit scheduler.
+
+    Feeds are newest-first by convention, so an entry's 1-based position
+    is its freshness rank: ``priority = base div entry_pos`` (exact
+    integer, dialect-shared — timestamp formats vary per format/publisher
+    and are NOT parsed here; document order is the portable signal). A URL
+    announced by several feeds takes its best position's priority, and
+    ``n_feeds`` (distinct announcing feeds) is a secondary hotness signal
+    the caller may fold in. One hash agg on the entry sliver.
+    """
+    return (
+        entries.groupBy(F.col("link").alias("url"))
+        .agg(
+            F.max(
+                F.expr(f"CAST({base_priority} AS BIGINT) div entry_pos")
+            ).alias("priority"),
+            F.countDistinct("feed_url").cast("long").alias("n_feeds"),
+        )
+    )
+
+
+def feed_schedule_sql(entries_sql: str, base_priority: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`feed_schedule` over feed_entries rows."""
+    return f"""SELECT link AS url,
+  CAST(max({base_priority} // entry_pos) AS BIGINT) AS priority,
+  CAST(count(DISTINCT feed_url) AS BIGINT) AS n_feeds
+FROM ({entries_sql}) GROUP BY link"""

@@ -124,3 +124,21 @@ def test_feed_parse_is_pure_jvm(spark):
         .toString()
     )
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_feed_schedule(spark):
+    from scrape_spark.sources.feeds import feed_schedule
+
+    rows = feed_entries(_feeds(spark, _RSS, _ATOM)).collect()
+    # forge a cross-feed duplicate: also announce rss pos-2 link at atom pos 1
+    entries = spark.createDataFrame(
+        [(r["feed_url"], r["entry_pos"], r["link"]) for r in rows]
+        + [("http://f9.test/feed.xml", 1, "http://a.test/p2")],
+        "feed_url string, entry_pos long, link string",
+    )
+    plan = {r["url"]: r for r in feed_schedule(entries).collect()}
+    assert plan["http://a.test/p1"]["priority"] == 1_000_000
+    # duplicate announcement: best position wins, n_feeds counts both
+    assert plan["http://a.test/p2"]["priority"] == 1_000_000
+    assert plan["http://a.test/p2"]["n_feeds"] == 2
+    assert plan["http://b.test/e2"]["priority"] == 500_000

@@ -80,3 +80,43 @@ def test_html_never_shuffled(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "html_str" not in line
+
+
+def test_og_image_pairs(spark):
+    from scrape_spark.functions.imgtext import og_image_pairs
+
+    pages = _pages(
+        spark,
+        '<meta property="og:image" content="/card.png">'
+        '<meta property="og:title" content="A long headline">',
+        '<meta property="og:image" content="http://c.test/i.png">'
+        '<meta property="og:description" content="Rich card description">'
+        '<meta property="og:title" content="T">',
+        '<meta property="og:image" content="/x.png">',  # no text → dropped
+    )
+    rows = {r["url"]: r for r in og_image_pairs(pages).collect()}
+    assert rows["http://h.test/dir/page0.html"]["img_src"] == "http://h.test/card.png"
+    assert rows["http://h.test/dir/page0.html"]["pair_text"] == "A long headline"
+    # description beats title
+    assert rows["http://h.test/dir/page1.html"]["pair_text"] == "Rich card description"
+    assert "http://h.test/dir/page2.html" not in rows
+
+
+def test_og_image_pairs_duckdb_parity(spark):
+    import duckdb
+
+    from scrape_spark.functions.imgtext import og_image_pairs, og_image_pairs_sql
+
+    htmls = [
+        '<meta property="og:image" content="/a.png">'
+        '<meta content="Cross-checked text" property="og:description">',
+        "<html>nothing</html>",
+    ]
+    got = sorted(tuple(r) for r in og_image_pairs(_pages(spark, *htmls)).collect())
+    pages_sql = " UNION ALL ".join(
+        "SELECT 'http://h.test/dir/page{i}.html' AS url, '{h}' AS html_str"
+        .format(i=i, h=h.replace("'", "''"))
+        for i, h in enumerate(htmls)
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(og_image_pairs_sql(pages_sql)).fetchall())
+    assert got == want
