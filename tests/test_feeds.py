@@ -142,3 +142,62 @@ def test_feed_schedule(spark):
     assert plan["http://a.test/p2"]["priority"] == 1_000_000
     assert plan["http://a.test/p2"]["n_feeds"] == 2
     assert plan["http://b.test/e2"]["priority"] == 500_000
+
+
+def test_feed_to_frontier_enqueue(spark, tmp_path):
+    """Integration: parsed feeds → schedule plan → enqueue_frame, with the
+    seq order following feed freshness (best announced position first) and
+    a replayed batch staying a no-op."""
+    from pyspark.sql import functions as SF
+
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.sources.feeds import feed_schedule
+    from scrape_spark.sources.webgraph import (
+        generate_pages,
+        robots_source_df,
+        seed_urls,
+    )
+
+    job = CrawlJob(
+        spark,
+        SnapshotStore(spark, str(tmp_path / "store")),
+        generate_pages(spark, 2, 10, 2, mega_host=None),
+        robots_source_df(spark, 2, mega_host=None),
+        round_seconds=60,
+        n_buckets=4,
+        bucket_capacity=1 << 12,
+    )
+    job.seed(seed_urls(2))
+
+    rss = (
+        "<rss><channel>"
+        + "".join(
+            f"<item><link>http://feedhost.test/p{i}</link></item>"
+            for i in (3, 1, 2)  # newest-first: p3 freshest
+        )
+        + "</channel></rss>"
+    )
+    entries = feed_entries(_feeds(spark, rss))
+    plan = feed_schedule(entries)
+    links = plan.select(
+        "url",
+        SF.lit(None).cast("string").alias("referrer"),
+        SF.lit("").alias("anchor_text"),
+        SF.lit(0).alias("link_pos"),
+        SF.timestamp_seconds(SF.lit(1700000000)).alias("discovered_at"),
+        (-SF.col("priority")).alias("_neg_prio"),
+    )
+    n = job.enqueue_frame(links, order_cols=["_neg_prio", "url"])
+    assert n == 3
+    fr = job.frontier().where(SF.col("url").contains("feedhost"))
+    got = [
+        r["url"] for r in fr.orderBy("seq").select("url").collect()
+    ]
+    assert got == [
+        "http://feedhost.test/p3",  # announced at position 1 → first
+        "http://feedhost.test/p1",
+        "http://feedhost.test/p2",
+    ]
+    # at-least-once replay: the same batch enqueues nothing new
+    assert job.enqueue_frame(links, order_cols=["_neg_prio", "url"]) == 0
