@@ -3568,6 +3568,101 @@ def q_link_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_link_policy(edges, pages)
 
 
+# -- multilingual routing: per-host dominant-language profile ------------------
+def _hostlang_oracle() -> str:
+    from scrape_spark.operators.corpus import host_language_profile_sql
+
+    return host_language_profile_sql(
+        "SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host, lang "
+        "FROM documents"
+    )
+
+
+@_q("host_language_profile", _hostlang_oracle())
+def q_host_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant language + ppm share per synthetic host."""
+    from scrape_spark.operators.corpus import host_language_profile
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias(
+            "host"
+        ),
+        "lang",
+    )
+    return host_language_profile(docs)
+
+
+# -- crawl budgeting: quality-weighted Hamilton apportionment ------------------
+@_q(
+    "quality_weighted_budget",
+    """WITH D AS (SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+        CAST(doc_id % 13 + 1 AS BIGINT) AS pending_w,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 900000 ELSE 300000 END AS BIGINT)
+          AS q_ppm
+      FROM documents),
+HC AS (SELECT host, CAST(sum(pending_w) AS BIGINT) AS pending,
+         CAST(sum(pending_w * q_ppm) // sum(pending_w) AS BIGINT) AS q
+       FROM D GROUP BY host),
+WD AS (SELECT host, pending,
+         greatest(CAST(1 AS BIGINT), (pending * q) // 1000000) AS demand
+       FROM HC),
+W AS (SELECT CAST(sum(demand) AS BIGINT) AS w FROM WD),
+S AS (SELECT host, pending, demand,
+        (1000 * demand) // w AS base,
+        (1000 * demand) % w AS rem
+      FROM WD, W),
+R AS (SELECT host, pending, demand, base,
+        row_number() OVER (ORDER BY rem DESC, host ASC) AS seat_rank,
+        CAST(sum(base) OVER () AS BIGINT) AS base_sum
+      FROM S)
+SELECT host, pending, demand,
+  CAST(least(base + CASE WHEN seat_rank <= 1000 - base_sum
+                    THEN 1 ELSE 0 END, demand) AS BIGINT) AS alloc
+FROM R""",
+)
+def q_quality_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host demand discounted by mean host quality before Hamilton
+    apportionment — low-quality hosts cede fetch budget to good ones
+    (composes doc-quality aggregation with allocate_host_budget; a
+    quality floor of one seat keeps every host crawlable, the same
+    liveness rule as the politeness quota clamp)."""
+    from scrape_spark.operators.politeness import allocate_host_budget
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        (F.col("doc_id") % 13 + 1).cast("long").alias("pending_w"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(900000))
+        .otherwise(F.lit(300000))
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    hc = d.groupBy("host").agg(
+        F.sum("pending_w").cast("long").alias("pending"),
+        F.expr(
+            "CAST(sum(pending_w * q_ppm) div sum(pending_w) AS BIGINT)"
+        ).alias("q"),
+    )
+    weighted = hc.select(
+        "host",
+        "pending",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(pending * q) div 1000000").cast("long"),
+        ).alias("demand"),
+    )
+    alloc = allocate_host_budget(
+        weighted.select("host", F.col("demand").alias("pending")),
+        budget=1000,
+    )
+    return (
+        weighted.select("host", "pending", "demand")
+        .join(alloc.select("host", "alloc"), "host")
+        .select("host", "pending", "demand", "alloc")
+    )
+
+
 # -- tokenizer prep: BPE first-iteration pair statistics -----------------------
 def _bpe_oracle() -> str:
     from scrape_spark.operators.corpus import bpe_pair_counts_sql

@@ -1654,3 +1654,54 @@ SELECT lang, n_docs,
   least(1000000,
     (1000000 * (({budget} * s) // (sum(s) OVER ()))) // n_docs) AS rate_ppm
 FROM S"""
+
+
+def host_language_profile(
+    docs: DataFrame, host_col: str = "host", lang_col: str = "lang"
+) -> DataFrame:
+    """(host, n_docs, top_lang, top_share_ppm) — each host's dominant
+    language and its integer-ppm share of the host's documents.
+
+    The routing signal behind language-targeted crawling (CC publishes the
+    same per-domain profile): a host that is 95% Swahili should spend its
+    politeness budget through the Swahili pipeline, and the pre-fetch URL
+    language hint (functions/urls.py url_lang_hint) can be validated
+    against the post-fetch profile. Ties break lexicographically
+    (deterministic across partitionings); share is exact integer ppm. Two
+    hash aggs on (host, lang) slivers — nothing corpus-proportional.
+    """
+    per = docs.groupBy(
+        F.col(host_col).alias("host"), F.col(lang_col).alias("lang")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), F.col("lang"))
+    tot = Window.partitionBy("host")
+    return (
+        per.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_docs", F.sum("n").over(tot).cast("long"))
+        .where(F.col("_rk") == 1)
+        .select(
+            "host",
+            "n_docs",
+            F.col("lang").alias("top_lang"),
+            F.expr("CAST(1000000 * n AS BIGINT) div n_docs").alias(
+                "top_share_ppm"
+            ),
+        )
+    )
+
+
+def host_language_profile_sql(
+    docs_sql: str, host_col: str = "host", lang_col: str = "lang"
+) -> str:
+    """DuckDB replay of :func:`host_language_profile` (same tie-break)."""
+    return f"""WITH P AS (
+  SELECT {host_col} AS host, {lang_col} AS lang,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ({docs_sql}) GROUP BY {host_col}, {lang_col}),
+R AS (SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY n DESC, lang) AS _rk,
+        CAST(sum(n) OVER (PARTITION BY host) AS BIGINT) AS n_docs
+      FROM P)
+SELECT host, n_docs, lang AS top_lang,
+  (1000000 * n) // n_docs AS top_share_ppm
+FROM R WHERE _rk = 1"""

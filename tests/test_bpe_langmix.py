@@ -129,3 +129,19 @@ def test_lang_temperature_duckdb_parity(spark):
         for r in duckdb.sql(lang_temperature_sample_sql(docs_sql, budget=77)).fetchall()
     )
     assert got == want
+
+
+def test_host_language_profile(spark):
+    from scrape_spark.operators.corpus import host_language_profile
+
+    docs = spark.createDataFrame(
+        [("h1", "en")] * 3 + [("h1", "de")] + [("h2", "sw"), ("h2", "en")],
+        "host string, lang string",
+    )
+    rows = {r["host"]: r for r in host_language_profile(docs).collect()}
+    assert rows["h1"]["top_lang"] == "en"
+    assert rows["h1"]["n_docs"] == 4
+    assert rows["h1"]["top_share_ppm"] == 750000
+    # tie on h2 breaks lexicographically
+    assert rows["h2"]["top_lang"] == "en"
+    assert rows["h2"]["top_share_ppm"] == 500000
