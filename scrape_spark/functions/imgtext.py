@@ -52,28 +52,48 @@ def strip_tags_sql(expr: str, spark: bool) -> str:
 
 
 def resolve_src_sql(src: str, base_url: str) -> str:
-    """Resolve an img ``src`` against the page URL — dialect-shared.
+    """Resolve an img ``src`` (or any href) against the page URL —
+    dialect-shared.
 
-    Absolute (``://``) kept; protocol-relative ``//host/x`` gets ``http:``;
-    root-relative ``/x`` joins scheme://host; anything else joins the
-    page's directory (URL up to its last ``/``; a host-only page URL
-    degrades to ``url || '/'``). Deliberately simpler than RFC 3986 dot-
-    segment handling — the fetch normalizer (functions/urls.py) owns that;
-    this kernel only needs the join, map-side on both engines.
+    Absolute (``://``) and other scheme URIs (``data:``, ``mailto:`` — a
+    ``:`` before any ``/``) pass through unchanged; protocol-relative
+    ``//host/x`` takes the PAGE's scheme (an https page must not emit
+    http image URLs); root-relative ``/x`` joins scheme://host; anything
+    else joins the page's directory — computed over the PATH part only,
+    so a slash-less page URL (``http://h.test``) degrades to ``/`` at the
+    host rather than matching the scheme's ``//``. Deliberately simpler
+    than RFC 3986 dot-segment handling — the fetch normalizer
+    (functions/urls.py) owns that; this kernel only needs the join,
+    map-side on both engines.
     """
-    scheme_host = (
-        f"left({base_url}, instr({base_url}, '://') - 1) || '://' || "
-        f"split_part(substr({base_url}, instr({base_url}, '://') + 3), '/', 1)"
+    scheme = f"left({base_url}, instr({base_url}, '://') - 1)"
+    after = f"substr({base_url}, instr({base_url}, '://') + 3)"
+    scheme_host = f"{scheme} || '://' || split_part({after}, '/', 1)"
+    path = f"substr({after}, length(split_part({after}, '/', 1)) + 1)"
+    dir_of_path = (
+        f"coalesce(nullif(regexp_extract({path}, '(.*/)[^/]*$', 1), ''), '/')"
     )
-    base_dir = (
-        f"coalesce(nullif(regexp_extract({base_url}, '(.*/)[^/]*$', 1), ''), "
-        f"{base_url} || '/')"
+    is_scheme_uri = (
+        f"(instr({src}, ':') > 0 AND (instr({src}, '/') = 0 "
+        f"OR instr({src}, ':') < instr({src}, '/')))"
     )
     return (
         f"CASE WHEN contains({src}, '://') THEN {src} "
-        f"WHEN {src} LIKE '//%' THEN 'http:' || {src} "
+        f"WHEN {is_scheme_uri} THEN {src} "
+        f"WHEN {src} LIKE '//%' THEN {scheme} || ':' || {src} "
         f"WHEN {src} LIKE '/%' THEN {scheme_host} || {src} "
-        f"ELSE {base_dir} || {src} END"
+        f"ELSE {scheme_host} || {dir_of_path} || {src} END"
+    )
+
+
+def _fetchable_src_sql(src: str) -> str:
+    """False for non-fetchable scheme URIs (``data:`` lazy-load
+    placeholders, ``javascript:`` handlers) — LAION-style mining drops
+    them; real network URLs (with ``://``) stay."""
+    return (
+        f"(NOT (instr({src}, ':') > 0 AND (instr({src}, '/') = 0 "
+        f"OR instr({src}, ':') < instr({src}, '/')) "
+        f"AND NOT contains({src}, '://')))"
     )
 
 
@@ -117,7 +137,10 @@ def image_text_pairs(
                 f"nullif(trim(regexp_extract(tag, '{ALT_RE}', 1)), '')"
             ).alias("alt"),
         )
-        .where(F.col("raw_src") != "")
+        .where(
+            (F.col("raw_src") != "")
+            & F.expr(_fetchable_src_sql("raw_src"))
+        )
     )
     figs = (
         pages.select(
@@ -172,10 +195,12 @@ I AS (SELECT url,
           AS img_pos,
         unnest(regexp_extract_all(html_str, '{IMG_TAG_RE}', 0)) AS tag
       FROM P),
-IM AS (SELECT url, img_pos,
-         regexp_extract(tag, '{SRC_RE}', 1) AS raw_src,
+IM AS (SELECT url, img_pos, raw_src,
          nullif(trim(regexp_extract(tag, '{ALT_RE}', 1)), '') AS alt
-       FROM I WHERE regexp_extract(tag, '{SRC_RE}', 1) <> ''),
+       FROM (SELECT url, img_pos,
+               regexp_extract(tag, '{SRC_RE}', 1) AS raw_src, tag
+             FROM I)
+       WHERE raw_src <> '' AND {_fetchable_src_sql('raw_src')}),
 FB AS (SELECT url,
          unnest(regexp_extract_all(html_str, '{FIGURE_BLOCK_RE}', 1)) AS block
        FROM P),
@@ -218,7 +243,10 @@ def og_image_pairs(
             f"coalesce({og_sql(html_col, 'description')}, "
             f"{og_sql(html_col, 'title')})"
         ).alias("pair_text"),
-    ).where(F.col("raw_src").isNotNull())
+    ).where(
+        F.col("raw_src").isNotNull()
+        & F.expr(_fetchable_src_sql("raw_src"))
+    )
     return raw.select(
         "url",
         F.expr(resolve_src_sql("raw_src", "url")).alias("img_src"),
@@ -236,4 +264,5 @@ def og_image_pairs_sql(pages_sql: str, min_text_chars: int = 5) -> str:
              {og_sql('html_str', 'title')}) AS pair_text
   FROM ({pages_sql}))
 SELECT url, {resolve_src_sql('raw_src', 'url')} AS img_src, pair_text
-FROM R WHERE raw_src IS NOT NULL AND {_gate_sql('pair_text', min_text_chars)}"""
+FROM R WHERE raw_src IS NOT NULL AND {_fetchable_src_sql('raw_src')}
+  AND {_gate_sql('pair_text', min_text_chars)}"""

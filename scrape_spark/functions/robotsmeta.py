@@ -25,34 +25,61 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from scrape_spark.functions.metadata import meta_name_sql
+from scrape_spark.functions.metadata import (
+    META_CONTENT_FIRST,
+    META_NAME_FIRST,
+)
 
 #: Anchor tags, for the rel=nofollow edge pass. href/rel in either order.
-A_TAG_RE = "(?i)<a [^>]*>"
+#: The character after ``<a`` is a REAL whitespace class (space/tab/CR/LF
+#: spliced literally — both engines accept them inside string literals,
+#: and literal characters keep the pattern backslash-free), so anchors
+#: whose first attribute sits on its own line still match.
+A_TAG_RE = "(?is)<a[ \t\r\n][^>]*>"
 HREF_RE = '(?i)href="([^"]*)"'
 REL_RE = '(?i)rel="([^"]*)"'
 
 
-def _meta_token_sql(html: str, token: str) -> str:
-    """True iff the robots meta declares ``token`` (or ``none`` for the
-    index/follow pair) — NULL-free: an absent tag means no restriction."""
-    content = meta_name_sql(html, "robots")
-    fenced = f"',' || replace(lower(coalesce({content}, '')), ' ', '') || ','"
+def _all_robots_content_sql(html: str, spark: bool) -> str:
+    """Comma-joined content values of EVERY ``<meta name="robots">`` tag —
+    REP semantics combine multiple robots metas (real pages split
+    directives across tags), so first-match extraction is not enough. The
+    one dialect split is the list join (array_join vs array_to_string)."""
+    pats = [
+        META_NAME_FIRST.format(name="robots"),
+        META_CONTENT_FIRST.format(name="robots"),
+    ]
+    lists = [f"regexp_extract_all({html}, '{p}', 1)" for p in pats]
+    if spark:
+        joined = " || ',' || ".join(f"array_join({l}, ',')" for l in lists)
+    else:
+        # DuckDB's array_to_string returns NULL (not '') for an empty list
+        joined = " || ',' || ".join(
+            f"coalesce(array_to_string({l}, ','), '')" for l in lists
+        )
+    return f"({joined})"
+
+
+def _meta_token_sql(html: str, token: str, spark: bool) -> str:
+    """True iff any robots meta declares ``token`` (or ``none`` for the
+    index/follow pair) — NULL-free: no tags means no restriction."""
+    content = _all_robots_content_sql(html, spark)
+    fenced = f"',' || replace(lower({content}), ' ', '') || ','"
     test = f"contains({fenced}, ',{token},')"
     if token in ("noindex", "nofollow"):
         return f"({test} OR contains({fenced}, ',none,'))"
     return test
 
 
-def robots_noindex_sql(html: str) -> str:
+def robots_noindex_sql(html: str, spark: bool = True) -> str:
     """True iff the page declares noindex (or none)."""
-    return _meta_token_sql(html, "noindex")
+    return _meta_token_sql(html, "noindex", spark)
 
 
-def robots_nofollow_sql(html: str) -> str:
+def robots_nofollow_sql(html: str, spark: bool = True) -> str:
     """True iff the page declares nofollow (or none) — ALL its links are
     disavowed, regardless of per-anchor rel attributes."""
-    return _meta_token_sql(html, "nofollow")
+    return _meta_token_sql(html, "nofollow", spark)
 
 
 def robots_meta_flags(
@@ -69,8 +96,8 @@ def robots_meta_flags(
 def robots_meta_flags_sql(pages_sql: str) -> str:
     """DuckDB twin of :func:`robots_meta_flags` (same spliced kernels)."""
     return f"""SELECT url,
-  {robots_noindex_sql('html_str')} AS noindex,
-  {robots_nofollow_sql('html_str')} AS nofollow
+  {robots_noindex_sql('html_str', spark=False)} AS noindex,
+  {robots_nofollow_sql('html_str', spark=False)} AS nofollow
 FROM ({pages_sql})"""
 
 
@@ -122,6 +149,7 @@ def apply_link_policy(
     dst_col: str = "dst",
     url_col: str = "url",
     html_col: str = "html_str",
+    resolve_hrefs: bool = True,
 ) -> DataFrame:
     """Drop webgraph edges the publisher disavows, before ranking.
 
@@ -133,15 +161,27 @@ def apply_link_policy(
     converts to broadcast at runtime when the estimate was wrong. The
     html column never enters an exchange.
 
-    ``dst_col`` must be keyed the same way the nofollow hrefs are written
-    (resolve/normalize upstream with one shared kernel; see
-    :func:`nofollow_edges`).
+    With ``resolve_hrefs`` (default), nofollow hrefs are resolved against
+    the page URL with the shared src-resolution kernel
+    (functions/imgtext.py), matching webgraphs whose ``dst`` keys are
+    resolved absolute URLs — without it, a relative ``href="/spam"``
+    could never equal an absolute dst and the anchor prune would silently
+    no-op. Pass False only when the edge table's dst keys are the raw
+    href strings.
     """
+    from scrape_spark.functions.imgtext import resolve_src_sql
+
     meta_nf = robots_meta_flags(pages, url_col, html_col).where(
         F.col("nofollow")
     ).select(F.col("url").alias(src_col))
-    anchor_nf = nofollow_edges(pages, url_col, html_col).select(
-        F.col("url").alias(src_col), F.col("href").alias(dst_col)
+    anchor_nf = nofollow_edges(pages, url_col, html_col)
+    href = (
+        F.expr(resolve_src_sql("href", "url"))
+        if resolve_hrefs
+        else F.col("href")
+    )
+    anchor_nf = anchor_nf.select(
+        F.col("url").alias(src_col), href.alias(dst_col)
     )
     return edges.join(meta_nf, [src_col], "left_anti").join(
         anchor_nf, [src_col, dst_col], "left_anti"

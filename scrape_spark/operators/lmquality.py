@@ -528,8 +528,10 @@ def train_token_classifier(
     Batch gradient descent on mean-of-token features (``x_t = cnt_t / n``,
     matching ``classifier_score``'s weight-mean scoring) with a
     hard-sigmoid link ``p = clamp(1/2 + s/4, 0, 1)``: per iteration, score
-    every doc (one doc-keyed agg over the cached token-count sliver with
-    the broadcast weight table), form integer residuals ``p_q6 - y*1e6``,
+    every doc (one doc-keyed agg over the cached token-count sliver joined
+    with the weight table — the planner broadcasts it while it fits and
+    shuffle-joins a web-scale vocabulary; no hint forces a driver
+    round-trip), form integer residuals ``p_q6 - y*1e6``,
     accumulate per-token gradients ``sum(trunc(resid * cnt / n))`` (one
     token-keyed agg), and step ``w -= trunc(grad / (lr_den * n_docs))``.
     The corpus is tokenized ONCE; each iteration touches only the
@@ -564,7 +566,7 @@ def train_token_classifier(
     step_den = lr_den * n_docs
     for _ in range(n_iters):
         scored = (
-            counts.join(F.broadcast(weights), "token")
+            counts.join(weights, "token")
             .groupBy("_id", "_y", "_n")
             .agg(F.sum(F.col("weight_q6") * F.col("_cnt")).alias("_ws"))
             .select(

@@ -59,10 +59,21 @@ UPDATED_RE = "<updated>([^<]*)</updated>"
 GUID_RE = "(?s)<guid[^>]*>([^<]*)</guid>"
 ATOM_ID_RE = "<id>([^<]*)</id>"
 
-#: A document is Atom iff it declares an ``<feed`` root anywhere before the
-#: first entry; RSS otherwise. ``contains`` is cheap and byte-identical in
-#: both engines.
+#: A document is Atom iff its ``<feed`` root opens before any ``<rss``
+#: marker — FIRST-occurrence order, not mere presence, so an RSS item whose
+#: CONTENT mentions "<feed" (a CDATA description quoting markup) cannot
+#: flip the whole feed's dispatch and silently drop every entry. ``instr``
+#: (1-based, 0 = absent) is byte-identical in both engines.
 ATOM_MARKER = "<feed"
+RSS_MARKER = "<rss"
+
+
+def _is_atom_sql(xml: str) -> str:
+    return (
+        f"(instr({xml}, '{ATOM_MARKER}') > 0 AND "
+        f"(instr({xml}, '{RSS_MARKER}') = 0 OR "
+        f"instr({xml}, '{ATOM_MARKER}') < instr({xml}, '{RSS_MARKER}')))"
+    )
 
 #: HTML-head feed autodiscovery links. One regex per attribute order is
 #: hopeless for <link> (three attributes, any order), so the kernel splits
@@ -81,17 +92,17 @@ def feed_entries(
     """(feed_url, kind, entry_pos, link, title, published_raw, guid) per
     feed entry, both formats in one map-side pass.
 
-    ``kind`` is ``'atom'`` or ``'rss'`` (root-marker sniff — a feed body
-    is one format; mixed markers resolve to atom, matching readers that
-    dispatch on the root element). ``entry_pos`` is the 1-based document
+    ``kind`` is ``'atom'`` or ``'rss'`` (first-root-marker sniff — the
+    marker that OPENS the document decides, so markup quoted inside item
+    content cannot flip the dispatch). ``entry_pos`` is the 1-based document
     -order position: feeds are newest-first by convention, so position 1
     is the freshest URL and feeds the frontier's priority directly.
     Entries with an empty link are dropped (nothing to enqueue); title /
     published / guid are NULL when absent.
     """
-    is_atom = F.expr(f"contains({xml_col}, '{ATOM_MARKER}')")
+    is_atom = F.expr(_is_atom_sql(xml_col))
     blocks_expr = (
-        f"CASE WHEN contains({xml_col}, '{ATOM_MARKER}') "
+        f"CASE WHEN {_is_atom_sql(xml_col)} "
         f"THEN regexp_extract_all({xml_col}, '{ENTRY_BLOCK_RE}', 1) "
         f"ELSE regexp_extract_all({xml_col}, '{ITEM_BLOCK_RE}', 1) END"
     )
@@ -139,13 +150,13 @@ def feed_entries_sql(feeds_sql: str) -> str:
     composed oracle downstream.
     """
     blocks = (
-        f"CASE WHEN contains(xml, '{ATOM_MARKER}') "
+        f"CASE WHEN {_is_atom_sql('xml')} "
         f"THEN regexp_extract_all(xml, '{ENTRY_BLOCK_RE}', 1) "
         f"ELSE regexp_extract_all(xml, '{ITEM_BLOCK_RE}', 1) END"
     )
     return f"""WITH F AS ({feeds_sql}),
 B AS (SELECT feed_url,
-        CASE WHEN contains(xml, '{ATOM_MARKER}') THEN 'atom' ELSE 'rss' END
+        CASE WHEN {_is_atom_sql('xml')} THEN 'atom' ELSE 'rss' END
           AS kind,
         unnest({blocks}) AS block,
         generate_subscripts({blocks}, 1) AS pos

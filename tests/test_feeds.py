@@ -201,3 +201,17 @@ def test_feed_to_frontier_enqueue(spark, tmp_path):
     ]
     # at-least-once replay: the same batch enqueues nothing new
     assert job.enqueue_frame(links, order_cols=["_neg_prio", "url"]) == 0
+
+
+def test_rss_mentioning_feed_markup_stays_rss(spark):
+    # a description QUOTING '<feed' must not flip dispatch to Atom
+    rss = (
+        "<rss version=\"2.0\"><channel>"
+        "<item><link>http://a.test/p1</link>"
+        "<description><![CDATA[see the <feed> tag]]></description></item>"
+        "</channel></rss>"
+    )
+    rows = feed_entries(_feeds(spark, rss)).collect()
+    assert [(r["kind"], r["link"]) for r in rows] == [
+        ("rss", "http://a.test/p1")
+    ]

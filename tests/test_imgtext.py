@@ -120,3 +120,30 @@ def test_og_image_pairs_duckdb_parity(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(og_image_pairs_sql(pages_sql)).fetchall())
     assert got == want
+
+
+def test_src_resolution_edge_cases(spark):
+    from scrape_spark.functions.imgtext import image_text_pairs
+
+    pages = spark.createDataFrame(
+        [
+            # slash-less page URL: relative src joins at the host root
+            ("http://h.test", '<img src="rel.png" alt="A tiny red fox">'),
+            # https page: protocol-relative src keeps https
+            (
+                "https://s.test/p/",
+                '<img src="//cdn.test/i.png" alt="A blue whale photo">',
+            ),
+            # data URI placeholder: dropped entirely
+            (
+                "http://d.test/p/",
+                '<img src="data:image/gif;base64,AAA" alt="A lazy loader">',
+            ),
+        ],
+        "url string, html_str string",
+    )
+    rows = {r["url"]: r["img_src"] for r in image_text_pairs(pages).collect()}
+    assert rows == {
+        "http://h.test": "http://h.test/rel.png",
+        "https://s.test/p/": "https://cdn.test/i.png",
+    }

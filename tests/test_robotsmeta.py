@@ -86,3 +86,48 @@ def test_duckdb_parity(spark):
         tuple(r) for r in duckdb.sql(nofollow_edges_sql(pages_sql)).fetchall()
     )
     assert got_nf == want_nf
+
+
+def test_multiple_robots_metas_combine(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://m.test/",
+                '<meta name="robots" content="noarchive">'
+                '<meta name="robots" content="nofollow">',
+            )
+        ],
+        "url string, html_str string",
+    )
+    r = robots_meta_flags(pages).first()
+    assert (r["noindex"], r["nofollow"]) == (False, True)
+
+
+def test_multiline_anchor_matched(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://m.test/",
+                '<a\nhref="http://x.test/1" rel="nofollow">x</a>',
+            )
+        ],
+        "url string, html_str string",
+    )
+    rows = nofollow_edges(pages).collect()
+    assert [(r["url"], r["href"]) for r in rows] == [
+        ("http://m.test/", "http://x.test/1")
+    ]
+
+
+def test_policy_resolves_relative_hrefs(spark):
+    pages = spark.createDataFrame(
+        [("http://s.test/a", '<a href="/spam" rel="nofollow">x</a>')],
+        "url string, html_str string",
+    )
+    edges = spark.createDataFrame(
+        [("http://s.test/a", "http://s.test/spam"),
+         ("http://s.test/a", "http://s.test/ok")],
+        "src string, dst string",
+    )
+    kept = [r["dst"] for r in apply_link_policy(edges, pages).collect()]
+    assert kept == ["http://s.test/ok"]
