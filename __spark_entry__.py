@@ -3568,6 +3568,30 @@ def q_link_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_link_policy(edges, pages)
 
 
+# -- curation: character-distribution entropy ----------------------------------
+def _entropy_oracle() -> str:
+    from scrape_spark.functions import textstats as ts
+
+    return (
+        f"SELECT doc_id, {ts.char_entropy_q4_sql('text', ts.DUCK_DIALECT)} "
+        "AS entropy_q4 FROM documents"
+    )
+
+
+@_q("char_entropy", _entropy_oracle())
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon char entropy (q4 nats) per document — gibberish/template
+    tails for the quality funnel."""
+    from scrape_spark.functions import textstats as ts
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(ts.char_entropy_q4_sql("text", ts.SPARK_DIALECT)).alias(
+            "entropy_q4"
+        ),
+    )
+
+
 # -- multilingual routing: per-host dominant-language profile ------------------
 def _hostlang_oracle() -> str:
     from scrape_spark.operators.corpus import host_language_profile_sql

@@ -46,6 +46,7 @@ SPARK_DIALECT = {
     "transform": "transform({arr}, {lam})",
     "filter": "filter({arr}, {lam})",
     "fold0": "aggregate({arr}, CAST(0 AS BIGINT), {lam})",  # fold with init 0
+    "dfold0": "aggregate({arr}, CAST(0 AS DOUBLE), {lam})",  # double fold
     "seq": "sequence({a}, {b})",  # inclusive range a..b (guard a<=b!)
     "at": "element_at({arr}, {i})",  # 1-based index
     "amin": "array_min({arr})",
@@ -76,6 +77,7 @@ DUCK_DIALECT = {
     "transform": "list_transform({arr}, {lam})",
     "filter": "list_filter({arr}, {lam})",
     "fold0": "list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), {lam})",
+    "dfold0": "list_reduce(list_prepend(CAST(0 AS DOUBLE), {arr}), {lam})",
     "seq": "range({a}, ({b}) + 1)",  # DuckDB range is end-exclusive
     "at": "{arr}[{i}]",
     "amin": "list_min({arr})",
@@ -659,3 +661,50 @@ def hash_embedding_sql(
 
 def hash_embedding(text_col: str, dim: int = 16) -> Column:
     return F.expr(hash_embedding_sql(text_col, SPARK_DIALECT, dim))
+
+
+# ---------------------------------------------------------------------------
+# character-distribution entropy (compression-ratio-style quality signal)
+# ---------------------------------------------------------------------------
+
+#: Entropy window: the leading slice that is scored. Bounds the O(d·n)
+#: distinct-char counting (d <= alphabet size) per row; 2000 chars is
+#: plenty to characterize a page's character distribution.
+ENTROPY_CHARS = 2000
+
+
+def char_entropy_q4_sql(text: str, d: dict) -> str:
+    """Shannon entropy of the character distribution (nats, q4) over the
+    first ENTROPY_CHARS characters — the cheap stand-in for the
+    compression-ratio quality check CC-era pipelines run: template sludge
+    and repeated-character runs score near 0, normal prose ~2.9-3.2,
+    random base64-ish noise ~4+. Both tails are curation signals.
+
+    ``H = ln(n) − (Σ cᵢ·ln cᵢ)/n`` with the distinct-char array SORTED
+    before the fold, so both engines sum identical values in identical
+    order — the only floats are ``ln`` over small-int counts, the same
+    IEEE ops on both sides. Clamped at 0 (1-ulp cancellation error on
+    uniform text must not floor to −1); empty text scores 0.
+    """
+    n_capped = f"least(length({text}), {ENTROPY_CHARS})"
+    chars = d["transform"].format(
+        arr=d["seq"].format(a="1", b=n_capped),
+        lam=f"i -> substr({text}, i, 1)",
+    )
+    count_of = d["size"].format(
+        arr=d["filter"].format(arr="__ch", lam="__y -> __y = __c")
+    )
+    counts = d["transform"].format(
+        arr=d["asort"].format(arr=d["adistinct"].format(arr="__ch")),
+        lam=f"__c -> CAST({count_of} AS DOUBLE)",
+    )
+    sumterm = d["dfold0"].format(
+        arr="__cc", lam="(acc, c) -> acc + c * ln(c)"
+    )
+    nv = d["size"].format(arr="__ch")
+    h = f"(ln(CAST({nv} AS DOUBLE)) - ({sumterm}) / CAST({nv} AS DOUBLE))"
+    expr = (
+        f"CASE WHEN {nv} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(greatest(0, floor(10000 * {h})) AS BIGINT) END"
+    )
+    return _bind(_bind(expr, "__cc", counts, d), "__ch", chars, d)

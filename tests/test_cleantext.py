@@ -46,3 +46,37 @@ def test_mojibake_count_semantics(spark):
 def test_markers_are_printable_and_quote_free():
     for m in MOJIBAKE_MARKERS:
         assert "'" not in m and all(ch.isprintable() for ch in m)
+
+
+def test_char_entropy_values_and_parity(spark):
+    import duckdb
+
+    from scrape_spark.functions import textstats as ts
+
+    texts = [
+        "aaaa", "ab", "abab", "", "abcd",
+        "the quick brown fox jumps over the lazy dog",
+        "aAbB  \n\tmixed Whitespace and CASE!",
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["e"]
+        for r in df.select(
+            "i",
+            F.expr(ts.char_entropy_q4_sql("t", ts.SPARK_DIALECT)).alias("e"),
+        ).collect()
+    }
+    assert got[0] == 0 and got[3] == 0          # uniform + empty
+    assert got[1] == got[2] == 6931             # ln 2
+    assert got[4] == 13862                      # ln 4
+    assert 29000 < got[5] < 32000               # prose ~3.0 nats
+    for i, t in enumerate(texts):
+        q = (
+            f"SELECT {ts.char_entropy_q4_sql('t', ts.DUCK_DIALECT)} "
+            f"FROM (SELECT '{t.replace(chr(39), chr(39) * 2)}' AS t)"
+        )
+        assert duckdb.sql(q).fetchall()[0][0] == got[i], t
