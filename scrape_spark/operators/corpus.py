@@ -1705,3 +1705,70 @@ R AS (SELECT *, row_number() OVER (PARTITION BY host
 SELECT host, n_docs, lang AS top_lang,
   (1000000 * n) // n_docs AS top_share_ppm
 FROM R WHERE _rk = 1"""
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list: (id, tokens array<string>) — the
+    serving half of :func:`bpe_train`.
+
+    Per-word merge application is inherently sequential in rank order
+    (each merge changes the pairs the next one sees), so this is the one
+    stage of the tokenizer stack that does not reduce to relational
+    algebra: an Arrow-batched ``mapInPandas`` with the merge-rank dict
+    shipped in the closure (same positioning as the fused parse UDF —
+    Python on the hot path ONLY where the algorithm demands it). The
+    classic lowest-rank-first loop per word, with a per-batch word cache:
+    Zipf repetition makes the hit rate high, so cost tracks DISTINCT
+    words per batch, not tokens. Map-only; text never shuffles.
+    """
+    import pandas as pd
+
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        sym = list(word)
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            a, b = merges[best_rank]
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    def run(batches):
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            rows = []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w)
+                        cache[w] = enc
+                    toks.extend(enc)
+                rows.append((_id, toks))
+            yield pd.DataFrame(rows, columns=[id_col, "tokens"])
+
+    return docs.mapInPandas(
+        run, schema=f"{id_col} long, tokens array<string>"
+    )

@@ -145,3 +145,58 @@ def test_host_language_profile(spark):
     # tie on h2 breaks lexicographically
     assert rows["h2"]["top_lang"] == "en"
     assert rows["h2"]["top_share_ppm"] == 500000
+
+
+def _py_encode(text, merges):
+    ranks = {m: i for i, m in enumerate(merges)}
+    out = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        sym = list(w)
+        while len(sym) > 1:
+            cand = [
+                (ranks[(sym[i], sym[i + 1])], i)
+                for i in range(len(sym) - 1)
+                if (sym[i], sym[i + 1]) in ranks
+            ]
+            if not cand:
+                break
+            r, _ = min(cand)
+            a, b = merges[r]
+            nxt, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    nxt.append(a + b)
+                    i += 2
+                else:
+                    nxt.append(sym[i])
+                    i += 1
+            sym = nxt
+        out.extend(sym)
+    return out
+
+
+def test_bpe_encode_roundtrip(spark):
+    from scrape_spark.operators.corpus import bpe_encode, bpe_train
+
+    merges = bpe_train(_docs(spark), n_merges=8)
+    enc = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(_docs(spark), merges).collect()
+    }
+    for i, t in enumerate(_TEXTS):
+        assert enc[i] == _py_encode(t, merges), t
+    # concatenating tokens reconstructs the text without spaces
+    assert "".join(enc[0]) == _TEXTS[0].replace(" ", "")
+
+
+def test_bpe_encode_rank_order_not_greedy_scan(spark):
+    from scrape_spark.operators.corpus import bpe_encode
+
+    # merges: ('b','c') rank 0, ('a','b') rank 1 — on 'abc' the RANKED
+    # algorithm merges (b,c) first even though (a,b) appears earlier
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    merges = [("b", "c"), ("a", "b")]
+    toks = bpe_encode(docs, merges).first()["tokens"]
+    assert toks == ["a", "bc"]
