@@ -80,6 +80,10 @@ def resolve_src_sql(src: str, base_url: str) -> str:
     return (
         f"CASE WHEN contains({src}, '://') THEN {src} "
         f"WHEN {is_scheme_uri} THEN {src} "
+        # a scheme-less base URL cannot anchor a join — src passes through
+        # (also dodges left(x, -1), whose negative-length semantics differ
+        # between engines)
+        f"WHEN instr({base_url}, '://') = 0 THEN {src} "
         f"WHEN {src} LIKE '//%' THEN {scheme} || ':' || {src} "
         f"WHEN {src} LIKE '/%' THEN {scheme_host} || {src} "
         f"ELSE {scheme_host} || {dir_of_path} || {src} END"

@@ -173,3 +173,97 @@ def test_surt_charset_canonical_c4_parity_on_adversarial_strings(spark):
         assert got_html[i] == duck_html[i], (page, got_html[i], duck_html[i])
     for i, t in enumerate(texts):
         assert got_c4[i] == tuple(duck_c4[i]), (t, got_c4[i], duck_c4[i])
+
+
+def test_entropy_kernel_fuzz(spark):
+    from scrape_spark.functions import textstats as ts2
+
+    cases = _cases() + ["a" * 3000, ("ab" * 1500), "\x00\x01 control"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, s VARCHAR)")
+    for i, s in enumerate(cases):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    dd = ts2.char_entropy_q4_sql("s", ts2.DUCK_DIALECT)
+    duck = {r[0]: r[1] for r in con.sql(f"SELECT i, {dd} FROM t").fetchall()}
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, s string")
+    sd = ts2.char_entropy_q4_sql("s", ts2.SPARK_DIALECT)
+    got = {r["i"]: r["e"] for r in df.selectExpr("i", f"{sd} AS e").collect()}
+    assert got == duck
+
+
+def _html_cases() -> list[str]:
+    rng = random.Random(7)
+    metas = [
+        '<meta property="og:title" content="{v}">',
+        '<meta content="{v}" property="og:title">',
+        '<META PROPERTY="og:title" CONTENT="{v}">',
+        '<meta name="description" content="{v}">',
+        '<meta name="robots" content="{v}">',
+        '<meta name="robots" content="noindex">'
+        '<meta name="robots" content="nofollow">',
+        '<script type="application/ld+json">{{"@type":"{v}"}}</script>',
+        '<script type="application/ld+json">{{broken {v}</script>',
+        '<img src="/i/{v}.png" alt="{v} is a nice alt">',
+        '<a href="/l/{v}" rel="nofollow">{v}</a>',
+        "<a\nhref=\"/nl/{v}\" rel='nofollow'>{v}</a>",
+        "plain text {v} with no markup",
+        "",
+    ]
+    vals = ["x", "none", "noindex, nofollow", "a b c", "üñí", "1<2", "q"]
+    cases = []
+    for _ in range(30):
+        n = rng.randint(1, 4)
+        frag = "".join(
+            rng.choice(metas).format(v=rng.choice(vals)) for _ in range(n)
+        )
+        cases.append("<html><head>" + frag + "</head></html>")
+    return cases
+
+
+def test_html_metadata_kernels_fuzz(spark):
+    from scrape_spark.functions import metadata as md
+    from scrape_spark.functions import robotsmeta as rm
+    from scrape_spark.functions.imgtext import resolve_src_sql
+
+    cases = _html_cases()
+    bases = [
+        "http://h.test", "http://h.test/", "https://h.test/a/b",
+        "http://h.test/a/", "weird-no-scheme",
+    ]
+    srcs = ["/abs.png", "rel.png", "//cdn.test/p.png", "http://x.test/i.png",
+            "data:image/gif;base64,AAA", "a/b/c.png"]
+    rng = random.Random(9)
+    rows = [
+        (i, h, rng.choice(bases), rng.choice(srcs))
+        for i, h in enumerate(cases)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, h VARCHAR, b VARCHAR, s VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO t VALUES (?, ?, ?, ?)", list(r))
+    raw = md.jsonld_raw_sql("h")
+    duck_cols = {
+        "ogt": md.og_sql("h", "title"),
+        "desc": md.meta_name_sql("h", "description"),
+        "jt": md.jsonld_field_sql(raw, "@type", spark=False),
+        "ni": rm.robots_noindex_sql("h", spark=False),
+        "nf": rm.robots_nofollow_sql("h", spark=False),
+        "rs": resolve_src_sql("s", "b"),
+    }
+    dd = ", ".join(f"{e} AS {n}" for n, e in duck_cols.items())
+    duck = {r[0]: r[1:] for r in con.sql(f"SELECT i, {dd} FROM t").fetchall()}
+    spark_cols = {
+        "ogt": md.og_sql("h", "title"),
+        "desc": md.meta_name_sql("h", "description"),
+        "jt": md.jsonld_field_sql(raw, "@type", spark=True),
+        "ni": rm.robots_noindex_sql("h", spark=True),
+        "nf": rm.robots_nofollow_sql("h", spark=True),
+        "rs": resolve_src_sql("s", "b"),
+    }
+    df = spark.createDataFrame(rows, "i int, h string, b string, s string")
+    sel = ["i"] + [f"{e} AS {n}" for n, e in spark_cols.items()]
+    got = {
+        r["i"]: tuple(r[n] for n in spark_cols)
+        for r in df.selectExpr(*sel).collect()
+    }
+    assert got == duck
