@@ -135,6 +135,18 @@ def parse_robots_body(body: str | None, agent: str) -> tuple[str, str, int | Non
             delay = rp.crawl_delay(agent)
         except Exception:
             delay = None
+        # Request-rate: n/m (n requests per m seconds) folds into the
+        # effective per-request delay as ceil(m/n); when both directives
+        # appear the STRICTER one wins (max). The reference ignores the
+        # directive entirely; honoring it is the same superset policy as
+        # the per-path prefixes below.
+        try:
+            rate = rp.request_rate(agent)
+        except Exception:
+            rate = None
+        if rate is not None and getattr(rate, "requests", 0):
+            per_req = -(-int(rate.seconds) // int(rate.requests))  # ceil
+            delay = per_req if delay is None else max(int(delay), per_req)
         entry = getattr(rp, "default_entry", None) or getattr(
             rp, "_default_entry", None
         )

@@ -431,3 +431,19 @@ def test_ip_politeness_dim_no_map_is_identity(spark):
     )
     r = ip_politeness_dim(hosts, None).head()
     assert r["pol_key"] == "a.test" and r["eff_delay"] == 3
+
+
+def test_request_rate_folds_into_delay():
+    from scrape_spark.operators.robots import parse_robots_body
+
+    body = "User-agent: *\nRequest-rate: 1/5\nDisallow: /x\n"
+    _, _, delay = parse_robots_body(body, "bot")
+    assert delay == 5
+
+    both = "User-agent: *\nCrawl-delay: 2\nRequest-rate: 2/9\n"
+    _, _, delay = parse_robots_body(both, "bot")
+    assert delay == 5  # ceil(9/2) beats crawl-delay 2
+
+    lax = "User-agent: *\nCrawl-delay: 7\nRequest-rate: 1/3\n"
+    _, _, delay = parse_robots_body(lax, "bot")
+    assert delay == 7  # crawl-delay stays the stricter bound
