@@ -703,8 +703,13 @@ def char_entropy_q4_sql(text: str, d: dict) -> str:
     )
     nv = d["size"].format(arr="__ch")
     h = f"(ln(CAST({nv} AS DOUBLE)) - ({sumterm}) / CAST({nv} AS DOUBLE))"
-    expr = (
-        f"CASE WHEN {nv} = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE CAST(greatest(0, floor(10000 * {h})) AS BIGINT) END"
+    expr = f"CAST(greatest(0, floor(10000 * {h})) AS BIGINT)"
+    bound = _bind(_bind(expr, "__cc", counts, d), "__ch", chars, d)
+    # NULL/empty guard OUTSIDE the array construction: Spark's
+    # sequence(1, 0) is DESCENDING (the a<=b trap, same as text_hash_sql)
+    # and least(length(NULL), cap) is cap on both engines (least skips
+    # NULLs) — either would poison the char array before any inner guard.
+    return (
+        f"CASE WHEN {text} IS NULL OR length({text}) = 0 "
+        f"THEN CAST(0 AS BIGINT) ELSE {bound} END"
     )
-    return _bind(_bind(expr, "__cc", counts, d), "__ch", chars, d)

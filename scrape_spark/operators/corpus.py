@@ -1722,9 +1722,9 @@ def bpe_encode(
     algebra: an Arrow-batched ``mapInPandas`` with the merge-rank dict
     shipped in the closure (same positioning as the fused parse UDF —
     Python on the hot path ONLY where the algorithm demands it). The
-    classic lowest-rank-first loop per word, with a per-batch word cache:
-    Zipf repetition makes the hit rate high, so cost tracks DISTINCT
-    words per batch, not tokens. Map-only; text never shuffles.
+    classic lowest-rank-first loop per word, with a per-partition word
+    cache: Zipf repetition makes the hit rate high, so cost tracks
+    DISTINCT words per task, not tokens. Map-only; text never shuffles.
     """
     import pandas as pd
 
@@ -1733,11 +1733,11 @@ def bpe_encode(
     def encode_word(word: str) -> list[str]:
         sym = list(word)
         while len(sym) > 1:
-            best_rank, best_i = None, -1
+            best_rank = None
             for i in range(len(sym) - 1):
                 r = ranks.get((sym[i], sym[i + 1]))
                 if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
+                    best_rank = r
             if best_rank is None:
                 break
             a, b = merges[best_rank]
@@ -1753,8 +1753,10 @@ def bpe_encode(
         return sym
 
     def run(batches):
+        # one cache per PARTITION (run is called once per task with an
+        # iterator of Arrow batches) — Zipf hits accumulate across batches
+        cache: dict[str, list[str]] = {}
         for pdf in batches:
-            cache: dict[str, list[str]] = {}
             rows = []
             for _id, text in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []

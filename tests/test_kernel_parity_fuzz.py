@@ -178,7 +178,7 @@ def test_surt_charset_canonical_c4_parity_on_adversarial_strings(spark):
 def test_entropy_kernel_fuzz(spark):
     from scrape_spark.functions import textstats as ts2
 
-    cases = _cases() + ["a" * 3000, ("ab" * 1500), "\x00\x01 control"]
+    cases = _cases() + ["a" * 3000, ("ab" * 1500), "\x00\x01 control", None]
     con = duckdb.connect()
     con.execute("CREATE TABLE t(i INT, s VARCHAR)")
     for i, s in enumerate(cases):
