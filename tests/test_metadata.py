@@ -84,3 +84,33 @@ def test_metadata_is_pure_jvm(spark):
         .toString()
     )
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_single_quoted_attrs_are_out_of_scope_but_safe(spark):
+    # single-quoted attribute values are documented out of scope for the
+    # dialect-shared kernels (canonical.py discipline) — they must yield
+    # NULL, never crash or mis-extract
+    html = "<meta property='og:title' content='T'>"
+    r = page_metadata(_pages(spark, html)).first()
+    assert r["og_title"] is None
+
+
+def test_og_title_first_declaration_wins(spark):
+    html = (
+        '<meta property="og:title" content="First">'
+        '<meta property="og:title" content="Second">'
+    )
+    r = page_metadata(_pages(spark, html)).first()
+    assert r["og_title"] == "First"
+
+
+def test_jsonld_array_type_is_raw_null_field(spark):
+    # @graph-style block: top-level is a JSON array — field extraction
+    # degrades to NULL, raw block is preserved for a downstream parser
+    html = (
+        '<script type="application/ld+json">'
+        '[{"@type":"Article"},{"@type":"Person"}]</script>'
+    )
+    r = page_metadata(_pages(spark, html)).first()
+    assert r["jsonld_raw"].startswith("[")
+    assert r["jsonld_type"] is None
