@@ -200,3 +200,20 @@ def test_bpe_encode_rank_order_not_greedy_scan(spark):
     merges = [("b", "c"), ("a", "b")]
     toks = bpe_encode(docs, merges).first()["tokens"]
     assert toks == ["a", "bc"]
+
+
+def test_bpe_train_random_corpora_match_reference(spark):
+    import random
+
+    rng = random.Random(123)
+    alphabet = "abcde"
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(4)
+        ]
+        got = bpe_train(_docs(spark, texts), n_merges=4)
+        assert got == _py_bpe(texts, 4), texts
