@@ -1678,6 +1678,40 @@ def q_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_retain(docs.select("doc_id", "lang"), pairs)
 
 
+# -- training-data: quality-aware near-dup retention ---------------------------
+# Same clusters as dedup_retain, but each cluster keeps its BEST-scoring
+# member (score = n_chars here, the fixture's quality proxy), ties broken
+# by min id — what production pipelines do with syndicated copies.
+@_q(
+    "dedup_retain_best",
+    f"""WITH RECURSIVE {_NEARDUP_CTES},
+pairs AS (SELECT id_1, id_2 FROM scored WHERE n_sig_match >= 2),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION SELECT id_2, id_1 FROM pairs),
+reach(id, r) AS (SELECT a, a FROM edges
+                 UNION SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+members AS (SELECT comp.id, comp.component_id, d.n_chars AS s
+            FROM comp JOIN documents d ON d.doc_id = comp.id),
+ranked AS (SELECT id, row_number() OVER (PARTITION BY component_id
+                                         ORDER BY s DESC, id ASC) AS rk
+           FROM members),
+dropped AS (SELECT id FROM ranked WHERE rk > 1)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM dropped)""",
+)
+def q_dedup_retain_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus surviving near-dup removal, best-quality member retained."""
+    from scrape_spark.operators.corpus import dedup_retain_best
+    from scrape_spark.operators.dedup import minhash_neardup_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_neardup_pairs(docs, n_bands=4, min_est_jaccard=0.25)
+    return dedup_retain_best(
+        docs.select("doc_id", "n_chars"), pairs, score_col="n_chars"
+    )
+
+
 # -- training-data: semantic (embedding-space) near-dup retention -------------
 # SemDeDup shape: IVF coarse clusters -> within-cluster cosine pairs ->
 # components -> min-id representative. Threshold 0.35 is fixture-scaled to

@@ -1774,3 +1774,37 @@ def bpe_encode(
     return docs.mapInPandas(
         run, schema=f"{id_col} long, tokens array<string>"
     )
+
+
+def dedup_retain_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup removal keeping each cluster's BEST-scoring member.
+
+    :func:`dedup_retain` keeps the min-id representative — the right
+    default when members are interchangeable. Production pipelines usually
+    keep the highest-quality copy instead (the canonical/longest/cleanest
+    capture of a syndicated article), so this variant resolves the same
+    components and elects per cluster the member with the maximum
+    ``score_col``, ties broken by MINIMUM id (deterministic across
+    partitionings). Unpaired docs survive untouched.
+
+    Scale shape: identical to ``dedup_retain`` plus one broadcastable join
+    of the (clustered-doc, score) sliver — the corpus still never
+    shuffles; election is one max_by agg over component-keyed rows.
+    """
+    comps = connected_components(pairs)
+    scored = comps.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        on="id",
+    )
+    keep = scored.groupBy("component_id").agg(
+        F.expr("max_by(id, struct(_s, -id))").alias("_keep_id")
+    )
+    drop = scored.join(keep, on="component_id").where(
+        F.col("id") != F.col("_keep_id")
+    ).select(F.col("id").alias(id_col))
+    return docs.join(drop, on=id_col, how="left_anti")

@@ -737,3 +737,28 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(docs, window=0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, window=4, stride=0)
+
+
+def test_dedup_retain_best_elects_by_score(spark):
+    from pyspark.sql import functions as F
+
+    from scrape_spark.operators.corpus import dedup_retain, dedup_retain_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 5), (4, 7), (5, 7)],
+        "doc_id long, score long",
+    )
+    # cluster {1,2,3}: best score is doc 2 (min-id variant keeps 1)
+    # cluster {4,5}: score tie -> min id 4
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_1 long, id_2 long"
+    )
+    best = sorted(
+        r["doc_id"]
+        for r in dedup_retain_best(docs, pairs, score_col="score").collect()
+    )
+    assert best == [2, 4]
+    minid = sorted(
+        r["doc_id"] for r in dedup_retain(docs, pairs).collect()
+    )
+    assert minid == [1, 4]
