@@ -3134,6 +3134,83 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+# -- discovery: HTML-head feed autodiscovery -----------------------------------
+_AUTODISC_HTML_DD = """'<html><head><link rel="stylesheet" href="/s.css">'
+  || CASE doc_id % 3
+       WHEN 0 THEN '<LINK rel="alternate" TYPE="application/rss+xml"'
+         || ' href="/feed' || CAST(doc_id AS VARCHAR) || '.xml">'
+       WHEN 1 THEN '<link href="/atom' || CAST(doc_id AS VARCHAR)
+         || '.xml" type="application/atom+xml" rel="alternate">'
+       ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+       THEN '<link rel="alternate" type="application/atom+xml">'
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN '<link rel="alternate" type="application/rss+xml"'
+         || ' href="/second' || CAST(doc_id AS VARCHAR) || '.xml">'
+       ELSE '' END
+  || '</head></html>'"""
+
+
+def _autodisc_oracle() -> str:
+    from scrape_spark.sources.feeds import feed_autodiscovery_refs_sql
+
+    fixture = (
+        "SELECT 'http://a.test/' || CAST(doc_id AS VARCHAR) AS url, "
+        f"{_AUTODISC_HTML_DD} AS html_str FROM documents"
+    )
+    return feed_autodiscovery_refs_sql(fixture)
+
+
+@_q("feed_autodiscovery", _autodisc_oracle())
+def q_feed_autodiscovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autodiscovery links (both attr orders, hrefless dropped) per page."""
+    from scrape_spark.sources.feeds import feed_autodiscovery_refs
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<LINK rel="alternate" TYPE="application/rss+xml"'
+                      ' href="/feed'),
+                ds,
+                F.lit('.xml">'),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<link href="/atom'),
+                ds,
+                F.lit('.xml" type="application/atom+xml" rel="alternate">'),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.lit('<link rel="alternate" type="application/atom+xml">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" type="application/rss+xml"'
+                      ' href="/second'),
+                ds,
+                F.lit('.xml">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://a.test/"), ds).alias("url"),
+        html.alias("html_str"),
+    )
+    return feed_autodiscovery_refs(pages)
+
+
 # -- discovery → scheduling: feed entries collapsed to enqueue candidates ------
 def _feed_schedule_oracle() -> str:
     from scrape_spark.sources.feeds import feed_entries_sql, feed_schedule_sql

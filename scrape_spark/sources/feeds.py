@@ -249,3 +249,26 @@ def feed_schedule_sql(entries_sql: str, base_priority: int = 1_000_000) -> str:
   CAST(max({base_priority} // entry_pos) AS BIGINT) AS priority,
   CAST(count(DISTINCT feed_url) AS BIGINT) AS n_feeds
 FROM ({entries_sql}) GROUP BY link"""
+
+
+def feed_autodiscovery_refs_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`feed_autodiscovery_refs` (same spliced
+    regexes; the dialect splits are the tag unnest and window syntax)."""
+    return f"""WITH T AS (
+  SELECT url,
+    CAST(generate_subscripts(
+      regexp_extract_all(html_str, '{LINK_TAG_RE}', 0), 1) AS BIGINT)
+      AS tag_pos,
+    unnest(regexp_extract_all(html_str, '{LINK_TAG_RE}', 0)) AS tag
+  FROM ({pages_sql})),
+K AS (SELECT url, tag_pos,
+        lower(regexp_extract(tag, '{FEED_TYPE_RE}', 1)) AS feed_kind,
+        regexp_extract(tag, '{HREF_RE}', 1) AS feed_url
+      FROM T
+      WHERE regexp_extract(tag, '{FEED_TYPE_RE}', 1) <> ''
+        AND regexp_extract(tag, '{HREF_RE}', 1) <> '')
+SELECT url,
+  CAST(row_number() OVER (PARTITION BY url ORDER BY tag_pos) AS BIGINT)
+    AS ref_pos,
+  feed_url, feed_kind
+FROM K"""
