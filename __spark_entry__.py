@@ -4969,6 +4969,78 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev)
 
 
+# -- KMV distinct sketches: frontier accounting + crawl-overlap estimation ----
+# Per-host distinct URLs: 8 hosts × ~62 distinct paths each (doc_id mod 300
+# collides on purpose) with k=16 so the ESTIMATE regime — not the exact
+# below-k shortcut — is what the oracle hash-checks.
+_KMV_URLS_SQL = """\
+SELECT 'h' || CAST(doc_id % 8 AS STRING) || '.test' AS host,
+       'http://h' || CAST(doc_id % 8 AS STRING) || '.test/p/'
+         || CAST(doc_id % 300 AS STRING) AS url
+FROM documents"""
+
+
+def _kmv_distinct_oracle() -> str:
+    from scrape_spark.operators.sketches import kmv_distinct_sql
+
+    return kmv_distinct_sql(_KMV_URLS_SQL, k=16)
+
+
+@_q("kmv_host_distinct", _kmv_distinct_oracle())
+def q_kmv_host_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-core) distinct-URL estimate per host — bounded k-int64
+    state per host however large its frontier share."""
+    from scrape_spark.operators.sketches import kmv_distinct
+
+    _view(spark, sf_dir, "documents")
+    return kmv_distinct(spark.sql(_KMV_URLS_SQL), k=16)
+
+
+# Crawl-overlap: month A = docs [0, 350), month B = docs [150, 500) — true
+# intersection 200; k=32 keeps both sketches in the estimate regime.
+_KMV_CRAWL_A_SQL = """\
+SELECT 'http://site.test/page/' || CAST(doc_id AS STRING) AS url
+FROM documents WHERE doc_id < 350"""
+_KMV_CRAWL_B_SQL = """\
+SELECT 'http://site.test/page/' || CAST(doc_id AS STRING) AS url
+FROM documents WHERE doc_id >= 150"""
+
+
+def _kmv_overlap_oracle() -> str:
+    from scrape_spark.operators.sketches import kmv_overlap_sql
+
+    return kmv_overlap_sql(_KMV_CRAWL_A_SQL, _KMV_CRAWL_B_SQL, k=32)
+
+
+@_q("kmv_crawl_overlap", _kmv_overlap_oracle())
+def q_kmv_crawl_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra between two crawls' URL sets: distinct,
+    union, intersection (re-crawl coverage) and Jaccard, integer-exact."""
+    from scrape_spark.operators.sketches import kmv_overlap
+
+    _view(spark, sf_dir, "documents")
+    return kmv_overlap(
+        spark.sql(_KMV_CRAWL_A_SQL), spark.sql(_KMV_CRAWL_B_SQL), k=32
+    )
+
+
+# -- HyperBall neighborhood function over the crawl webgraph ------------------
+def _hyperball_oracle() -> str:
+    from scrape_spark.operators.sketches import hyperball_counts_sql
+
+    return hyperball_counts_sql(_PR_EDGES_SQL, radius=2, k=16)
+
+
+@_q("hyperball_neighborhood", _hyperball_oracle())
+def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 out-ball size estimates (Boldi–Vigna HyperBall on KMV
+    registers) — the discovery-reach crawl-priority signal."""
+    from scrape_spark.operators.sketches import hyperball_counts
+
+    _view(spark, sf_dir, "documents")
+    return hyperball_counts(spark.sql(_PR_EDGES_SQL), radius=2, k=16)
+
+
 # ---------------------------------------------------------------------------
 
 

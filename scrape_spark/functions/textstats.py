@@ -70,6 +70,9 @@ SPARK_DIALECT = {
     "acontains": "array_contains({arr}, {x})",
     "apos": "array_position({arr}, {x})",  # 1-based first occurrence
     "sha256hex": "sha2({x}, 256)",  # lowercase hex, both engines
+    "aconcat": "concat({a}, {b})",  # array concatenation
+    "ainter": "array_intersect({arr}, {brr})",  # set intersect (dedup; order engine-specific)
+    "aslice": "slice({arr}, 1, {k})",  # first k elements (fewer if shorter)
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -98,6 +101,9 @@ DUCK_DIALECT = {
     "acontains": "list_contains({arr}, {x})",
     "apos": "list_position({arr}, {x})",
     "sha256hex": "sha256({x})",  # lowercase hex, both engines
+    "aconcat": "list_concat({a}, {b})",
+    "ainter": "list_intersect({arr}, {brr})",
+    "aslice": "({arr})[1:{k}]",
 }
 
 

@@ -198,3 +198,329 @@ SELECT key AS {key_col}, est,
     (est + {int(target_per_salt) - 1}) // {int(target_per_salt)}))
     AS BIGINT) AS n_salts
 FROM _hh"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the theta-sketch core
+# ---------------------------------------------------------------------------
+# CMS above answers "how OFTEN does this key occur"; crawl accounting also
+# needs "how many DISTINCT keys" — distinct URLs per host for frontier
+# sizing, and distinct-set OVERLAP between two crawls (how much of this
+# month's crawl did last month already cover?). An exact per-group distinct
+# is a full shuffle of the distinct key set; the KMV sketch (Bar-Yossef et
+# al. 2002; the DataSketches theta core) keeps only the k smallest hash
+# values per group: est = (k-1)·P / h_(k), RSE ≈ 1/sqrt(k-2). Because the
+# k-min set of a union is computable from the k-min sets of the parts,
+# sketches MERGE — per-partition partial sketches combine associatively,
+# and set algebra (union / intersection / Jaccard) falls out of comparing
+# two sketches under the union's threshold.
+#
+# Everything is exact int64 over the shared Karp-Rabin digest mod P, so
+# the DuckDB oracle reproduces sketches AND estimates bit-for-bit. The
+# reference has no analogue (single-host loop); this is engine machinery
+# for frontier accounting at 10^10-URL scale.
+
+KMV_K = 64
+#: affine scramble (a·x + b) mod P applied over the Karp-Rabin fold: the raw
+#: fold of short keys clusters near 0 (it is ~31^len·c), and KMV's estimator
+#: reads ORDER STATISTICS, so digests must be spread over [0, P). An affine
+#: map with a large multiplier is a permutation of Z_P — distinct folds stay
+#: distinct, and the k-th min behaves uniformly. a·P < 2^63 holds.
+_KMV_A = 1_103_515_245
+_KMV_B = 12_345
+
+
+def _kmv_digest(key: str, d: dict) -> str:
+    fold = _key_fold(key, d)
+    return f"(({_KMV_A} * ({fold}) + {_KMV_B}) % {ts.HASH_P})"
+
+
+def _kmv_est(mins: str, n: str, k: int, d: dict) -> str:
+    """Estimate expr: exact when the sketch is not full, else (k-1)P/h_k.
+
+    ``greatest(theta, 1)`` guards the (legal) digest value 0 — the fold can
+    land on 0, and a zero theta would divide by zero on both engines.
+    """
+    theta = d["at"].format(arr=mins, i=str(int(k)))
+    q = d["idiv"].format(
+        a=f"{int(k) - 1} * CAST({ts.HASH_P} AS BIGINT)",
+        b=f"greatest({theta}, 1)",
+    )
+    return f"CAST(CASE WHEN {n} < {int(k)} THEN {n} ELSE {q} END AS BIGINT)"
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str = "url",
+    group_col: str = "host",
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group, n_mins, est_distinct): KMV distinct estimate per group.
+
+    Scale shape: the distinct pass has ordinary map-side combine; the k-min
+    selection reuses ``politeness.per_host_take``'s salted two-stage top-k,
+    so a mega-group's distinct set never funnels through one window task —
+    per-task window work is O(k·n_salts), and the final per-group state is
+    exactly k int64s. Estimates are exact below k (the sketch IS the set).
+    """
+    from scrape_spark.operators.politeness import per_host_take
+
+    hashed = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(_kmv_digest(key_col, ts.SPARK_DIALECT)).alias("_h"),
+        )
+        .distinct()
+        .withColumn("_q", F.lit(int(k)))
+    )
+    kept = per_host_take(hashed, quota_col="_q", host_col="grp", order_cols=("_h",))
+    sk = kept.groupBy("grp").agg(
+        F.sort_array(F.collect_list("_h")).alias("mins"),
+        F.count(F.lit(1)).cast("long").alias("n_mins"),
+    )
+    est = _kmv_est("mins", "n_mins", k, ts.SPARK_DIALECT)
+    return sk.select(
+        F.col("grp").alias(group_col),
+        "n_mins",
+        F.expr(est).alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(
+    src_sql: str,
+    key_col: str = "url",
+    group_col: str = "host",
+    k: int = KMV_K,
+) -> str:
+    """DuckDB oracle: identical digest, k-min set, and estimate."""
+    d = ts.DUCK_DIALECT
+    fold = _kmv_digest(key_col, d)
+    est = _kmv_est("mins", "n_mins", k, d)
+    return f"""WITH _src AS ({src_sql}),
+_d AS (SELECT DISTINCT {group_col} AS grp, {fold} AS _h FROM _src),
+_r AS (SELECT grp, _h, row_number() OVER (PARTITION BY grp ORDER BY _h) AS rn
+       FROM _d),
+_k AS (SELECT grp, list_sort(list(_h)) AS mins,
+              CAST(count(*) AS BIGINT) AS n_mins
+       FROM _r WHERE rn <= {int(k)} GROUP BY grp)
+SELECT grp AS {group_col}, n_mins, {est} AS est_distinct FROM _k"""
+
+
+def _kmv_global(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """One-row (mins, n_mins) global sketch of a key stream.
+
+    ``orderBy.limit(k)`` compiles to TakeOrderedAndProject — per-partition
+    top-k then a k-row merge, never a global sort — so the driver-side
+    state is exactly k int64s regardless of input size.
+    """
+    mins = (
+        df.select(F.expr(_kmv_digest(key_col, ts.SPARK_DIALECT)).alias("_h"))
+        .distinct()
+        .orderBy("_h")
+        .limit(int(k))
+    )
+    return mins.agg(
+        F.sort_array(F.collect_list("_h")).alias("mins"),
+        F.count(F.lit(1)).cast("long").alias("n_mins"),
+    )
+
+
+def _kmv_overlap_cols(k: int, d: dict) -> dict[str, str]:
+    """Per-output-column overlap formulas over sketch columns (ma,na,mb,nb).
+
+    Self-contained expression texts (the union sketch is inlined where
+    used) so the identical formula compiles on both engines — same
+    discipline as every dialect kernel."""
+    mu = "(" + d["aslice"].format(
+        arr=d["asort"].format(
+            arr=d["adistinct"].format(arr=d["aconcat"].format(a="ma", b="mb"))
+        ),
+        k=str(int(k)),
+    ) + ")"
+    nu = f"CAST({d['size'].format(arr=mu)} AS BIGINT)"
+    common = d["ainter"].format(
+        arr=d["ainter"].format(arr=mu, brr="ma"), brr="mb"
+    )
+    nc = f"CAST({d['size'].format(arr=common)} AS BIGINT)"
+    est_u = _kmv_est(mu, nu, k, d)
+    inter = d["idiv"].format(a=f"({nc}) * ({est_u})", b=f"greatest({nu}, 1)")
+    jacc = d["idiv"].format(a=f"({nc}) * 1000000", b=f"greatest({nu}, 1)")
+    return {
+        "est_a": _kmv_est("ma", "na", k, d),
+        "est_b": _kmv_est("mb", "nb", k, d),
+        "est_union": est_u,
+        "est_intersection": f"CAST({inter} AS BIGINT)",
+        "jaccard_ppm": f"CAST({jacc} AS BIGINT)",
+    }
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str = "url",
+    k: int = KMV_K,
+) -> DataFrame:
+    """One-row set-algebra estimate between two key streams.
+
+    (est_a, est_b, est_union, est_intersection, jaccard_ppm) — the theta
+    framework: merge both k-min sets, truncate to k (the union sketch);
+    union-sketch members present in BOTH input sketches are the Jaccard
+    numerator; intersection = numerator·est_union div |union sketch|
+    (cross-multiplied before the single integer division). When the union
+    sketch is not full every estimate is exact — the sketches ARE the
+    hash sets. Jaccard is reported in ppm to stay integer-only.
+
+    The crawl-accounting use: df_a = last crawl's URL set, df_b = this
+    crawl's — est_intersection is re-crawl coverage, est_b − inter the
+    newly-discovered mass. Scale shape: each side reduces to one k-row
+    sketch (TakeOrderedAndProject, see ``_kmv_global``) before the single
+    1×1-row cross join; the combine is O(k) however large the inputs.
+    """
+    cols = _kmv_overlap_cols(k, ts.SPARK_DIALECT)
+    a = _kmv_global(df_a, key_col, k).select(
+        F.col("mins").alias("ma"), F.col("n_mins").alias("na")
+    )
+    b = _kmv_global(df_b, key_col, k).select(
+        F.col("mins").alias("mb"), F.col("n_mins").alias("nb")
+    )
+    return a.crossJoin(b).select(
+        *[F.expr(t).alias(c) for c, t in cols.items()]
+    )
+
+
+def kmv_overlap_sql(
+    a_sql: str,
+    b_sql: str,
+    key_col: str = "url",
+    k: int = KMV_K,
+) -> str:
+    """DuckDB oracle: identical sketches and set-algebra estimates."""
+    d = ts.DUCK_DIALECT
+    fold = _kmv_digest(key_col, d)
+    cols = _kmv_overlap_cols(k, d)
+    sel = ",\n  ".join(f"{t} AS {c}" for c, t in cols.items())
+    return f"""WITH _ad AS (SELECT DISTINCT {fold} AS _h FROM ({a_sql})),
+_ak AS (SELECT _h FROM _ad ORDER BY _h LIMIT {int(k)}),
+_a AS (SELECT list_sort(list(_h)) AS ma, CAST(count(*) AS BIGINT) AS na
+       FROM _ak),
+_bd AS (SELECT DISTINCT {fold} AS _h FROM ({b_sql})),
+_bk AS (SELECT _h FROM _bd ORDER BY _h LIMIT {int(k)}),
+_b AS (SELECT list_sort(list(_h)) AS mb, CAST(count(*) AS BIGINT) AS nb
+       FROM _bk)
+SELECT {sel}
+FROM _a, _b"""
+
+
+# ---------------------------------------------------------------------------
+# HyperBall-style neighborhood function over the webgraph (KMV registers)
+# ---------------------------------------------------------------------------
+# Boldi & Vigna's HyperBall computes, for every node, the approximate size
+# of its radius-r out-ball (|{w : dist(v,w) ≤ r}|) by iterating "my ball =
+# me ∪ my successors' balls" with a MERGEABLE distinct sketch as the ball
+# register — the scale path to neighborhood functions and harmonic
+# centrality on graphs where exact per-node BFS is hopeless. The original
+# uses HyperLogLog registers; the KMV sketch above has the same merge
+# property (k-min of a union = k-min of the parts' k-mins) with exact
+# int64 arithmetic, so the whole iteration — registers, merges, estimates
+# — replays bit-for-bit on the DuckDB oracle as r unrolled CTEs.
+#
+# Crawl use: est_ball at r=1,2 ranks hub pages by how much frontier a
+# fetch unlocks (a discovery-priority signal PageRank can't give — it
+# scores popularity, not reach); the full neighborhood function profiles
+# the webgraph's expansion rate.
+
+
+def _kmv_node_digest(node: str) -> str:
+    """Digest for int64 node ids (nonnegative): affine spread over [0, P)."""
+    return f"CAST((({_KMV_A} * ({node}) + {_KMV_B}) % {ts.HASH_P}) AS BIGINT)"
+
+
+def _kmv_merge(arr_of_arrs: str, k: int, d: dict) -> str:
+    """k-min of a bag of k-min arrays — the associative sketch merge."""
+    return d["aslice"].format(
+        arr=d["asort"].format(
+            arr=d["adistinct"].format(arr=d["aflatten"].format(arr=arr_of_arrs))
+        ),
+        k=str(int(k)),
+    )
+
+
+def hyperball_counts(
+    edges: DataFrame,
+    radius: int = 2,
+    k: int = KMV_K,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, n_mins, est_ball): approximate out-ball sizes at ``radius``.
+
+    Each round is one (dst-keyed) join moving only k-int64 registers plus
+    one node-keyed merge — O(E·k) state motion per round, never the ball
+    sets themselves; ``radius`` rounds unroll into one linear plan. Node
+    ids must be nonnegative int64 (the crawl's seq/doc ids are). With
+    k ≥ every true ball size the sketch holds the whole reachable hash set
+    and ``n_mins`` IS the exact ball size (modulo 1/2^31 hash collisions)
+    — the property the parity test pins.
+    """
+    d = ts.SPARK_DIALECT
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    sk_df = nodes.select(
+        "node", F.expr(d["mkarr"].format(x=_kmv_node_digest("node"))).alias("mins")
+    )
+    merge = _kmv_merge("_ls", k, d)
+    for _ in range(int(radius)):
+        contrib = e.join(
+            sk_df.withColumnRenamed("node", "_d"), "_d"
+        ).select(F.col("_s").alias("node"), "mins")
+        sk_df = (
+            contrib.unionByName(sk_df.select("node", "mins"))
+            .groupBy("node")
+            .agg(F.collect_list("mins").alias("_ls"))
+            .select("node", F.expr(merge).alias("mins"))
+        )
+    n = f"CAST({d['size'].format(arr='mins')} AS BIGINT)"
+    return sk_df.select(
+        "node",
+        F.expr(n).alias("n_mins"),
+        F.expr(_kmv_est("mins", n, k, d)).alias("est_ball"),
+    )
+
+
+def hyperball_counts_sql(
+    edges_sql: str,
+    radius: int = 2,
+    k: int = KMV_K,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> str:
+    """DuckDB oracle: the identical iteration, radius rounds unrolled."""
+    d = ts.DUCK_DIALECT
+    merge = _kmv_merge("list(mins)", k, d)
+    ctes = [
+        f"_e AS ({edges_sql})",
+        f"_n AS (SELECT {src_col} AS node FROM _e "
+        f"UNION SELECT {dst_col} AS node FROM _e)",
+        f"_s0 AS (SELECT node, "
+        + d["mkarr"].format(x=_kmv_node_digest("node"))
+        + " AS mins FROM _n)",
+    ]
+    for t in range(1, int(radius) + 1):
+        prev = f"_s{t - 1}"
+        ctes.append(
+            f"_s{t} AS (SELECT node, {merge} AS mins FROM ("
+            f"SELECT e.{src_col} AS node, s.mins FROM _e e "
+            f"JOIN {prev} s ON s.node = e.{dst_col} "
+            f"UNION ALL SELECT node, mins FROM {prev}) GROUP BY node)"
+        )
+    n = f"CAST({d['size'].format(arr='mins')} AS BIGINT)"
+    est = _kmv_est("mins", n, k, d)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, {n} AS n_mins, {est} AS est_ball FROM _s{int(radius)}"
+    )

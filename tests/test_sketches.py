@@ -144,3 +144,155 @@ def test_sessionize_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch + HyperBall neighborhood counts
+# ---------------------------------------------------------------------------
+
+def _duck(sql):
+    import duckdb
+
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def test_kmv_exact_below_k(spark):
+    from scrape_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("h1", f"u{i}") for i in range(40)] + [("h2", f"u{i}") for i in range(7)],
+        "host string, url string",
+    )
+    got = {
+        r["host"]: (r["n_mins"], r["est_distinct"])
+        for r in kmv_distinct(df, k=64).collect()
+    }
+    assert got == {"h1": (40, 40), "h2": (7, 7)}  # sketch IS the set
+
+
+def test_kmv_estimate_reasonable_and_duckdb_exact(spark):
+    from scrape_spark.operators.sketches import kmv_distinct, kmv_distinct_sql
+
+    df = spark.range(0, 3000).selectExpr(
+        "concat('h', CAST(id % 3 AS STRING)) AS host",
+        "concat('url-', CAST(id AS STRING)) AS url",
+    )
+    rows = kmv_distinct(df, k=64).collect()
+    got = {r["host"]: (r["n_mins"], r["est_distinct"]) for r in rows}
+    want = {
+        h: (n, e)
+        for h, n, e in _duck(
+            kmv_distinct_sql(
+                "SELECT 'h' || CAST(range % 3 AS VARCHAR) AS host, "
+                "'url-' || CAST(range AS VARCHAR) AS url FROM range(0, 3000)",
+                k=64,
+            )
+        )
+    }
+    assert got == want  # bit-exact across engines
+    for n, est in got.values():  # true distinct 1000, RSE ~ 1/sqrt(62)
+        assert n == 64 and 600 <= est <= 1700
+
+
+def test_kmv_overlap_exact_when_not_full_and_parity(spark):
+    from scrape_spark.operators.sketches import kmv_overlap, kmv_overlap_sql
+
+    a = spark.range(0, 30).selectExpr("concat('u', CAST(id AS STRING)) AS url")
+    b = spark.range(10, 40).selectExpr("concat('u', CAST(id AS STRING)) AS url")
+    r = kmv_overlap(a, b, k=64).collect()[0]
+    assert (r["est_a"], r["est_b"], r["est_union"], r["est_intersection"]) == (
+        30, 30, 40, 20,
+    )
+    assert r["jaccard_ppm"] == 20 * 1_000_000 // 40
+    # estimate regime, bit-exact vs DuckDB
+    a2 = spark.range(0, 500).selectExpr("concat('u', CAST(id AS STRING)) AS url")
+    b2 = spark.range(250, 750).selectExpr("concat('u', CAST(id AS STRING)) AS url")
+    got = tuple(kmv_overlap(a2, b2, k=64).collect()[0])
+    want = _duck(
+        kmv_overlap_sql(
+            "SELECT 'u' || CAST(range AS VARCHAR) AS url FROM range(0, 500)",
+            "SELECT 'u' || CAST(range AS VARCHAR) AS url FROM range(250, 750)",
+            k=64,
+        )
+    )[0]
+    assert got == want
+    # sanity: true (500, 500, 750, 250, 1/3)
+    assert 300 <= got[0] <= 800 and 450 <= got[2] <= 1150
+
+
+def _bfs_ball(edges, radius):
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    out = {}
+    for v in nodes:
+        ball = {v}
+        frontier = {v}
+        for _ in range(radius):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - ball
+            ball |= frontier
+        out[v] = len(ball)
+    return out
+
+
+def test_hyperball_exact_with_large_k(spark):
+    """k ≥ every ball size → n_mins IS the exact BFS ball size."""
+    from scrape_spark.operators.sketches import hyperball_counts
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+        (i, (i * 13 + 5) % 40) for i in range(40)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for radius in (1, 2, 3):
+        got = {
+            r["node"]: r["n_mins"]
+            for r in hyperball_counts(df, radius=radius, k=512).collect()
+        }
+        assert got == _bfs_ball(edges, radius)
+
+
+def test_hyperball_matches_duckdb(spark):
+    from scrape_spark.operators.sketches import (
+        hyperball_counts,
+        hyperball_counts_sql,
+    )
+
+    df = spark.range(0, 200).selectExpr(
+        "id AS src", "CAST((id * 7 + 3) % 200 AS BIGINT) AS dst"
+    )
+    got = {
+        r["node"]: (r["n_mins"], r["est_ball"])
+        for r in hyperball_counts(df, radius=2, k=16).collect()
+    }
+    want = {
+        n: (m, e)
+        for n, m, e in _duck(
+            hyperball_counts_sql(
+                "SELECT range AS src, (range * 7 + 3) % 200 AS dst "
+                "FROM range(0, 200)",
+                radius=2,
+                k=16,
+            )
+        )
+    }
+    assert got == want
+
+
+def test_hyperball_monotone_in_radius(spark):
+    """Ball estimates never shrink as radius grows (supersets)."""
+    from scrape_spark.operators.sketches import hyperball_counts
+
+    df = spark.range(0, 60).selectExpr(
+        "id AS src", "CAST((id * 11 + 1) % 60 AS BIGINT) AS dst"
+    )
+    prev = None
+    for radius in (1, 2, 3):
+        cur = {
+            r["node"]: r["n_mins"]
+            for r in hyperball_counts(df, radius=radius, k=512).collect()
+        }
+        if prev is not None:
+            assert all(cur[n] >= prev[n] for n in cur)
+        prev = cur
