@@ -5041,6 +5041,37 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_counts(spark.sql(_PR_EDGES_SQL), radius=2, k=16)
 
 
+def _harmonic_oracle() -> str:
+    from scrape_spark.operators.sketches import harmonic_centrality_sql
+
+    return harmonic_centrality_sql(_PR_EDGES_SQL, radius=2, k=16)
+
+
+@_q("harmonic_centrality", _harmonic_oracle())
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality (HyperBall over reversed edges) — the
+    spam-resistant reach-based importance signal."""
+    from scrape_spark.operators.sketches import harmonic_centrality
+
+    _view(spark, sf_dir, "documents")
+    return harmonic_centrality(spark.sql(_PR_EDGES_SQL), radius=2, k=16)
+
+
+def _nf_oracle() -> str:
+    from scrape_spark.operators.sketches import neighborhood_function_sql
+
+    return neighborhood_function_sql(_PR_EDGES_SQL, radius=3, k=16)
+
+
+@_q("graph_neighborhood_function", _nf_oracle())
+def q_graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webgraph expansion profile N(t) + effective-diameter flag (HyperANF)."""
+    from scrape_spark.operators.sketches import neighborhood_function
+
+    _view(spark, sf_dir, "documents")
+    return neighborhood_function(spark.sql(_PR_EDGES_SQL), radius=3, k=16)
+
+
 # ---------------------------------------------------------------------------
 
 

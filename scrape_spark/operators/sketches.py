@@ -524,3 +524,227 @@ def hyperball_counts_sql(
         + ",\n".join(ctes)
         + f"\nSELECT node, {n} AS n_mins, {est} AS est_ball FROM _s{int(radius)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperANF follow-ons: harmonic centrality + neighborhood function
+# ---------------------------------------------------------------------------
+# The per-radius ball estimates the HyperBall iteration yields are the raw
+# material for the two classic global analyses (Boldi & Vigna 2013):
+#
+# * **Harmonic centrality** H(v) = Σ_{w≠v} 1/d(w,v), approximated as
+#   Σ_t (|ball_in(v,t)| − |ball_in(v,t−1)|)/t — the centrality measure
+#   recommended over closeness for the (always disconnected) webgraph.
+#   In-balls = out-balls of the reversed graph, so the same iteration runs
+#   on flipped edges. A spam-resistant page-importance signal: reach is
+#   harder to fake than in-degree.
+# * **Neighborhood function** N(t) = Σ_v |ball(v,t)| and the EFFECTIVE
+#   DIAMETER (first t where N(t) ≥ 90% of N(r)) — the expansion profile
+#   of the crawl's webgraph.
+#
+# Ball estimates are monotone in t (the k-min set at t+1 is the k-min of a
+# superset: h_k can only fall, the estimate only rise; below-k counts only
+# grow), so the per-term deltas are ≥ 0. 1/t terms are kept integer as
+# delta·10^6 div t — both engines truncate identically (documented ≤ r ppm
+# absolute error, deterministic).
+
+
+def _hyperball_rounds(
+    edges: DataFrame,
+    radius: int,
+    k: int,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """(node, _e0.._eR): per-radius KMV ball estimates, one linear plan."""
+    d = ts.SPARK_DIALECT
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    n_expr = f"CAST({d['size'].format(arr='mins')} AS BIGINT)"
+    est = _kmv_est("mins", n_expr, k, d)
+    sk_df = nodes.select(
+        "node", F.expr(d["mkarr"].format(x=_kmv_node_digest("node"))).alias("mins")
+    ).withColumn("_e0", F.expr(est))
+    merge = _kmv_merge("_ls", k, d)
+    for t in range(1, int(radius) + 1):
+        contrib = e.join(
+            sk_df.select(F.col("node").alias("_d"), "mins"), "_d"
+        ).select(F.col("_s").alias("node"), "mins")
+        keep = [
+            F.first(f"_e{i}", ignorenulls=True).alias(f"_e{i}") for i in range(t)
+        ]
+        sk_df = (
+            contrib.withColumns(
+                {f"_e{i}": F.lit(None).cast("long") for i in range(t)}
+            )
+            .unionByName(sk_df.select("node", "mins", *[f"_e{i}" for i in range(t)]))
+            .groupBy("node")
+            .agg(F.collect_list("mins").alias("_ls"), *keep)
+            .select("node", F.expr(merge).alias("mins"), *[f"_e{i}" for i in range(t)])
+            .withColumn(f"_e{t}", F.expr(est))
+        )
+    return sk_df.drop("mins")
+
+
+def _harmonic_expr(radius: int, d: dict) -> str:
+    """Σ_{t=1..r} (e_t − e_{t−1})·10^6 div t over columns _e0.._eR."""
+    terms = [
+        d["idiv"].format(a=f"(_e{t} - _e{t - 1}) * 1000000", b=str(t))
+        for t in range(1, int(radius) + 1)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    radius: int = 3,
+    k: int = KMV_K,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, est_ball, harmonic_ppm): truncated harmonic centrality.
+
+    Runs HyperBall over the REVERSED edges (in-balls). ``est_ball`` is the
+    radius-r in-ball estimate; ``harmonic_ppm`` the Σ delta/t sum ×10^6.
+    Same scale shape as ``hyperball_counts`` — per-round register motion
+    only; the per-radius estimate columns ride the same plan (carried
+    through each merge by ``first()``, they are functionally determined by
+    the node key).
+    """
+    rounds = _hyperball_rounds(edges, radius, k, src_col=dst_col, dst_col=src_col)
+    return rounds.select(
+        "node",
+        F.col(f"_e{int(radius)}").alias("est_ball"),
+        F.expr(_harmonic_expr(radius, ts.SPARK_DIALECT)).alias("harmonic_ppm"),
+    )
+
+
+def _hyperball_rounds_sql(
+    edges_sql: str,
+    radius: int,
+    k: int,
+    src_col: str,
+    dst_col: str,
+) -> str:
+    """CTE chain ending in ``_hb`` with (node, _e0.._eR) — DuckDB replay."""
+    d = ts.DUCK_DIALECT
+    merge = _kmv_merge("list(mins)", k, d)
+    n_expr = f"CAST({d['size'].format(arr='mins')} AS BIGINT)"
+    est = _kmv_est("mins", n_expr, k, d)
+    ctes = [
+        f"_e AS ({edges_sql})",
+        f"_n AS (SELECT {src_col} AS node FROM _e "
+        f"UNION SELECT {dst_col} AS node FROM _e)",
+        "_s0 AS (SELECT node, "
+        + d["mkarr"].format(x=_kmv_node_digest("node"))
+        + f" AS mins FROM _n)",
+    ]
+    for t in range(1, int(radius) + 1):
+        prev = f"_s{t - 1}"
+        ctes.append(
+            f"_s{t} AS (SELECT node, {merge} AS mins FROM ("
+            f"SELECT e.{src_col} AS node, s.mins FROM _e e "
+            f"JOIN {prev} s ON s.node = e.{dst_col} "
+            f"UNION ALL SELECT node, mins FROM {prev}) GROUP BY node)"
+        )
+    evals = ", ".join(
+        f"(SELECT {est} FROM _s{t} s WHERE s.node = _n.node) AS _e{t}"
+        for t in range(0, int(radius) + 1)
+    )
+    ctes.append(f"_hb AS (SELECT _n.node AS node, {evals} FROM _n)")
+    return "WITH " + ",\n".join(ctes)
+
+
+def harmonic_centrality_sql(
+    edges_sql: str,
+    radius: int = 3,
+    k: int = KMV_K,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> str:
+    """DuckDB oracle: reversed-edge rounds + the identical delta/t fold."""
+    chain = _hyperball_rounds_sql(
+        edges_sql, radius, k, src_col=dst_col, dst_col=src_col
+    )
+    h = _harmonic_expr(radius, ts.DUCK_DIALECT)
+    return (
+        f"{chain}\nSELECT node, _e{int(radius)} AS est_ball, "
+        f"{h} AS harmonic_ppm FROM _hb"
+    )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int = 3,
+    k: int = KMV_K,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    eff_ppm: int = 900_000,
+) -> DataFrame:
+    """(t, n_reach, frac_ppm, is_eff_diameter): the graph expansion profile.
+
+    ``n_reach`` = Σ_v est_ball(v, t); ``frac_ppm`` its share of N(radius);
+    ``is_eff_diameter`` marks the FIRST t reaching ``eff_ppm`` (default
+    90%) — the effective-diameter estimate. The per-node table collapses
+    to radius+1 global sums (map-side combined) before a tiny unpivot, so
+    the output is radius+1 rows regardless of graph size.
+    """
+    rounds = _hyperball_rounds(edges, radius, k, src_col, dst_col)
+    r = int(radius)
+    sums = rounds.agg(
+        *[F.sum(f"_e{t}").cast("long").alias(f"_s{t}") for t in range(r + 1)]
+    )
+    stack = ", ".join(f"CAST({t} AS BIGINT), _s{t}" for t in range(r + 1))
+    per_t = sums.selectExpr(f"stack({r + 1}, {stack}) AS (t, n_reach)")
+    total = f"_s{r}"
+    per_t = per_t.crossJoin(F.broadcast(sums.select(F.col(total).alias("_nr"))))
+    frac = "CAST((n_reach * 1000000) div greatest(_nr, 1) AS BIGINT)"
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("t")
+    out = per_t.select(
+        "t", "n_reach", F.expr(frac).alias("frac_ppm")
+    ).withColumn(
+        "is_eff_diameter",
+        (F.col("frac_ppm") >= int(eff_ppm))
+        & (
+            F.coalesce(F.lag("frac_ppm").over(w), F.lit(0)) < int(eff_ppm)
+        ),
+    )
+    return out
+
+
+def neighborhood_function_sql(
+    edges_sql: str,
+    radius: int = 3,
+    k: int = KMV_K,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    eff_ppm: int = 900_000,
+) -> str:
+    """DuckDB oracle: identical sums, shares, and first-crossing flag."""
+    chain = _hyperball_rounds_sql(edges_sql, radius, k, src_col, dst_col)
+    r = int(radius)
+    sums = ", ".join(
+        f"CAST(sum(_e{t}) AS BIGINT) AS _s{t}" for t in range(r + 1)
+    )
+    unpiv = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS t, _s{t} AS n_reach FROM _sums"
+        for t in range(r + 1)
+    )
+    return f"""{chain},
+_sums AS (SELECT {sums} FROM _hb),
+_pt AS ({unpiv}),
+_fr AS (SELECT t, n_reach,
+          CAST((n_reach * 1000000) // greatest((SELECT _s{r} FROM _sums), 1)
+               AS BIGINT) AS frac_ppm
+        FROM _pt)
+SELECT t, n_reach, frac_ppm,
+       frac_ppm >= {int(eff_ppm)} AND
+         COALESCE(lag(frac_ppm) OVER (ORDER BY t), 0) < {int(eff_ppm)}
+         AS is_eff_diameter
+FROM _fr"""

@@ -296,3 +296,85 @@ def test_hyperball_monotone_in_radius(spark):
         if prev is not None:
             assert all(cur[n] >= prev[n] for n in cur)
         prev = cur
+
+
+def test_harmonic_centrality_exact_small_graphs(spark):
+    from scrape_spark.operators.sketches import harmonic_centrality
+
+    # star 0 -> 1..9: hub has no in-edges (harmonic 0); each leaf has the
+    # hub at in-distance 1 (harmonic 10^6)
+    star = spark.range(1, 10).selectExpr("CAST(0 AS BIGINT) AS src", "id AS dst")
+    got = {
+        r["node"]: r["harmonic_ppm"]
+        for r in harmonic_centrality(star, radius=3, k=64).collect()
+    }
+    assert got[0] == 0
+    assert all(got[v] == 1_000_000 for v in range(1, 10))
+    # 10-cycle: every node sees one new in-neighbor per step:
+    # 10^6 · (1 + 1/2 + 1/3) truncated per term
+    cyc = spark.range(0, 10).selectExpr("id AS src", "CAST((id+1)%10 AS BIGINT) AS dst")
+    got = {
+        r["node"]: r["harmonic_ppm"]
+        for r in harmonic_centrality(cyc, radius=3, k=64).collect()
+    }
+    assert set(got.values()) == {1_000_000 + 500_000 + 333_333}
+
+
+def test_harmonic_matches_duckdb(spark):
+    from scrape_spark.operators.sketches import (
+        harmonic_centrality,
+        harmonic_centrality_sql,
+    )
+
+    edges = spark.range(0, 80).selectExpr(
+        "id AS src", "CAST((id * 13 + 5) % 80 AS BIGINT) AS dst"
+    )
+    got = {
+        r["node"]: (r["est_ball"], r["harmonic_ppm"])
+        for r in harmonic_centrality(edges, radius=2, k=16).collect()
+    }
+    want = {
+        n: (e, h)
+        for n, e, h in _duck(
+            harmonic_centrality_sql(
+                "SELECT range AS src, (range * 13 + 5) % 80 AS dst "
+                "FROM range(0, 80)",
+                radius=2,
+                k=16,
+            )
+        )
+    }
+    assert got == want
+
+
+def test_neighborhood_function_profile(spark):
+    from scrape_spark.operators.sketches import (
+        neighborhood_function,
+        neighborhood_function_sql,
+    )
+
+    edges = spark.range(0, 10).selectExpr(
+        "id AS src", "CAST((id + 1) % 10 AS BIGINT) AS dst"
+    )
+    rows = sorted(
+        tuple(r) for r in neighborhood_function(edges, radius=3, k=64).collect()
+    )
+    # cycle: N(t) = 10·(t+1); first t with ≥90% of N(3)=40 is t=3
+    assert rows == [
+        (0, 10, 250_000, False),
+        (1, 20, 500_000, False),
+        (2, 30, 750_000, False),
+        (3, 40, 1_000_000, True),
+    ]
+    assert rows == sorted(
+        _duck(
+            neighborhood_function_sql(
+                "SELECT range AS src, (range+1)%10 AS dst FROM range(0,10)",
+                radius=3,
+                k=64,
+            )
+        )
+    )
+    # exactly one effective-diameter row, reach monotone
+    assert sum(1 for r in rows if r[3]) == 1
+    assert all(rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1))
