@@ -5072,6 +5072,62 @@ def q_graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame
     return neighborhood_function(spark.sql(_PR_EDGES_SQL), radius=3, k=16)
 
 
+# -- hreflang alternates: bitext-seed pairs + language-edition clusters -------
+# 50 sites × 3 editions; only the en edition annotates (the common publisher
+# layout), with mixed attribute orders, an uppercase hreflang, an x-default,
+# and non-alternate link tags that must be ignored.
+_HREFLANG_PAGES_SQL = """\
+SELECT 'http://s' || CAST(doc_id % 50 AS STRING) || '.test/'
+         || CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END
+         AS url,
+       CASE WHEN doc_id % 3 = 0 THEN
+         '<html><head><link rel="alternate" hreflang="EN" href="/en">'
+         || '<link rel="alternate" hreflang="fr" href="/fr">'
+         || '<link hreflang="de" href="/de" rel="alternate">'
+         || '<link rel="alternate" hreflang="x-default" href="/">'
+         || '<link rel="stylesheet" href="/css"></head></html>'
+       ELSE '<html><head><title>edition</title></head></html>' END AS html_str
+FROM documents WHERE doc_id < 300"""
+
+
+def _hreflang_pairs_oracle() -> str:
+    from scrape_spark.functions.hreflang import hreflang_doc_pairs_sql
+
+    return hreflang_doc_pairs_sql(_HREFLANG_PAGES_SQL)
+
+
+@_q("hreflang_pairs", _hreflang_pairs_oracle())
+def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publisher-declared document-aligned bitext pairs from hreflang
+    alternate annotations — the ParaCrawl-style alignment seed."""
+    from scrape_spark.functions.hreflang import hreflang_doc_pairs
+
+    _view(spark, sf_dir, "documents")
+    return hreflang_doc_pairs(spark.sql(_HREFLANG_PAGES_SQL))
+
+
+def _hreflang_clusters_oracle() -> str:
+    from scrape_spark.functions.hreflang import hreflang_links_sql
+
+    links = hreflang_links_sql(_HREFLANG_PAGES_SQL)
+    return f"""WITH RECURSIVE LNK AS ({links}),
+e0 AS (SELECT url AS a, href AS b FROM LNK),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach(id, r) AS (SELECT a, a FROM edges
+                 UNION SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a)
+SELECT id AS member, min(r) AS cluster_id FROM reach GROUP BY id"""
+
+
+@_q("hreflang_clusters", _hreflang_clusters_oracle())
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-edition clusters: components over (page ↔ declared
+    alternate) edges, keyed by the smallest member URL."""
+    from scrape_spark.functions.hreflang import hreflang_clusters
+
+    _view(spark, sf_dir, "documents")
+    return hreflang_clusters(spark.sql(_HREFLANG_PAGES_SQL))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,95 @@
+"""hreflang alternate mining: links, bitext pairs, edition clusters."""
+
+import duckdb
+
+from scrape_spark.functions.hreflang import (
+    hreflang_clusters,
+    hreflang_doc_pairs,
+    hreflang_doc_pairs_sql,
+    hreflang_links,
+    hreflang_links_sql,
+)
+
+_EN = (
+    '<html><head><link rel="alternate" hreflang="EN" href="/en">'
+    '<link rel="alternate" hreflang="fr" href="http://s.test/fr">'
+    '<link hreflang="de" href="/de" rel="alternate">'
+    '<link rel="alternate" hreflang="x-default" href="/">'
+    '<link rel="stylesheet" href="/css">'
+    '<link rel="alternate" type="application/rss+xml" href="/feed">'
+    "</head></html>"
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html_str string")
+
+
+def test_links_attribute_orders_case_and_rel_filtering(spark):
+    df = _pages(spark, [("http://s.test/en", _EN)])
+    got = {
+        (r["link_pos"], r["hreflang"], r["href"])
+        for r in hreflang_links(df).collect()
+    }
+    # stylesheet and feed links dropped (feed has no hreflang); hreflang
+    # lowercased; relative hrefs resolved against the page; both attribute
+    # orders (tag 3 puts rel last) survive
+    assert got == {
+        (1, "en", "http://s.test/en"),
+        (2, "fr", "http://s.test/fr"),
+        (3, "de", "http://s.test/de"),
+        (4, "x-default", "http://s.test/"),
+    }
+
+
+def test_pairs_exclude_x_default_and_same_lang(spark):
+    df = _pages(spark, [("http://s.test/en", _EN)])
+    got = {
+        (r["lang_a"], r["href_a"], r["lang_b"], r["href_b"])
+        for r in hreflang_doc_pairs(df).collect()
+    }
+    assert got == {
+        ("en", "http://s.test/en", "fr", "http://s.test/fr"),
+        ("en", "http://s.test/en", "de", "http://s.test/de"),
+        ("fr", "http://s.test/fr", "de", "http://s.test/de"),
+    }
+
+
+def test_duckdb_parity_links_and_pairs(spark):
+    rows = [
+        ("http://a.test/en", _EN.replace("s.test", "a.test")),
+        ("http://a.test/fr", '<link rel="alternate" hreflang="en" href="/en">'),
+        ("http://b.test/x", "<html><head>no links</head></html>"),
+    ]
+    df = _pages(spark, rows)
+    vals = ", ".join(
+        "('" + u + "', '" + h.replace("'", "''") + "')" for u, h in rows
+    )
+    src = f"SELECT * FROM (VALUES {vals}) AS t(url, html_str)"
+    con = duckdb.connect()
+    got = sorted(tuple(r) for r in hreflang_links(df).collect())
+    assert got == sorted(con.execute(hreflang_links_sql(src)).fetchall())
+    gotp = sorted(tuple(r) for r in hreflang_doc_pairs(df).collect())
+    assert gotp == sorted(con.execute(hreflang_doc_pairs_sql(src)).fetchall())
+
+
+def test_clusters_merge_editions_via_any_annotator(spark):
+    # only the en edition annotates; fr/de carry no tags — still one cluster
+    rows = [
+        ("http://s.test/en", _EN),
+        ("http://s.test/fr", "<html></html>"),
+        ("http://s.test/de", "<html></html>"),
+        ("http://other.test/p", "<html></html>"),  # no edges: not in output
+    ]
+    got = {
+        r["member"]: r["cluster_id"]
+        for r in hreflang_clusters(_pages(spark, rows)).collect()
+    }
+    members = {
+        "http://s.test/",
+        "http://s.test/en",
+        "http://s.test/fr",
+        "http://s.test/de",
+    }
+    assert set(got) == members
+    assert set(got.values()) == {"http://s.test/"}
