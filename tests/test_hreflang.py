@@ -93,3 +93,22 @@ def test_clusters_merge_editions_via_any_annotator(spark):
     }
     assert set(got) == members
     assert set(got.values()) == {"http://s.test/"}
+
+
+def test_pair_join_prunes_html_before_exchange(spark):
+    """The self-join must exchange only (url, pos, lang, href) slivers."""
+    import contextlib
+    import io
+
+    pages = spark.range(0, 200).selectExpr(
+        "concat('http://s', CAST(id AS STRING), '.test/en') AS url",
+        "concat(repeat('x', 500), "
+        '\'<link rel="alternate" hreflang="en" href="/en">\') AS html_str',
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hreflang_doc_pairs(pages).explain("formatted")
+    plan = buf.getvalue()
+    for section in plan.split("\n\n"):
+        if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
+            assert "html_str#" not in section, section

@@ -378,3 +378,46 @@ def test_neighborhood_function_profile(spark):
     # exactly one effective-diameter row, reach monotone
     assert sum(1 for r in rows if r[3]) == 1
     assert all(rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1))
+
+
+# -- plan audits: the new sketch ops keep their promised scale shapes --------
+
+def _fmt_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_kmv_global_plan_is_take_ordered(spark):
+    """The global k-min must compile to TakeOrderedAndProject (per-partition
+    top-k, k-row merge) — never a global Sort of the distinct set."""
+    from scrape_spark.operators.sketches import _kmv_global
+
+    df = spark.range(0, 10_000).selectExpr(
+        "concat('u', CAST(id AS STRING)) AS url"
+    )
+    plan = _fmt_plan(_kmv_global(df, "url", 64))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_hyperball_moves_registers_not_text(spark):
+    """HyperBall over edges derived from pages: no Exchange may carry the
+    html/text column — only node ids and k-int64 registers shuffle."""
+    from scrape_spark.operators.sketches import hyperball_counts
+
+    pages = spark.range(0, 500).selectExpr(
+        "id",
+        "CAST((id * 7 + 3) % 500 AS BIGINT) AS dst",
+        "repeat('x', 100) AS html",
+    )
+    out = hyperball_counts(pages.select("id", "dst", "html"), radius=2,
+                           k=16, src_col="id", dst_col="dst")
+    plan = _fmt_plan(out)
+    for section in plan.split("\n\n"):
+        if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
+            assert "html#" not in section, section
