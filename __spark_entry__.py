@@ -5128,6 +5128,39 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(spark.sql(_HREFLANG_PAGES_SQL))
 
 
+# -- SQL-function surface: the kernels called FROM SQL, oracle-checked --------
+def _sql_surface_oracle() -> str:
+    from scrape_spark.functions import textstats as ts
+
+    d = ts.DUCK_DIALECT
+    return f"""SELECT doc_id,
+  {ts.token_count_sql('text', d)} AS n_tokens,
+  {ts.fingerprint_sql('text', d)} AS fp,
+  {ts.simhash_sql('text', d)} AS simhash,
+  {ts.lang_pred_sql('text', d)} AS lang_pred,
+  {ts.char_entropy_q4_sql('text', d)} AS entropy_q4
+FROM documents"""
+
+
+@_q("sql_surface_stats", _sql_surface_oracle())
+def q_sql_surface_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-first consumer path: registered ``ss_*`` functions driven
+    entirely from spark.sql — same kernels, same bits as the operators."""
+    from scrape_spark.sqlfuncs import register
+
+    register(spark)
+    _view(spark, sf_dir, "documents")
+    return spark.sql(
+        """SELECT doc_id,
+  ss_token_count(text) AS n_tokens,
+  ss_fingerprint(text) AS fp,
+  ss_simhash(text) AS simhash,
+  ss_lang_id(text) AS lang_pred,
+  ss_char_entropy_q4(text) AS entropy_q4
+FROM documents"""
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
