@@ -5161,6 +5161,35 @@ FROM documents"""
     )
 
 
+# -- winnowing fingerprints: partial-copy candidates (MOSS/SWA03) -------------
+# Every 7th document gets the same planted >= g+window-1-token passage, so
+# those docs MUST pair (the winnowing guarantee); everything else pairs only
+# via organic overlap — both replayed identically by the oracle.
+_WINNOW_DOCS_SQL = """\
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 200)
+              || ' shared passage marker one two three four five six seven'
+              || ' eight nine ten eleven twelve ' || substr(text, 201, 120)
+            ELSE text END AS text
+FROM documents WHERE doc_id < 200"""
+
+
+def _winnow_oracle() -> str:
+    from scrape_spark.operators.dedup import winnowed_dup_candidates_sql
+
+    return winnowed_dup_candidates_sql(_WINNOW_DOCS_SQL, min_shared=2)
+
+
+@_q("winnow_dup_candidates", _winnow_oracle())
+def q_winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint partial-copy candidates — shared-passage pairs
+    shingle-Jaccard misses, at 2/(window+1) of the span-index state."""
+    from scrape_spark.operators.dedup import winnowed_dup_candidates
+
+    _view(spark, sf_dir, "documents")
+    return winnowed_dup_candidates(spark.sql(_WINNOW_DOCS_SQL), min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -73,6 +73,7 @@ SPARK_DIALECT = {
     "aconcat": "concat({a}, {b})",  # array concatenation
     "ainter": "array_intersect({arr}, {brr})",  # set intersect (dedup; order engine-specific)
     "aslice": "slice({arr}, 1, {k})",  # first k elements (fewer if shorter)
+    "asliceat": "slice({arr}, {i}, {n})",  # n elements from 1-based pos i
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -104,6 +105,7 @@ DUCK_DIALECT = {
     "aconcat": "list_concat({a}, {b})",
     "ainter": "list_intersect({arr}, {brr})",
     "aslice": "({arr})[1:{k}]",
+    "asliceat": "({arr})[({i}):(({i}) + ({n}) - 1)]",
 }
 
 

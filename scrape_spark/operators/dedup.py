@@ -912,3 +912,129 @@ _c AS (SELECT DISTINCT a.{id_col} AS id_1, b.{id_col} AS id_2,
        FROM _b a JOIN _b b ON ({collide}) AND a.{id_col} < b.{id_col}),
 _p AS (SELECT id_1, id_2, {cos} AS cosine FROM _c)
 SELECT id_1, id_2, cosine FROM _p WHERE cosine >= {min_cosine}"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, MOSS)
+# ---------------------------------------------------------------------------
+# The span-dedup above emits EVERY w-token window hash — one shuffled row
+# per token. Winnowing is the classic state reducer: slide a window of
+# ``window`` consecutive g-gram hashes and keep only each window's MINIMUM,
+# for an expected selected density of 2/(window+1) — with the GUARANTEE
+# (SWA03 Thm.) that any shared token run of length >= g + window - 1
+# produces at least one shared fingerprint in both documents (the run's
+# minimal gram hash is the min of every window containing it, and each
+# document has such a window fully inside the run). So candidate recall
+# for long shared passages is preserved while the shuffled row count drops
+# ~(window+1)/2-fold — the difference between feasible and not at 100 TB.
+
+WINNOW_G = 4  # token g-gram size
+WINNOW_W = 8  # winnowing window (in gram hashes)
+
+
+def winnow_fingerprints_sql(
+    text: str, d: dict, g: int = WINNOW_G, window: int = WINNOW_W
+) -> str:
+    """Sorted distinct winnowed fingerprints of ``text`` — int64 array.
+
+    Gram hashes come from :func:`window_hashes_sql` (the shared rolling
+    kernel); selection is min-by-value per window (value ties collapse in
+    the distinct anyway). Documents shorter than one full window keep the
+    single global min — short docs must not vanish from the index.
+    """
+    grams = window_hashes_sql(text, d, w=g)
+    n = d["size"].format(arr="__wfh")
+    win_min = d["amin"].format(
+        arr=d["asliceat"].format(arr="__wfh", i="CAST(_wi AS INT)", n=str(int(window)))
+    )
+    body = d["transform"].format(
+        arr=d["seq"].format(
+            a="CAST(1 AS BIGINT)", b=f"CAST({n} - {window - 1} AS BIGINT)"
+        ),
+        lam=f"_wi -> {win_min}",
+    )
+    picked = (
+        f"CASE WHEN {n} = 0 THEN {d['empty_bigint_array']} "
+        f"WHEN {n} < {window} THEN {d['mkarr'].format(x=d['amin'].format(arr='__wfh'))} "
+        f"ELSE {body} END"
+    )
+    out = d["asort"].format(arr=d["adistinct"].format(arr=f"({picked})"))
+    return ts._bind(out, "__wfh", grams, d)
+
+
+def winnow_fingerprint_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    g: int = WINNOW_G,
+    window: int = WINNOW_W,
+) -> DataFrame:
+    """(id, fp): one row per selected fingerprint — the postings the
+    candidate join runs on. Map-only until the caller shuffles."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(winnow_fingerprints_sql(text_col, ts.SPARK_DIALECT, g, window))
+        ).alias("fp"),
+    )
+
+
+def winnowed_dup_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    g: int = WINNOW_G,
+    window: int = WINNOW_W,
+    min_shared: int = 1,
+    max_df: int = 64,
+) -> DataFrame:
+    """(id_1, id_2, n_shared): pairs sharing ≥ ``min_shared`` winnowed
+    fingerprints — the partial-copy candidates shingle-Jaccard misses when
+    two documents share a long passage but differ overall.
+
+    Fingerprints appearing in more than ``max_df`` documents are dropped
+    before pairing (stop-fingerprints: boilerplate runs would otherwise
+    quadratically explode a bucket — same screen every postings-based
+    matcher applies). Plan shape: map-only selection → one fp-keyed
+    shuffle with the document-frequency screen → per-bucket pairs
+    (bounded by max_df²) → pair-keyed count.
+    """
+    fps = winnow_fingerprint_table(docs, id_col, text_col, g, window)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= int(max_df))
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp")
+    left = kept.select("fp", F.col("id").alias("id_1"))
+    right = kept.select("fp", F.col("id").alias("id_2"))
+    return (
+        left.join(right, "fp")
+        .where(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def winnowed_dup_candidates_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    g: int = WINNOW_G,
+    window: int = WINNOW_W,
+    min_shared: int = 1,
+    max_df: int = 64,
+) -> str:
+    """DuckDB oracle: identical selection, screen, pairing, and counts."""
+    d = ts.DUCK_DIALECT
+    fp_arr = winnow_fingerprints_sql(text_col, d, g, window)
+    return f"""WITH _src AS ({docs_sql}),
+_fp AS (SELECT {id_col} AS id, unnest({fp_arr}) AS fp FROM _src),
+_keep AS (SELECT fp FROM _fp GROUP BY fp HAVING count(*) <= {int(max_df)}),
+_k AS (SELECT f.id, f.fp FROM _fp f JOIN _keep USING (fp))
+SELECT a.id AS id_1, b.id AS id_2, CAST(count(*) AS BIGINT) AS n_shared
+FROM _k a JOIN _k b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {int(min_shared)}"""

@@ -260,8 +260,10 @@ def kmv_distinct(
     Scale shape: the distinct pass has ordinary map-side combine; the k-min
     selection reuses ``politeness.per_host_take``'s salted two-stage top-k,
     so a mega-group's distinct set never funnels through one window task —
-    per-task window work is O(k·n_salts), and the final per-group state is
-    exactly k int64s. Estimates are exact below k (the sketch IS the set).
+    each stage-1 task ranks 1/n_salts of a group's slice and keeps k, the
+    stage-2 merge ranks ≤ k·n_salts survivors, and the final per-group
+    state is exactly k int64s. Estimates are exact below k (the sketch IS
+    the set).
     """
     from scrape_spark.operators.politeness import per_host_take
 
@@ -401,11 +403,13 @@ def kmv_overlap_sql(
     sel = ",\n  ".join(f"{t} AS {c}" for c, t in cols.items())
     return f"""WITH _ad AS (SELECT DISTINCT {fold} AS _h FROM ({a_sql})),
 _ak AS (SELECT _h FROM _ad ORDER BY _h LIMIT {int(k)}),
-_a AS (SELECT list_sort(list(_h)) AS ma, CAST(count(*) AS BIGINT) AS na
+_a AS (SELECT coalesce(list_sort(list(_h)), CAST([] AS BIGINT[])) AS ma,
+              CAST(count(*) AS BIGINT) AS na
        FROM _ak),
 _bd AS (SELECT DISTINCT {fold} AS _h FROM ({b_sql})),
 _bk AS (SELECT _h FROM _bd ORDER BY _h LIMIT {int(k)}),
-_b AS (SELECT list_sort(list(_h)) AS mb, CAST(count(*) AS BIGINT) AS nb
+_b AS (SELECT coalesce(list_sort(list(_h)), CAST([] AS BIGINT[])) AS mb,
+              CAST(count(*) AS BIGINT) AS nb
        FROM _bk)
 SELECT {sel}
 FROM _a, _b"""

@@ -163,3 +163,91 @@ def test_changed_doc_old_signature_gone(spark, tmp_path):
     got = _probe_dict(idx.probe(_docs(spark, [(99, "alpha beta gamma delta")])))
     assert got == _brute_probe(spark, [(99, "alpha beta gamma delta")], v2)
     assert (99, 1) not in got
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (SWA03) — selection guarantee + cross-engine parity
+# ---------------------------------------------------------------------------
+
+def _winnow_duck(sql):
+    import duckdb
+
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def test_winnow_guarantee_on_planted_passage(spark):
+    """Any shared run of >= g + window - 1 tokens must yield >= 1 shared
+    fingerprint (SWA03 theorem); unrelated docs must not pair."""
+    from scrape_spark.operators.dedup import winnowed_dup_candidates
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam"
+    rows = [
+        (1, f"intro words here {passage} closing remarks"),
+        (2, f"different opening {passage} and another tail entirely"),
+        (3, "totally unrelated text about fish and chips today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_1"], r["id_2"]) for r in winnowed_dup_candidates(docs).collect()}
+    assert got == {(1, 2)}
+
+
+def test_winnow_density_reduction(spark):
+    """Winnowing must select far fewer fingerprints than raw gram hashes
+    (expected density 2/(window+1)) while never selecting zero on a
+    non-empty doc."""
+    from pyspark.sql import functions as F
+
+    from scrape_spark.functions import textstats as ts
+    from scrape_spark.operators.dedup import (
+        window_hashes_sql,
+        winnow_fingerprints_sql,
+    )
+
+    words = " ".join(f"w{i % 97}x{i % 89}" for i in range(400))
+    df = spark.createDataFrame(
+        [(words,), ("six tokens just under one window",), ("",)], "text string"
+    )
+    d = ts.SPARK_DIALECT
+    r = df.select(
+        F.expr(f"size({winnow_fingerprints_sql('text', d)})").alias("n_fp"),
+        F.expr(f"size({window_hashes_sql('text', d, 4)})").alias("n_gram"),
+    ).collect()
+    long_doc = r[0]
+    assert 0 < long_doc["n_fp"] < long_doc["n_gram"] // 2
+    assert r[1]["n_fp"] == 1  # grams exist but < window: global min kept
+    assert r[2]["n_fp"] == 0  # empty doc: no fingerprints
+
+
+def test_winnow_candidates_match_duckdb(spark):
+    from scrape_spark.operators.dedup import (
+        winnowed_dup_candidates,
+        winnowed_dup_candidates_sql,
+    )
+
+    # overlapping shingled corpus: doc i shares a sliding window of tokens
+    # with its neighbors
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(i, i + 30))) for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in winnowed_dup_candidates(docs, min_shared=2).collect()
+    )
+    vals = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in rows
+    )
+    want = sorted(_winnow_duck(winnowed_dup_candidates_sql(vals, min_shared=2)))
+    assert got == want and len(got) > 0
+
+
+def test_winnow_stop_fingerprint_screen(spark):
+    """A fingerprint present in every doc (shared boilerplate) must be
+    dropped by the max_df screen instead of pairing all docs."""
+    from scrape_spark.operators.dedup import winnowed_dup_candidates
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [(i, f"{boiler} unique{i} distinct{i} words{i} here{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # boilerplate hits all 10 docs; max_df=5 screens it out entirely
+    got = winnowed_dup_candidates(docs, max_df=5).collect()
+    assert got == []
