@@ -4973,7 +4973,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-host distinct URLs: 8 hosts × ~62 distinct paths each (doc_id mod 300
 # collides on purpose) with k=16 so the ESTIMATE regime — not the exact
 # below-k shortcut — is what the oracle hash-checks.
-_KMV_URLS_SQL = """\
+_KMV_HOST_URLS_SQL = """\
 SELECT 'h' || CAST(doc_id % 8 AS STRING) || '.test' AS host,
        'http://h' || CAST(doc_id % 8 AS STRING) || '.test/p/'
          || CAST(doc_id % 300 AS STRING) AS url
@@ -4983,7 +4983,7 @@ FROM documents"""
 def _kmv_distinct_oracle() -> str:
     from scrape_spark.operators.sketches import kmv_distinct_sql
 
-    return kmv_distinct_sql(_KMV_URLS_SQL, k=16)
+    return kmv_distinct_sql(_KMV_HOST_URLS_SQL, k=16)
 
 
 @_q("kmv_host_distinct", _kmv_distinct_oracle())
@@ -4993,7 +4993,7 @@ def q_kmv_host_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrape_spark.operators.sketches import kmv_distinct
 
     _view(spark, sf_dir, "documents")
-    return kmv_distinct(spark.sql(_KMV_URLS_SQL), k=16)
+    return kmv_distinct(spark.sql(_KMV_HOST_URLS_SQL), k=16)
 
 
 # Crawl-overlap: month A = docs [0, 350), month B = docs [150, 500) — true
@@ -5188,6 +5188,28 @@ def q_winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _view(spark, sf_dir, "documents")
     return winnowed_dup_candidates(spark.sql(_WINNOW_DOCS_SQL), min_shared=2)
+
+
+_NOVELTY_NEW_SQL = "SELECT doc_id, text FROM documents WHERE doc_id >= 100 AND doc_id < 250"
+_NOVELTY_CORPUS_SQL = "SELECT doc_id, text FROM documents WHERE doc_id < 180"
+
+
+def _novelty_oracle() -> str:
+    from scrape_spark.operators.dedup import winnow_novelty_sql
+
+    return winnow_novelty_sql(_NOVELTY_NEW_SQL, _NOVELTY_CORPUS_SQL)
+
+
+@_q("winnow_novelty", _novelty_oracle())
+def q_winnow_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-value signal: per-doc fraction of winnowed fingerprints absent
+    from the existing corpus — revisits/mirrors score ~0 pre-fetch."""
+    from scrape_spark.operators.dedup import winnow_novelty
+
+    _view(spark, sf_dir, "documents")
+    return winnow_novelty(
+        spark.sql(_NOVELTY_NEW_SQL), spark.sql(_NOVELTY_CORPUS_SQL)
+    )
 
 
 # ---------------------------------------------------------------------------

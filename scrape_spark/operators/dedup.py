@@ -1038,3 +1038,77 @@ SELECT a.id AS id_1, b.id AS id_2, CAST(count(*) AS BIGINT) AS n_shared
 FROM _k a JOIN _k b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= {int(min_shared)}"""
+
+
+def winnow_novelty(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    g: int = WINNOW_G,
+    window: int = WINNOW_W,
+) -> DataFrame:
+    """(id, n_fp, n_novel, novelty_ppm): how much genuinely NEW content a
+    candidate document adds over an existing corpus.
+
+    novelty = fraction of the doc's winnowed fingerprints absent from the
+    corpus's fingerprint set (ppm, integer). The crawl-value signal: a
+    revisit-heavy or mirror-heavy frontier scores near 0 and can be
+    deprioritized before fetching its whole tail; docs with no grams
+    (shorter than g tokens) report NULL novelty rather than pretending
+    either extreme.
+
+    Scale shape: both sides reduce to fingerprint postings (map-only
+    selection, 2/(window+1) density); the corpus side is distinct-ed and
+    the left-anti join runs fp-keyed — int64 postings only, never text.
+    """
+    fps = winnow_fingerprint_table(new_docs, id_col, text_col, g, window)
+    seen = (
+        winnow_fingerprint_table(corpus, id_col, text_col, g, window)
+        .select("fp")
+        .distinct()
+    )
+    novel = fps.join(seen, "fp", "left_anti").groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    totals = fps.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    base = new_docs.select(F.col(id_col).alias("id"))
+    out = (
+        base.join(totals, "id", "left")
+        .join(novel, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+    ppm = F.expr("CAST((n_novel * 1000000) div n_fp AS BIGINT)")
+    return out.withColumn(
+        "novelty_ppm", F.when(F.col("n_fp") > 0, ppm).otherwise(F.lit(None))
+    )
+
+
+def winnow_novelty_sql(
+    new_sql: str,
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    g: int = WINNOW_G,
+    window: int = WINNOW_W,
+) -> str:
+    """DuckDB oracle: identical postings, anti-join, and ppm arithmetic."""
+    d = ts.DUCK_DIALECT
+    fp_arr = winnow_fingerprints_sql(text_col, d, g, window)
+    return f"""WITH _new AS ({new_sql}),
+_nfp AS (SELECT {id_col} AS id, unnest({fp_arr}) AS fp FROM _new),
+_seen AS (SELECT DISTINCT unnest({fp_arr}) AS fp FROM ({corpus_sql})),
+_nov AS (SELECT id, CAST(count(*) AS BIGINT) AS n_novel
+         FROM _nfp WHERE fp NOT IN (SELECT fp FROM _seen) GROUP BY id),
+_tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp FROM _nfp GROUP BY id)
+SELECT b.{id_col}, coalesce(t.n_fp, 0) AS n_fp,
+       coalesce(v.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(t.n_fp, 0) > 0
+            THEN (coalesce(v.n_novel, 0) * 1000000) // t.n_fp END AS novelty_ppm
+FROM (SELECT {id_col} FROM _new) b
+LEFT JOIN _tot t ON t.id = b.{id_col}
+LEFT JOIN _nov v ON v.id = b.{id_col}"""

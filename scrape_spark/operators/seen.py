@@ -536,6 +536,11 @@ def kmv_distinct(
     so the DuckDB oracle pins it bit-for-bit (approx_count_distinct never
     could: each engine's HLL differs).
 
+    This is the global one-row variant; ``operators.sketches`` carries the
+    grouped sketch (``kmv_distinct``), two-stream set algebra
+    (``kmv_overlap``) and the HyperBall family built on the same
+    square-mixed registers.
+
     Scale shape: one map-side-combined int64 groupBy (hash dedup — the
     combiner collapses repeats before the wire) feeding a
     TakeOrderedAndProject(k) — per-partition top-k then a k-row merge at

@@ -251,3 +251,39 @@ def test_winnow_stop_fingerprint_screen(spark):
     # boilerplate hits all 10 docs; max_df=5 screens it out entirely
     got = winnowed_dup_candidates(docs, max_df=5).collect()
     assert got == []
+
+
+def test_winnow_novelty_scores(spark):
+    """Corpus copies score 0, fresh docs 10^6, gram-less docs NULL; parity
+    with the DuckDB twin."""
+    from scrape_spark.operators.dedup import winnow_novelty, winnow_novelty_sql
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new_rows = [
+        (1, shared),
+        (2, "fresh words entirely novel content nothing shared here at all"),
+        (3, "xy"),
+        (4, f"{shared} plus a genuinely new second half of tokens here now"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame([(10, shared)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_fp"], r["n_novel"], r["novelty_ppm"])
+        for r in winnow_novelty(new, corpus).collect()
+    }
+    assert got[1] == (1, 0, 0)
+    assert got[2][2] == 1_000_000
+    assert got[3] == (0, 0, None)
+    assert 0 < got[4][2] < 1_000_000  # partial copy: strictly between
+    vals_new = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in new_rows
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _winnow_duck(
+            winnow_novelty_sql(
+                vals_new, f"SELECT 10 AS doc_id, '{shared}' AS text"
+            )
+        )
+    }
+    assert got == want
