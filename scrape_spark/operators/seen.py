@@ -508,17 +508,19 @@ def _probe_fn(cand: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
 # KMV distinct-count sketch — "how many URLs has this crawl seen?"
 # ---------------------------------------------------------------------------
 def _kmv_hash_sql(col: str, d: dict) -> str:
-    """Char fold + a nonlinear square mix: (h*h + 7) mod P.
+    """The shared [0, P²) dual-fold digest (textstats.kmv_digest64_sql).
 
-    The plain Karp-Rabin fold is AFFINE in the trailing characters, so
-    structured key sets (sequential page ids) land on a lattice and bias
-    the k-th minimum (measured: 29% high on /page/<i> URLs vs ~10% after
-    the mix, k=128). h < P keeps h*h < 2^62 — exact int64 on both engines.
+    Earlier revisions mixed a single fold as (h² + 7) mod P — that fixes
+    the fold's trailing-char lattice (measured: 29% high on /page/<i>
+    URLs vs ~10% after, k=128) but leaves quadratic-residue clustering on
+    short sequential keys (measured 2× over-estimate at k=64) AND a
+    universe that saturates near 2.1e9 distinct keys. The shared 64-bit
+    digest addresses both; sketches.py's grouped/set-algebra/HyperBall
+    variants use the identical kernel.
     """
     from scrape_spark.functions import textstats as ts
 
-    expr = f"(__kf * __kf + 7) % {ts.HASH_P}"
-    return ts._bind(expr, "__kf", ts._char_fold(col, d), d)
+    return ts.kmv_digest64_sql(col, d)
 
 
 def kmv_distinct(
@@ -529,12 +531,13 @@ def kmv_distinct(
     """One-row frame (n_kept, threshold, estimate): the k-minimum-values
     cardinality sketch (Bar-Yossef et al. 2002) over ``col``.
 
-    If the k smallest DISTINCT hash values in [0, P) have maximum h_k,
-    the distinct count is ≈ (k-1) * P / h_k. Unlike HyperLogLog this is
-    exactly reproducible across engines — the hash is the repo's
-    deterministic Karp-Rabin char fold, the estimate is integer division,
-    so the DuckDB oracle pins it bit-for-bit (approx_count_distinct never
-    could: each engine's HLL differs).
+    If the k smallest DISTINCT hash values in [0, U = P²) have maximum
+    h_k, the distinct count is ≈ (k-1) * U / h_k. Unlike HyperLogLog this
+    is exactly reproducible across engines — the hash is the shared
+    dual-fold digest, the estimate pure integer arithmetic
+    (textstats.kmv_estimate_sql), so the DuckDB oracle pins it
+    bit-for-bit (approx_count_distinct never could: each engine's HLL
+    differs).
 
     This is the global one-row variant; ``operators.sketches`` carries the
     grouped sketch (``kmv_distinct``), two-stream set algebra
@@ -565,9 +568,7 @@ def kmv_distinct(
         "n_kept",
         "threshold",
         F.expr(
-            f"CASE WHEN n_kept < {int(k)} THEN n_kept "
-            f"WHEN threshold = 0 THEN n_kept "
-            f"ELSE (CAST({int(k) - 1} AS BIGINT) * {ts.HASH_P}) div threshold END"
+            ts.kmv_estimate_sql("n_kept", "threshold", k, ts.SPARK_DIALECT)
         )
         .cast("long")
         .alias("estimate"),
@@ -579,14 +580,11 @@ def kmv_distinct_sql(rows_sql: str, col: str = "url", k: int = 256) -> str:
     from scrape_spark.functions import textstats as ts
 
     h = _kmv_hash_sql(col, ts.DUCK_DIALECT)
+    est = ts.kmv_estimate_sql("n_kept", "threshold", k, ts.DUCK_DIALECT)
     return f"""\
 WITH _kmv_r AS (SELECT {h} AS h FROM ({rows_sql})),
 _kmv_k AS (SELECT DISTINCT h FROM _kmv_r ORDER BY h LIMIT {int(k)}),
 _kmv_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
                   CAST(MAX(h) AS BIGINT) AS threshold FROM _kmv_k)
-SELECT n_kept, threshold,
-       CAST(CASE WHEN n_kept < {int(k)} THEN n_kept
-            WHEN threshold = 0 THEN n_kept
-            ELSE (CAST({int(k) - 1} AS BIGINT) * {ts.HASH_P}) // threshold END AS BIGINT)
-         AS estimate
+SELECT n_kept, threshold, {est} AS estimate
 FROM _kmv_a"""

@@ -215,7 +215,7 @@ FROM _hh"""
 # and set algebra (union / intersection / Jaccard) falls out of comparing
 # two sketches under the union's threshold.
 #
-# Everything is exact int64 over the shared Karp-Rabin digest mod P, so
+# Everything is exact int64 over the shared [0, P²) dual-fold digest, so
 # the DuckDB oracle reproduces sketches AND estimates bit-for-bit. The
 # reference has no analogue (single-host loop); this is engine machinery
 # for frontier accounting at 10^10-URL scale.
@@ -223,40 +223,23 @@ FROM _hh"""
 KMV_K = 64
 
 
-_KMV_A = 1_103_515_245
-_KMV_B = 12_345
-
-
 def _kmv_digest(key: str, d: dict) -> str:
-    """Square-then-affine mix over the Karp-Rabin fold:
-    (a·(h² + 7 mod P) + b) mod P.
-
-    KMV's estimator reads ORDER STATISTICS, so digests must be spread
-    non-lattice over [0, P) even for structured key sets. The raw fold is
-    affine in the trailing chars (sequential keys → a lattice); the square
-    breaks the lattice (``seen._kmv_hash_sql``'s measured fix) but leaves
-    quadratic-residue clustering on short sequential keys (measured 2×
-    over-estimate on ``u<i>`` at k=64); the affine spread on top removes
-    that (measured worst ±17% across u<i>/URL/zero-padded/mixed-length
-    families at k=64, within the 1/sqrt(k-2) RSE). Exact int64:
-    h² < 2^62, a·(P-1) < 2^61.
+    """String-key digest over the [0, P²) universe — the shared
+    :func:`textstats.kmv_digest64_sql` kernel (two independent folds,
+    square-then-affine mixed per lane). A 31-bit universe would saturate
+    near 2.1e9 distinct keys; P² keeps order statistics unbiased through
+    the 10^10-URL regime, with every product exact int64 on both engines
+    (measured estimate quality matches a true-random baseline across
+    sequential/URL/zero-padded/mixed-length key families).
     """
-    expr = f"({_KMV_A} * ((__kv * __kv + 7) % {ts.HASH_P}) + {_KMV_B}) % {ts.HASH_P}"
-    return ts._bind(expr, "__kv", _key_fold(key, d), d)
+    return ts.kmv_digest64_sql(key, d)
 
 
 def _kmv_est(mins: str, n: str, k: int, d: dict) -> str:
-    """Estimate expr: exact when the sketch is not full, else (k-1)P/h_k.
-
-    ``greatest(theta, 1)`` guards the (legal) digest value 0 — the fold can
-    land on 0, and a zero theta would divide by zero on both engines.
-    """
+    """Estimate over an array sketch: the shared scalar estimator
+    (:func:`textstats.kmv_estimate_sql`) with θ = the sketch's k-th min."""
     theta = d["at"].format(arr=mins, i=str(int(k)))
-    q = d["idiv"].format(
-        a=f"{int(k) - 1} * CAST({ts.HASH_P} AS BIGINT)",
-        b=f"greatest({theta}, 1)",
-    )
-    return f"CAST(CASE WHEN {n} < {int(k)} THEN {n} ELSE {q} END AS BIGINT)"
+    return ts.kmv_estimate_sql(n, theta, k, d)
 
 
 def kmv_distinct(
@@ -445,13 +428,10 @@ FROM _a, _b"""
 
 
 def _kmv_node_digest(node: str) -> str:
-    """Digest for int64 node ids (nonnegative): the same square-then-affine
-    mix as ``_kmv_digest`` — sequential ids are the lattice case par
-    excellence. ``node mod P`` first keeps the square below 2^62 for any
-    int64 id."""
-    m = f"(({node}) % {ts.HASH_P})"
-    sq = f"(({m} * {m} + 7) % {ts.HASH_P})"
-    return f"CAST((({_KMV_A} * {sq} + {_KMV_B}) % {ts.HASH_P}) AS BIGINT)"
+    """[0, P²) digest for int64 node ids — the shared
+    :func:`textstats.kmv_id_digest64_sql` kernel (CRT lane inputs, mixed
+    per lane; sequential ids are the lattice case par excellence)."""
+    return f"CAST({ts.kmv_id_digest64_sql(node)} AS BIGINT)"
 
 
 def _kmv_merge(arr_of_arrs: str, k: int, d: dict) -> str:
@@ -478,35 +458,16 @@ def hyperball_counts(
     sets themselves; ``radius`` rounds unroll into one linear plan. Node
     ids must be nonnegative int64 (the crawl's seq/doc ids are). With
     k ≥ every true ball size the sketch holds the whole reachable hash set
-    and ``n_mins`` IS the exact ball size (modulo 1/2^31 hash collisions)
+    and ``n_mins`` IS the exact ball size (modulo 1/P² hash collisions)
     — the property the parity test pins.
     """
     d = ts.SPARK_DIALECT
-    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
-        .distinct()
-    )
-    sk_df = nodes.select(
-        "node", F.expr(d["mkarr"].format(x=_kmv_node_digest("node"))).alias("mins")
-    )
-    merge = _kmv_merge("_ls", k, d)
-    for _ in range(int(radius)):
-        contrib = e.join(
-            sk_df.withColumnRenamed("node", "_d"), "_d"
-        ).select(F.col("_s").alias("node"), "mins")
-        sk_df = (
-            contrib.unionByName(sk_df.select("node", "mins"))
-            .groupBy("node")
-            .agg(F.collect_list("mins").alias("_ls"))
-            .select("node", F.expr(merge).alias("mins"))
-        )
+    rounds = _hyperball_rounds(edges, radius, k, src_col, dst_col)
     n = f"CAST({d['size'].format(arr='mins')} AS BIGINT)"
-    return sk_df.select(
+    return rounds.select(
         "node",
         F.expr(n).alias("n_mins"),
-        F.expr(_kmv_est("mins", n, k, d)).alias("est_ball"),
+        F.col(f"_e{int(radius)}").alias("est_ball"),
     )
 
 
@@ -517,25 +478,9 @@ def hyperball_counts_sql(
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> str:
-    """DuckDB oracle: the identical iteration, radius rounds unrolled."""
+    """DuckDB oracle: the shared round chain, read at the final round."""
     d = ts.DUCK_DIALECT
-    merge = _kmv_merge("list(mins)", k, d)
-    ctes = [
-        f"_e AS ({edges_sql})",
-        f"_n AS (SELECT {src_col} AS node FROM _e "
-        f"UNION SELECT {dst_col} AS node FROM _e)",
-        f"_s0 AS (SELECT node, "
-        + d["mkarr"].format(x=_kmv_node_digest("node"))
-        + " AS mins FROM _n)",
-    ]
-    for t in range(1, int(radius) + 1):
-        prev = f"_s{t - 1}"
-        ctes.append(
-            f"_s{t} AS (SELECT node, {merge} AS mins FROM ("
-            f"SELECT e.{src_col} AS node, s.mins FROM _e e "
-            f"JOIN {prev} s ON s.node = e.{dst_col} "
-            f"UNION ALL SELECT node, mins FROM {prev}) GROUP BY node)"
-        )
+    ctes = _hyperball_chain_sql(edges_sql, radius, k, src_col, dst_col)
     n = f"CAST({d['size'].format(arr='mins')} AS BIGINT)"
     est = _kmv_est("mins", n, k, d)
     return (
@@ -575,7 +520,9 @@ def _hyperball_rounds(
     src_col: str,
     dst_col: str,
 ) -> DataFrame:
-    """(node, _e0.._eR): per-radius KMV ball estimates, one linear plan."""
+    """(node, mins, _e0.._eR): final registers + per-radius KMV ball
+    estimates, one linear plan — the single implementation every
+    HyperBall-family operator reads."""
     d = ts.SPARK_DIALECT
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     nodes = (
@@ -606,7 +553,7 @@ def _hyperball_rounds(
             .select("node", F.expr(merge).alias("mins"), *[f"_e{i}" for i in range(t)])
             .withColumn(f"_e{t}", F.expr(est))
         )
-    return sk_df.drop("mins")
+    return sk_df
 
 
 def _harmonic_expr(radius: int, d: dict) -> str:
@@ -642,25 +589,24 @@ def harmonic_centrality(
     )
 
 
-def _hyperball_rounds_sql(
+def _hyperball_chain_sql(
     edges_sql: str,
     radius: int,
     k: int,
     src_col: str,
     dst_col: str,
-) -> str:
-    """CTE chain ending in ``_hb`` with (node, _e0.._eR) — DuckDB replay."""
+) -> list[str]:
+    """The round CTEs ``_e, _n, _s0.._sR`` — the single DuckDB replay of
+    the iteration, shared by every HyperBall-family twin."""
     d = ts.DUCK_DIALECT
     merge = _kmv_merge("list(mins)", k, d)
-    n_expr = f"CAST({d['size'].format(arr='mins')} AS BIGINT)"
-    est = _kmv_est("mins", n_expr, k, d)
     ctes = [
         f"_e AS ({edges_sql})",
         f"_n AS (SELECT {src_col} AS node FROM _e "
         f"UNION SELECT {dst_col} AS node FROM _e)",
         "_s0 AS (SELECT node, "
         + d["mkarr"].format(x=_kmv_node_digest("node"))
-        + f" AS mins FROM _n)",
+        + " AS mins FROM _n)",
     ]
     for t in range(1, int(radius) + 1):
         prev = f"_s{t - 1}"
@@ -670,6 +616,21 @@ def _hyperball_rounds_sql(
             f"JOIN {prev} s ON s.node = e.{dst_col} "
             f"UNION ALL SELECT node, mins FROM {prev}) GROUP BY node)"
         )
+    return ctes
+
+
+def _hyperball_rounds_sql(
+    edges_sql: str,
+    radius: int,
+    k: int,
+    src_col: str,
+    dst_col: str,
+) -> str:
+    """CTE chain ending in ``_hb`` with (node, _e0.._eR) — DuckDB replay."""
+    d = ts.DUCK_DIALECT
+    n_expr = f"CAST({d['size'].format(arr='mins')} AS BIGINT)"
+    est = _kmv_est("mins", n_expr, k, d)
+    ctes = _hyperball_chain_sql(edges_sql, radius, k, src_col, dst_col)
     evals = ", ".join(
         f"(SELECT {est} FROM _s{t} s WHERE s.node = _n.node) AS _e{t}"
         for t in range(0, int(radius) + 1)
@@ -710,7 +671,13 @@ def neighborhood_function(
     ``is_eff_diameter`` marks the FIRST t reaching ``eff_ppm`` (default
     90%) — the effective-diameter estimate. The per-node table collapses
     to radius+1 global sums (map-side combined) before a tiny unpivot, so
-    the output is radius+1 rows regardless of graph size.
+    the output is radius+1 rows regardless of graph size. The total
+    N(radius) rides the SAME select as the unpivot generator — the round
+    pipeline is computed once, never re-read for the scalar.
+
+    Domain: ``n_reach`` is an exact int64 sum — valid while
+    Σ est_ball < 2^63 (up to ~3×10^9 nodes at full mutual reach; the
+    HyperANF float path is the escape hatch beyond, as in Boldi & Vigna).
     """
     rounds = _hyperball_rounds(edges, radius, k, src_col, dst_col)
     r = int(radius)
@@ -718,15 +685,14 @@ def neighborhood_function(
         *[F.sum(f"_e{t}").cast("long").alias(f"_s{t}") for t in range(r + 1)]
     )
     stack = ", ".join(f"CAST({t} AS BIGINT), _s{t}" for t in range(r + 1))
-    per_t = sums.selectExpr(f"stack({r + 1}, {stack}) AS (t, n_reach)")
-    total = f"_s{r}"
-    per_t = per_t.crossJoin(F.broadcast(sums.select(F.col(total).alias("_nr"))))
-    frac = "CAST((n_reach * 1000000) div greatest(_nr, 1) AS BIGINT)"
+    per_t = sums.selectExpr(
+        f"stack({r + 1}, {stack}) AS (t, n_reach)", f"_s{r} AS _nr"
+    )
     from pyspark.sql.window import Window
 
     w = Window.orderBy("t")
     out = per_t.select(
-        "t", "n_reach", F.expr(frac).alias("frac_ppm")
+        "t", "n_reach", F.expr(_frac_ppm_sql(ts.SPARK_DIALECT)).alias("frac_ppm")
     ).withColumn(
         "is_eff_diameter",
         (F.col("frac_ppm") >= int(eff_ppm))
@@ -735,6 +701,22 @@ def neighborhood_function(
         ),
     )
     return out
+
+
+def _frac_ppm_sql(d: dict) -> str:
+    """Overflow-safe ppm share over (n_reach, _nr) — identical both engines.
+
+    ``n_reach·10^6`` overflows int64 once N(r) passes ~9.2e12 (well inside
+    the sums the P²-universe estimates produce), so both operands are
+    pre-scaled by G = 1 + _nr div 2^42 — after which numerator·10^6 ≤
+    2^42·10^6 < 2^62. G = 1 (exact) until N(r) ≈ 4.4e12; beyond, the ppm
+    value is deterministic on both engines with ≤ ~2 ppm scaling error.
+    The least() clamp pins the t = radius row to exactly 10^6.
+    """
+    g = f"(1 + {d['idiv'].format(a='_nr', b=str(1 << 42))})"
+    num = f"({d['idiv'].format(a='n_reach', b=g)} * 1000000)"
+    den = f"greatest({d['idiv'].format(a='_nr', b=g)}, 1)"
+    return f"CAST(least(1000000, {d['idiv'].format(a=num, b=den)}) AS BIGINT)"
 
 
 def neighborhood_function_sql(
@@ -752,15 +734,15 @@ def neighborhood_function_sql(
         f"CAST(sum(_e{t}) AS BIGINT) AS _s{t}" for t in range(r + 1)
     )
     unpiv = " UNION ALL ".join(
-        f"SELECT CAST({t} AS BIGINT) AS t, _s{t} AS n_reach FROM _sums"
+        f"SELECT CAST({t} AS BIGINT) AS t, _s{t} AS n_reach, _s{r} AS _nr "
+        f"FROM _sums"
         for t in range(r + 1)
     )
+    frac = _frac_ppm_sql(ts.DUCK_DIALECT)
     return f"""{chain},
 _sums AS (SELECT {sums} FROM _hb),
 _pt AS ({unpiv}),
-_fr AS (SELECT t, n_reach,
-          CAST((n_reach * 1000000) // greatest((SELECT _s{r} FROM _sums), 1)
-               AS BIGINT) AS frac_ppm
+_fr AS (SELECT t, n_reach, {frac} AS frac_ppm
         FROM _pt)
 SELECT t, n_reach, frac_ppm,
        frac_ppm >= {int(eff_ppm)} AND

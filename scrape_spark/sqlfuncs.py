@@ -34,6 +34,20 @@ from scrape_spark.functions.urltrap import url_class_sql, url_ext_sql, url_lang_
 
 _D = ts.SPARK_DIALECT
 
+
+def _stripped_path(u: str) -> str:
+    """``urlparse``-style path of URL expr ``u`` with the last segment's
+    ``;params`` dropped — the ONE textual mirror of
+    ``functions/urls.py:_strip_path_params`` (parity pinned against the
+    Column builders by test_sqlfuncs); NULL when the URL has no path."""
+    p = f"try_parse_url({u}, 'PATH')"
+    last = f"substring_index({p}, '/', -1)"
+    return (
+        f"concat(substr({p}, 1, length({p}) - length({last})),"
+        f" substring_index({last}, ';', 1))"
+    )
+
+
 #: (name, typed params, return type, body builder over the param names).
 #: Bodies come from the kernel generators — never hand-written twice.
 _FUNCS: list[tuple[str, str, str, str]] = [
@@ -69,12 +83,7 @@ _FUNCS: list[tuple[str, str, str, str]] = [
         "path",
         "u STRING",
         "STRING",
-        "coalesce(nullif(concat("
-        "  substr(try_parse_url(u, 'PATH'), 1,"
-        "    length(try_parse_url(u, 'PATH'))"
-        "    - length(substring_index(try_parse_url(u, 'PATH'), '/', -1))),"
-        "  substring_index(substring_index(try_parse_url(u, 'PATH'), '/', -1),"
-        "    ';', 1)), ''), '/')",
+        f"coalesce(nullif({_stripped_path('u')}, ''), '/')",
     ),
     (
         "normalize_url",
@@ -82,12 +91,7 @@ _FUNCS: list[tuple[str, str, str, str]] = [
         "STRING",
         "concat(coalesce(try_parse_url(u, 'PROTOCOL'), ''), '://',"
         " coalesce(try_parse_url(u, 'HOST'), ''),"
-        " coalesce(concat("
-        "  substr(try_parse_url(u, 'PATH'), 1,"
-        "    length(try_parse_url(u, 'PATH'))"
-        "    - length(substring_index(try_parse_url(u, 'PATH'), '/', -1))),"
-        "  substring_index(substring_index(try_parse_url(u, 'PATH'), '/', -1),"
-        "    ';', 1)), ''))",
+        f" coalesce({_stripped_path('u')}, ''))",
     ),
 ]
 

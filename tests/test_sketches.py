@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from scrape_spark.operators.events import sessionize, sessionize_sql
 from scrape_spark.operators.sketches import (
     cms_heavy_hitters,
@@ -421,3 +423,87 @@ def test_hyperball_moves_registers_not_text(spark):
     for section in plan.split("\n\n"):
         if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
             assert "html#" not in section, section
+
+
+def test_frac_ppm_no_overflow_and_precision(spark):
+    """n_reach·10^6 would overflow int64 past ~9.2e12 — the pre-scaled
+    formula must stay exact-enough (≤2 ppm) and identical on DuckDB."""
+    import duckdb
+
+    from scrape_spark.functions import textstats as ts
+    from scrape_spark.operators.sketches import _frac_ppm_sql
+
+    cases = [
+        (9_300_000_000_000, 9_300_000_000_000, 1_000_000),
+        (4_650_000_000_000, 9_300_000_000_000, 500_000),
+        (3_100_000_000_000_000, 9_300_000_000_000_000, 333_333),
+        (1, 9_300_000_000_000, 0),
+        (40, 40, 1_000_000),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in cases], "n_reach long, _nr long"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            F.expr(_frac_ppm_sql(ts.SPARK_DIALECT)).alias("f")
+        ).collect()
+    ]
+    for (a, b, want), g in zip(cases, got):
+        assert abs(g - want) <= 2, (a, b, want, g)
+    vals = " UNION ALL ".join(
+        f"SELECT CAST({a} AS BIGINT) AS n_reach, CAST({b} AS BIGINT) AS _nr"
+        for a, b, _ in cases
+    )
+    duck = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT {_frac_ppm_sql(ts.DUCK_DIALECT)} AS f FROM ({vals})"
+        )
+        .fetchall()
+    ]
+    assert got == duck
+
+
+def test_kmv_estimator_matches_bigint_reference(spark):
+    """The split-division estimator == Python's unbounded (k-1)·U//θ in
+    the exact branch, and stays in int64 for huge θ."""
+    import duckdb
+
+    from scrape_spark.functions import textstats as ts
+
+    k = 64
+    u = ts.KMV_UNIVERSE
+    thetas = [64, 1_000, 10**9, 10**12, 7 * 10**16, (1 << 62) // 63 - 1,
+              (1 << 62) // 63 + 5, u - 1]
+    vals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS n, CAST({t} AS BIGINT) AS th"
+        for t in thetas
+    )
+    expr = ts.kmv_estimate_sql("n", "th", k, ts.DUCK_DIALECT)
+    got = [
+        r[0]
+        for r in duckdb.connect().execute(
+            f"SELECT {expr} AS e FROM ({vals})"
+        ).fetchall()
+    ]
+    for t, g in zip(thetas, got):
+        want = (k - 1) * u // t
+        if t < (1 << 62) // (k - 1):
+            assert g == want, (t, g, want)  # exact branch is EXACT
+        else:
+            assert abs(g - want) <= max(2, want // 10**10), (t, g, want)
+    # Spark side evaluates the identical values
+    df = spark.createDataFrame(
+        [(k, t) for t in thetas], "n long, th long"
+    )
+    sgot = [
+        r[0]
+        for r in df.select(
+            F.expr(
+                ts.kmv_estimate_sql("n", "th", k, ts.SPARK_DIALECT)
+            ).alias("e")
+        ).collect()
+    ]
+    assert sgot == got
