@@ -5212,6 +5212,78 @@ def q_winnow_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _novelty_budget_oracle() -> str:
+    from scrape_spark.operators.dedup import winnow_novelty_sql
+
+    nov = winnow_novelty_sql(_NOVELTY_NEW_SQL, _NOVELTY_CORPUS_SQL)
+    return f"""WITH NV AS ({nov}),
+D AS (SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+        CAST(doc_id % 13 + 1 AS BIGINT) AS pending_w,
+        CAST(coalesce(novelty_ppm, 0) AS BIGINT) AS nov_ppm
+      FROM NV),
+HC AS (SELECT host, CAST(sum(pending_w) AS BIGINT) AS pending,
+         CAST(sum(pending_w * nov_ppm) // sum(pending_w) AS BIGINT) AS nov
+       FROM D GROUP BY host),
+WD AS (SELECT host, pending,
+         greatest(CAST(1 AS BIGINT), (pending * nov) // 1000000) AS demand
+       FROM HC),
+W AS (SELECT CAST(sum(demand) AS BIGINT) AS w FROM WD),
+S AS (SELECT host, pending, demand,
+        (1000 * demand) // w AS base,
+        (1000 * demand) % w AS rem
+      FROM WD, W),
+R AS (SELECT host, pending, demand, base,
+        row_number() OVER (ORDER BY rem DESC, host ASC) AS seat_rank,
+        CAST(sum(base) OVER () AS BIGINT) AS base_sum
+      FROM S)
+SELECT host, pending, demand,
+  CAST(least(base + CASE WHEN seat_rank <= 1000 - base_sum
+                    THEN 1 ELSE 0 END, demand) AS BIGINT) AS alloc
+FROM R"""
+
+
+@_q("novelty_weighted_budget", _novelty_budget_oracle())
+def q_novelty_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-value funnel end-to-end: winnowed-fingerprint novelty per
+    candidate doc → pending-weighted mean per host → Hamilton-apportioned
+    fetch budget — revisit/mirror-heavy hosts cede budget to hosts adding
+    genuinely new content (one-seat liveness floor, as everywhere)."""
+    from scrape_spark.operators.dedup import winnow_novelty
+    from scrape_spark.operators.politeness import allocate_host_budget
+
+    _view(spark, sf_dir, "documents")
+    nov = winnow_novelty(
+        spark.sql(_NOVELTY_NEW_SQL), spark.sql(_NOVELTY_CORPUS_SQL)
+    )
+    d = nov.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        (F.col("doc_id") % 13 + 1).cast("long").alias("pending_w"),
+        F.coalesce("novelty_ppm", F.lit(0)).cast("long").alias("nov_ppm"),
+    )
+    hc = d.groupBy("host").agg(
+        F.sum("pending_w").cast("long").alias("pending"),
+        F.expr(
+            "CAST(sum(pending_w * nov_ppm) div sum(pending_w) AS BIGINT)"
+        ).alias("nov"),
+    )
+    weighted = hc.select(
+        "host",
+        "pending",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(pending * nov) div 1000000").cast("long"),
+        ).alias("demand"),
+    )
+    alloc = allocate_host_budget(
+        weighted.select("host", F.col("demand").alias("pending")), budget=1000
+    )
+    return (
+        weighted.select("host", "pending", "demand")
+        .join(alloc.select("host", "alloc"), "host")
+        .select("host", "pending", "demand", "alloc")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

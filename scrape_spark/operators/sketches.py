@@ -242,21 +242,22 @@ def _kmv_est(mins: str, n: str, k: int, d: dict) -> str:
     return ts.kmv_estimate_sql(n, theta, k, d)
 
 
-def kmv_distinct(
+def kmv_sketch(
     df: DataFrame,
     key_col: str = "url",
     group_col: str = "host",
     k: int = KMV_K,
 ) -> DataFrame:
-    """(group, n_mins, est_distinct): KMV distinct estimate per group.
+    """(group, mins, n_mins): the per-group k-min register arrays.
 
     Scale shape: the distinct pass has ordinary map-side combine; the k-min
     selection reuses ``politeness.per_host_take``'s salted two-stage top-k,
     so a mega-group's distinct set never funnels through one window task —
     each stage-1 task ranks 1/n_salts of a group's slice and keeps k, the
     stage-2 merge ranks ≤ k·n_salts survivors, and the final per-group
-    state is exactly k int64s. Estimates are exact below k (the sketch IS
-    the set).
+    state is exactly k int64s. The arrays MERGE (k-min of a union = k-min
+    of the parts' k-mins — associative, commutative, idempotent), which is
+    what the streaming maintenance path builds on.
     """
     from scrape_spark.operators.politeness import per_host_take
 
@@ -269,16 +270,32 @@ def kmv_distinct(
         .withColumn("_q", F.lit(int(k)))
     )
     kept = per_host_take(hashed, quota_col="_q", host_col="grp", order_cols=("_h",))
-    sk = kept.groupBy("grp").agg(
+    return kept.groupBy("grp").agg(
         F.sort_array(F.collect_list("_h")).alias("mins"),
         F.count(F.lit(1)).cast("long").alias("n_mins"),
-    )
+    ).select(F.col("grp").alias(group_col), "mins", "n_mins")
+
+
+def kmv_estimates(
+    sketches: DataFrame, group_col: str = "host", k: int = KMV_K
+) -> DataFrame:
+    """(group, n_mins, est_distinct) from a (group, mins, n_mins) frame."""
     est = _kmv_est("mins", "n_mins", k, ts.SPARK_DIALECT)
-    return sk.select(
-        F.col("grp").alias(group_col),
-        "n_mins",
-        F.expr(est).alias("est_distinct"),
+    return sketches.select(
+        group_col, "n_mins", F.expr(est).alias("est_distinct")
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str = "url",
+    group_col: str = "host",
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group, n_mins, est_distinct): KMV distinct estimate per group —
+    :func:`kmv_sketch` composed with :func:`kmv_estimates`. Estimates are
+    exact below k (the sketch IS the set)."""
+    return kmv_estimates(kmv_sketch(df, key_col, group_col, k), group_col, k)
 
 
 def kmv_distinct_sql(

@@ -185,3 +185,114 @@ def enqueue_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Continuously-maintained distinct-URL sketches (streaming KMV)
+# ---------------------------------------------------------------------------
+# A live crawl wants "distinct URLs seen per host" as a STANDING figure, not
+# a scan-the-world batch job. KMV register arrays merge associatively,
+# commutatively and IDEMPOTENTLY (k-min of a union = k-min of the parts'
+# k-mins; re-merging the same batch is a set-union no-op), so foreachBatch's
+# at-least-once replay needs no dedup machinery at all — the sketch state
+# converges to exactly the batch-side answer by algebra, the same
+# no-special-cases idempotence story as ``enqueue_stream``'s anti-join.
+# State per group is k int64s regardless of stream length.
+
+
+def _kmv_store_read(spark, store_dir: str):
+    """Latest committed sketch table, or None before the first commit."""
+    import os
+
+    ptr = os.path.join(store_dir, "_LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        path = f.read().strip()
+    if not path or not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def kmv_sketch_stream(
+    keys: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "url",
+    group_col: str = "host",
+    k: int = 64,
+    available_now: bool = True,
+):
+    """Maintain per-group KMV sketches over an unbounded key stream.
+
+    Each micro-batch reduces to its own (group, mins) sketch table, merges
+    with the stored table by the pairwise k-min merge (full-outer on group,
+    empty side = empty array), and commits snapshot-style: write
+    ``sketch_v{batch_id}``, then flip the ``_LATEST`` pointer atomically
+    (os.replace). A crash between write and flip replays the batch into
+    the same versioned path — and the merge's idempotence makes even a
+    DIFFERENT interleaving converge to the same registers. Read the
+    standing figure with :func:`read_kmv_estimates`.
+    """
+    import os
+
+    from scrape_spark.functions import textstats as ts
+    from scrape_spark.operators.sketches import kmv_sketch
+
+    d = ts.SPARK_DIALECT
+    empty = d["empty_bigint_array"]
+    pair = d["aconcat"].format(
+        a=f"coalesce(_ma, {empty})", b=f"coalesce(_mb, {empty})"
+    )
+    merged_expr = d["aslice"].format(
+        arr=d["asort"].format(arr=d["adistinct"].format(arr=pair)),
+        k=str(int(k)),
+    )
+    spark = keys.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = kmv_sketch(batch_df, key_col, group_col, k).select(
+            F.col(group_col).alias("_g"), F.col("mins").alias("_mb")
+        )
+        prev = _kmv_store_read(spark, store_dir)
+        if prev is None:
+            merged = batch_sk.select(
+                F.col("_g").alias(group_col),
+                F.expr(
+                    d["aslice"].format(arr="_mb", k=str(int(k)))
+                ).alias("mins"),
+            )
+        else:
+            p = prev.select(
+                F.col(group_col).alias("_g"), F.col("mins").alias("_ma")
+            )
+            merged = p.join(batch_sk, "_g", "full_outer").select(
+                F.col("_g").alias(group_col),
+                F.expr(merged_expr).alias("mins"),
+            )
+        out = os.path.join(store_dir, f"sketch_v{int(batch_id)}")
+        merged.withColumn(
+            "n_mins", F.expr(d["size"].format(arr="mins")).cast("long")
+        ).write.mode("overwrite").parquet(out)
+        tmp = os.path.join(store_dir, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(out)
+        os.replace(tmp, os.path.join(store_dir, "_LATEST"))
+
+    writer = keys.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv_estimates(spark, store_dir: str, group_col: str = "host", k: int = 64):
+    """(group, n_mins, est_distinct) from the standing sketch store —
+    None before the first commit."""
+    from scrape_spark.operators.sketches import kmv_estimates
+
+    sk = _kmv_store_read(spark, store_dir)
+    if sk is None:
+        return None
+    return kmv_estimates(sk, group_col, k)

@@ -400,3 +400,80 @@ def test_enqueue_frame_requires_seeded_store(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="seed"):
         job.enqueue_frame(_link_rows(spark, ["http://ext.test/a"]))
+
+
+def test_kmv_sketch_stream_matches_batch_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    """The standing sketch after two micro-batches equals the one-shot
+    batch sketch over the union, and re-running a batch (at-least-once
+    replay) leaves every register unchanged — idempotence by algebra."""
+    from scrape_spark.operators.sketches import kmv_distinct
+    from scrape_spark.streaming.frontier_stream import (
+        kmv_sketch_stream,
+        read_kmv_estimates,
+    )
+
+    src = tmp_path / "keys_src"
+    store = tmp_path / "kmv_store"
+    ckpt = tmp_path / "kmv_ckpt"
+    store.mkdir()
+    b1 = spark.range(0, 400).selectExpr(
+        "concat('h', CAST(id % 3 AS STRING)) AS host",
+        "concat('u', CAST(id AS STRING)) AS url",
+    )
+    b2 = spark.range(200, 700).selectExpr(  # overlaps b1: dup URLs collapse
+        "concat('h', CAST(id % 3 AS STRING)) AS host",
+        "concat('u', CAST(id AS STRING)) AS url",
+    )
+    b1.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema("host string, url string").parquet(
+        str(src / "*")
+    )
+    q = kmv_sketch_stream(stream, str(store), str(ckpt), k=32)
+    q.awaitTermination(120)
+    b2.write.parquet(str(src / "b2"))
+    q2 = kmv_sketch_stream(stream, str(store), str(ckpt), k=32)
+    q2.awaitTermination(120)
+
+    got = {
+        r["host"]: (r["n_mins"], r["est_distinct"])
+        for r in read_kmv_estimates(spark, str(store), k=32).collect()
+    }
+    want = {
+        r["host"]: (r["n_mins"], r["est_distinct"])
+        for r in kmv_distinct(b1.unionByName(b2), k=32).collect()
+    }
+    assert got == want  # streaming merge == one-shot batch sketch
+
+    # at-least-once replay: merging batch 2 AGAIN changes nothing
+    from scrape_spark.streaming import frontier_stream as fs
+
+    before = sorted(
+        (r["host"], tuple(r["mins"]))
+        for r in fs._kmv_store_read(spark, str(store)).collect()
+    )
+    # simulate the replay by re-running the sink body on the same data
+    sk = fs._kmv_store_read(spark, str(store))
+    from scrape_spark.operators.sketches import kmv_sketch
+
+    import pyspark.sql.functions as F
+    from scrape_spark.functions import textstats as ts
+
+    d = ts.SPARK_DIALECT
+    pair = d["aconcat"].format(a="_ma", b="_mb")
+    merged_expr = d["aslice"].format(
+        arr=d["asort"].format(arr=d["adistinct"].format(arr=pair)), k="32"
+    )
+    replay = (
+        sk.select(F.col("host").alias("_g"), F.col("mins").alias("_ma"))
+        .join(
+            kmv_sketch(b2, k=32).select(
+                F.col("host").alias("_g"), F.col("mins").alias("_mb")
+            ),
+            "_g",
+        )
+        .select(F.col("_g").alias("host"), F.expr(merged_expr).alias("mins"))
+    )
+    after = sorted((r["host"], tuple(r["mins"])) for r in replay.collect())
+    assert before == after
