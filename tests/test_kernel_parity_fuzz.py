@@ -267,3 +267,68 @@ def test_html_metadata_kernels_fuzz(spark):
         for r in df.selectExpr(*sel).collect()
     }
     assert got == duck
+
+
+def test_new_kernels_match_duckdb_on_fuzzed_strings(spark):
+    """Session-9 kernels: 64-bit KMV digest, winnowing fingerprints, and
+    the hreflang per-tag extraction formulas — same fuzz discipline."""
+    from scrape_spark.functions.hreflang import _tag_cols_sql
+    from scrape_spark.operators.dedup import winnow_fingerprints_sql
+
+    cases = _cases() + [
+        '<link rel="alternate" hreflang="EN" href="/en">',
+        '<link hreflang="de" href="/de" rel="alternate">',
+        '<link rel="stylesheet" href="/css">',
+        '<link rel="alternate" hreflang="" href="">',
+        'rel="alternate" outside a tag hreflang="fr"',
+    ]
+    hl = _tag_cols_sql("s")
+    kernels = {
+        "kmv": lambda s, d: ts.kmv_digest64_sql(s, d),
+        "win": lambda s, d: winnow_fingerprints_sql(s, d),
+        "hll": lambda s, d: hl["hreflang"],
+        "hlh": lambda s, d: hl["raw_href"],
+        "hla": lambda s, d: hl["is_alt"],
+    }
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute("CREATE TABLE t(i INT, s VARCHAR)")
+    for i, s in enumerate(cases):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    dd = ", ".join(
+        f"{fn('s', ts.DUCK_DIALECT)} AS {name}" for name, fn in kernels.items()
+    )
+    duck_rows = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(f"SELECT i, {dd} FROM t ORDER BY i").fetchall()
+    }
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, s string")
+    sd = [
+        f"{fn('s', ts.SPARK_DIALECT)} AS {name}" for name, fn in kernels.items()
+    ]
+    spark_rows = {
+        r["i"]: tuple(r[n] for n in kernels)
+        for r in df.selectExpr("i", *sd).collect()
+    }
+    assert spark_rows == duck_rows
+
+
+def test_id_digest_matches_duckdb_on_fuzzed_ids(spark):
+    import random
+
+    import duckdb as _dd
+
+    rng = random.Random(9)
+    ids = [0, 1, 2**31 - 1, 2**31, 2**62, 2**63 - 1] + [
+        rng.randrange(2**62) for _ in range(40)
+    ]
+    expr = ts.kmv_id_digest64_sql("v")
+    con = _dd.connect()
+    con.execute("CREATE TABLE t(i INT, v BIGINT)")
+    for i, v in enumerate(ids):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, v])
+    duck = {r[0]: r[1] for r in con.sql(f"SELECT i, {expr} AS d FROM t").fetchall()}
+    df = spark.createDataFrame(list(enumerate(ids)), "i int, v long")
+    got = {r["i"]: r["d"] for r in df.selectExpr("i", f"{expr} AS d").collect()}
+    assert got == duck
