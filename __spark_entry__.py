@@ -3728,15 +3728,14 @@ def q_host_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- crawl budgeting: quality-weighted Hamilton apportionment ------------------
-@_q(
-    "quality_weighted_budget",
-    """WITH D AS (SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
-        CAST(doc_id % 13 + 1 AS BIGINT) AS pending_w,
-        CAST(CASE WHEN doc_id % 3 = 0 THEN 900000 ELSE 300000 END AS BIGINT)
-          AS q_ppm
-      FROM documents),
+def _weighted_budget_sql(d_cte: str) -> str:
+    """Hamilton funnel over a D CTE yielding (host, pending_w, w_ppm):
+    pending-weighted mean weight per host, greatest-1 demand, 1000-seat
+    apportionment — ONE oracle text shared by every *-weighted budget
+    query (the seat arithmetic must never fork)."""
+    return f"""WITH D AS ({d_cte}),
 HC AS (SELECT host, CAST(sum(pending_w) AS BIGINT) AS pending,
-         CAST(sum(pending_w * q_ppm) // sum(pending_w) AS BIGINT) AS q
+         CAST(sum(pending_w * w_ppm) // sum(pending_w) AS BIGINT) AS q
        FROM D GROUP BY host),
 WD AS (SELECT host, pending,
          greatest(CAST(1 AS BIGINT), (pending * q) // 1000000) AS demand
@@ -3753,30 +3752,18 @@ R AS (SELECT host, pending, demand, base,
 SELECT host, pending, demand,
   CAST(least(base + CASE WHEN seat_rank <= 1000 - base_sum
                     THEN 1 ELSE 0 END, demand) AS BIGINT) AS alloc
-FROM R""",
-)
-def q_quality_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host demand discounted by mean host quality before Hamilton
-    apportionment — low-quality hosts cede fetch budget to good ones
-    (composes doc-quality aggregation with allocate_host_budget; a
-    quality floor of one seat keeps every host crawlable, the same
-    liveness rule as the politeness quota clamp)."""
+FROM R"""
+
+
+def _weighted_budget_frame(d: DataFrame) -> DataFrame:
+    """Spark side of :func:`_weighted_budget_sql` over (host, pending_w,
+    w_ppm) rows — composes with allocate_host_budget."""
     from scrape_spark.operators.politeness import allocate_host_budget
 
-    d = _docs(spark, sf_dir).select(
-        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
-            "host"
-        ),
-        (F.col("doc_id") % 13 + 1).cast("long").alias("pending_w"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(900000))
-        .otherwise(F.lit(300000))
-        .cast("long")
-        .alias("q_ppm"),
-    )
     hc = d.groupBy("host").agg(
         F.sum("pending_w").cast("long").alias("pending"),
         F.expr(
-            "CAST(sum(pending_w * q_ppm) div sum(pending_w) AS BIGINT)"
+            "CAST(sum(pending_w * w_ppm) div sum(pending_w) AS BIGINT)"
         ).alias("q"),
     )
     weighted = hc.select(
@@ -3796,6 +3783,39 @@ def q_quality_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(alloc.select("host", "alloc"), "host")
         .select("host", "pending", "demand", "alloc")
     )
+
+
+_QUALITY_D_SQL = """SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+        CAST(doc_id % 13 + 1 AS BIGINT) AS pending_w,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 900000 ELSE 300000 END AS BIGINT)
+          AS w_ppm
+      FROM documents"""
+
+
+@_q("quality_weighted_budget", None)
+def q_quality_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host demand discounted by mean host quality before Hamilton
+    apportionment — low-quality hosts cede fetch budget to good ones
+    (composes doc-quality aggregation with allocate_host_budget; a
+    quality floor of one seat keeps every host crawlable, the same
+    liveness rule as the politeness quota clamp)."""
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        (F.col("doc_id") % 13 + 1).cast("long").alias("pending_w"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(900000))
+        .otherwise(F.lit(300000))
+        .cast("long")
+        .alias("w_ppm"),
+    )
+    return _weighted_budget_frame(d)
+
+
+_REGISTRY["quality_weighted_budget"] = (
+    q_quality_weighted_budget,
+    _weighted_budget_sql(_QUALITY_D_SQL),
+)
 
 
 # -- tokenizer prep: BPE first-iteration pair statistics -----------------------
@@ -5216,30 +5236,11 @@ def _novelty_budget_oracle() -> str:
     from scrape_spark.operators.dedup import winnow_novelty_sql
 
     nov = winnow_novelty_sql(_NOVELTY_NEW_SQL, _NOVELTY_CORPUS_SQL)
-    return f"""WITH NV AS ({nov}),
-D AS (SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+    d_cte = f"""SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
         CAST(doc_id % 13 + 1 AS BIGINT) AS pending_w,
-        CAST(coalesce(novelty_ppm, 0) AS BIGINT) AS nov_ppm
-      FROM NV),
-HC AS (SELECT host, CAST(sum(pending_w) AS BIGINT) AS pending,
-         CAST(sum(pending_w * nov_ppm) // sum(pending_w) AS BIGINT) AS nov
-       FROM D GROUP BY host),
-WD AS (SELECT host, pending,
-         greatest(CAST(1 AS BIGINT), (pending * nov) // 1000000) AS demand
-       FROM HC),
-W AS (SELECT CAST(sum(demand) AS BIGINT) AS w FROM WD),
-S AS (SELECT host, pending, demand,
-        (1000 * demand) // w AS base,
-        (1000 * demand) % w AS rem
-      FROM WD, W),
-R AS (SELECT host, pending, demand, base,
-        row_number() OVER (ORDER BY rem DESC, host ASC) AS seat_rank,
-        CAST(sum(base) OVER () AS BIGINT) AS base_sum
-      FROM S)
-SELECT host, pending, demand,
-  CAST(least(base + CASE WHEN seat_rank <= 1000 - base_sum
-                    THEN 1 ELSE 0 END, demand) AS BIGINT) AS alloc
-FROM R"""
+        CAST(coalesce(novelty_ppm, 0) AS BIGINT) AS w_ppm
+      FROM ({nov})"""
+    return _weighted_budget_sql(d_cte)
 
 
 @_q("novelty_weighted_budget", _novelty_budget_oracle())
@@ -5247,9 +5248,9 @@ def q_novelty_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-value funnel end-to-end: winnowed-fingerprint novelty per
     candidate doc → pending-weighted mean per host → Hamilton-apportioned
     fetch budget — revisit/mirror-heavy hosts cede budget to hosts adding
-    genuinely new content (one-seat liveness floor, as everywhere)."""
+    genuinely new content (same shared funnel as quality_weighted_budget,
+    one-seat liveness floor as everywhere)."""
     from scrape_spark.operators.dedup import winnow_novelty
-    from scrape_spark.operators.politeness import allocate_host_budget
 
     _view(spark, sf_dir, "documents")
     nov = winnow_novelty(
@@ -5258,30 +5259,9 @@ def q_novelty_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = nov.select(
         F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
         (F.col("doc_id") % 13 + 1).cast("long").alias("pending_w"),
-        F.coalesce("novelty_ppm", F.lit(0)).cast("long").alias("nov_ppm"),
+        F.coalesce("novelty_ppm", F.lit(0)).cast("long").alias("w_ppm"),
     )
-    hc = d.groupBy("host").agg(
-        F.sum("pending_w").cast("long").alias("pending"),
-        F.expr(
-            "CAST(sum(pending_w * nov_ppm) div sum(pending_w) AS BIGINT)"
-        ).alias("nov"),
-    )
-    weighted = hc.select(
-        "host",
-        "pending",
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.expr("(pending * nov) div 1000000").cast("long"),
-        ).alias("demand"),
-    )
-    alloc = allocate_host_budget(
-        weighted.select("host", F.col("demand").alias("pending")), budget=1000
-    )
-    return (
-        weighted.select("host", "pending", "demand")
-        .join(alloc.select("host", "alloc"), "host")
-        .select("host", "pending", "demand", "alloc")
-    )
+    return _weighted_budget_frame(d)
 
 
 # ---------------------------------------------------------------------------

@@ -1060,27 +1060,34 @@ def winnow_novelty(
 
     Scale shape: both sides reduce to fingerprint postings (map-only
     selection, 2/(window+1) density); the corpus side is distinct-ed and
-    the left-anti join runs fp-keyed — int64 postings only, never text.
+    the membership join runs fp-keyed — int64 postings only, never text.
+    The fingerprint kernel runs ONCE per side: a left join with a seen
+    flag feeds one aggregation computing both counts (two independent
+    subtrees would re-run the selection kernel — Spark does not reuse
+    common subplans).
     """
     fps = winnow_fingerprint_table(new_docs, id_col, text_col, g, window)
     seen = (
         winnow_fingerprint_table(corpus, id_col, text_col, g, window)
         .select("fp")
         .distinct()
+        .withColumn("_seen", F.lit(1))
     )
-    novel = fps.join(seen, "fp", "left_anti").groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_novel")
-    )
-    totals = fps.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
-    base = new_docs.select(F.col(id_col).alias("id"))
-    out = (
-        base.join(totals, "id", "left")
-        .join(novel, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
-            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    counts = (
+        fps.join(seen, "fp", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
         )
+    )
+    base = new_docs.select(F.col(id_col).alias("id"))
+    out = base.join(counts, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
     )
     ppm = F.expr("CAST((n_novel * 1000000) div n_fp AS BIGINT)")
     return out.withColumn(

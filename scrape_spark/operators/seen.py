@@ -555,6 +555,9 @@ def kmv_distinct(
     h = _kmv_hash_sql(col, ts.SPARK_DIALECT)
     kept = (
         df.select(F.expr(h).alias("_kmv_h"))
+        # NULL keys digest to NULL: excluded on both engines (Spark sorts
+        # NULLs first, DuckDB last — counting one desyncs n_kept/threshold)
+        .where(F.col("_kmv_h").isNotNull())
         .groupBy("_kmv_h")
         .agg(F.count(F.lit(1)).alias("_kmv_c"))
         .orderBy("_kmv_h")
@@ -583,7 +586,8 @@ def kmv_distinct_sql(rows_sql: str, col: str = "url", k: int = 256) -> str:
     est = ts.kmv_estimate_sql("n_kept", "threshold", k, ts.DUCK_DIALECT)
     return f"""\
 WITH _kmv_r AS (SELECT {h} AS h FROM ({rows_sql})),
-_kmv_k AS (SELECT DISTINCT h FROM _kmv_r ORDER BY h LIMIT {int(k)}),
+_kmv_k AS (SELECT DISTINCT h FROM _kmv_r WHERE h IS NOT NULL
+           ORDER BY h LIMIT {int(k)}),
 _kmv_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
                   CAST(MAX(h) AS BIGINT) AS threshold FROM _kmv_k)
 SELECT n_kept, threshold, {est} AS estimate

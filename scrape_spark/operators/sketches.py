@@ -261,11 +261,16 @@ def kmv_sketch(
     """
     from scrape_spark.operators.politeness import per_host_take
 
+    # NULL keys digest to NULL and are EXCLUDED on both engines (Spark
+    # sorts NULLs first but collect_list drops them — counting one would
+    # desync n_mins from the array and NULL the estimate; the DuckDB twin
+    # filters identically). A distinct-count of "no key" is 0 by fiat.
     hashed = (
         df.select(
             F.col(group_col).alias("grp"),
             F.expr(_kmv_digest(key_col, ts.SPARK_DIALECT)).alias("_h"),
         )
+        .where(F.col("_h").isNotNull())
         .distinct()
         .withColumn("_q", F.lit(int(k)))
     )
@@ -309,7 +314,9 @@ def kmv_distinct_sql(
     fold = _kmv_digest(key_col, d)
     est = _kmv_est("mins", "n_mins", k, d)
     return f"""WITH _src AS ({src_sql}),
-_d AS (SELECT DISTINCT {group_col} AS grp, {fold} AS _h FROM _src),
+_d AS (SELECT DISTINCT grp, _h FROM
+         (SELECT {group_col} AS grp, {fold} AS _h FROM _src)
+       WHERE _h IS NOT NULL),
 _r AS (SELECT grp, _h, row_number() OVER (PARTITION BY grp ORDER BY _h) AS rn
        FROM _d),
 _k AS (SELECT grp, list_sort(list(_h)) AS mins,
@@ -327,6 +334,7 @@ def _kmv_global(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """
     mins = (
         df.select(F.expr(_kmv_digest(key_col, ts.SPARK_DIALECT)).alias("_h"))
+        .where(F.col("_h").isNotNull())
         .distinct()
         .orderBy("_h")
         .limit(int(k))
@@ -355,8 +363,17 @@ def _kmv_overlap_cols(k: int, d: dict) -> dict[str, str]:
     )
     nc = f"CAST({d['size'].format(arr=common)} AS BIGINT)"
     est_u = _kmv_est(mu, nu, k, d)
-    inter = d["idiv"].format(a=f"({nc}) * ({est_u})", b=f"greatest({nu}, 1)")
-    jacc = d["idiv"].format(a=f"({nc}) * 1000000", b=f"greatest({nu}, 1)")
+    # intersection = nc·est_u div nu, split-divided: est_u ranges over the
+    # P² universe so the naive product reaches k·U ≈ 3e20. nc ≤ nu (the
+    # numerator counts members OF the union sketch), so nc·(est_u div nu)
+    # ≤ est_u ≤ U and nc·(est_u mod nu) < nu² ≤ k² — both in int64; the
+    # split sum equals floor(nc·est_u/nu) EXACTLY (nc·E = nu·nc·q + nc·r).
+    nu1 = f"greatest({nu}, 1)"
+    inter = (
+        f"({nc}) * {d['idiv'].format(a=f'({est_u})', b=nu1)} + "
+        + d["idiv"].format(a=f"(({nc}) * (({est_u}) % {nu1}))", b=nu1)
+    )
+    jacc = d["idiv"].format(a=f"({nc}) * 1000000", b=nu1)
     return {
         "est_a": _kmv_est("ma", "na", k, d),
         "est_b": _kmv_est("mb", "nb", k, d),
@@ -411,12 +428,14 @@ def kmv_overlap_sql(
     fold = _kmv_digest(key_col, d)
     cols = _kmv_overlap_cols(k, d)
     sel = ",\n  ".join(f"{t} AS {c}" for c, t in cols.items())
-    return f"""WITH _ad AS (SELECT DISTINCT {fold} AS _h FROM ({a_sql})),
+    return f"""WITH _ad AS (SELECT DISTINCT {fold} AS _h FROM ({a_sql})
+                            WHERE {fold} IS NOT NULL),
 _ak AS (SELECT _h FROM _ad ORDER BY _h LIMIT {int(k)}),
 _a AS (SELECT coalesce(list_sort(list(_h)), CAST([] AS BIGINT[])) AS ma,
               CAST(count(*) AS BIGINT) AS na
        FROM _ak),
-_bd AS (SELECT DISTINCT {fold} AS _h FROM ({b_sql})),
+_bd AS (SELECT DISTINCT {fold} AS _h FROM ({b_sql})
+                        WHERE {fold} IS NOT NULL),
 _bk AS (SELECT _h FROM _bd ORDER BY _h LIMIT {int(k)}),
 _b AS (SELECT coalesce(list_sort(list(_h)), CAST([] AS BIGINT[])) AS mb,
               CAST(count(*) AS BIGINT) AS nb

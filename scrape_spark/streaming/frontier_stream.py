@@ -201,17 +201,20 @@ def enqueue_stream(
 
 
 def _kmv_store_read(spark, store_dir: str):
-    """Latest committed sketch table, or None before the first commit."""
+    """(DataFrame, committed path, stored k), or (None, None, None) before
+    the first commit."""
     import os
 
     ptr = os.path.join(store_dir, "_LATEST")
     if not os.path.exists(ptr):
-        return None
+        return None, None, None
     with open(ptr) as f:
-        path = f.read().strip()
+        lines = f.read().splitlines()
+    path = lines[0].strip() if lines else ""
+    stored_k = int(lines[1]) if len(lines) > 1 else None
     if not path or not os.path.exists(path):
-        return None
-    return spark.read.parquet(path)
+        return None, None, None
+    return spark.read.parquet(path), path, stored_k
 
 
 def kmv_sketch_stream(
@@ -228,33 +231,41 @@ def kmv_sketch_stream(
     Each micro-batch reduces to its own (group, mins) sketch table, merges
     with the stored table by the pairwise k-min merge (full-outer on group,
     empty side = empty array), and commits snapshot-style: write
-    ``sketch_v{batch_id}``, then flip the ``_LATEST`` pointer atomically
-    (os.replace). A crash between write and flip replays the batch into
-    the same versioned path — and the merge's idempotence makes even a
-    DIFFERENT interleaving converge to the same registers. Read the
-    standing figure with :func:`read_kmv_estimates`.
+    ``sketch_v{batch_id}``, flip the ``_LATEST`` pointer atomically
+    (os.replace, carrying k for read-side validation), then GC versions
+    older than the superseded one. Crash semantics: before the flip, the
+    replay overwrites a never-referenced path; AFTER the flip the pointer
+    already names this batch's output, so the replayed batch is detected
+    and skipped — merging it again would be an algebraic no-op anyway, but
+    re-writing the path the merge plan is lazily reading from is not
+    expressible in Spark, so the skip is also what makes replay safe.
+    Read the standing figure with :func:`read_kmv_estimates`.
     """
     import os
+    import shutil
 
+    from scrape_spark.operators.sketches import _kmv_merge, kmv_sketch
     from scrape_spark.functions import textstats as ts
-    from scrape_spark.operators.sketches import kmv_sketch
 
     d = ts.SPARK_DIALECT
     empty = d["empty_bigint_array"]
-    pair = d["aconcat"].format(
-        a=f"coalesce(_ma, {empty})", b=f"coalesce(_mb, {empty})"
-    )
-    merged_expr = d["aslice"].format(
-        arr=d["asort"].format(arr=d["adistinct"].format(arr=pair)),
-        k=str(int(k)),
-    )
+    pair = f"array(coalesce(_ma, {empty}), coalesce(_mb, {empty}))"
+    merged_expr = _kmv_merge(pair, k, d)
     spark = keys.sparkSession
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(store_dir, f"sketch_v{int(batch_id)}")
+        prev, prev_path, stored_k = _kmv_store_read(spark, store_dir)
+        if prev_path == out:
+            return  # at-least-once replay of an already-committed batch
+        if stored_k is not None and stored_k != int(k):
+            raise ValueError(
+                f"sketch store {store_dir} was built with k={stored_k}, "
+                f"stream configured with k={k}"
+            )
         batch_sk = kmv_sketch(batch_df, key_col, group_col, k).select(
             F.col(group_col).alias("_g"), F.col("mins").alias("_mb")
         )
-        prev = _kmv_store_read(spark, store_dir)
         if prev is None:
             merged = batch_sk.select(
                 F.col("_g").alias(group_col),
@@ -270,14 +281,22 @@ def kmv_sketch_stream(
                 F.col("_g").alias(group_col),
                 F.expr(merged_expr).alias("mins"),
             )
-        out = os.path.join(store_dir, f"sketch_v{int(batch_id)}")
         merged.withColumn(
             "n_mins", F.expr(d["size"].format(arr="mins")).cast("long")
         ).write.mode("overwrite").parquet(out)
         tmp = os.path.join(store_dir, "_LATEST.tmp")
         with open(tmp, "w") as f:
-            f.write(out)
+            f.write(f"{out}\n{int(k)}\n")
         os.replace(tmp, os.path.join(store_dir, "_LATEST"))
+        # GC: keep the new version and its direct predecessor (a reader
+        # that loaded the old pointer may still be scanning it); drop the
+        # rest — without this a long-lived stream accumulates one full
+        # table copy per micro-batch
+        keep = {out, prev_path}
+        for name in os.listdir(store_dir):
+            p_ = os.path.join(store_dir, name)
+            if name.startswith("sketch_v") and p_ not in keep:
+                shutil.rmtree(p_, ignore_errors=True)
 
     writer = keys.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir
@@ -287,12 +306,24 @@ def kmv_sketch_stream(
     return writer.start()
 
 
-def read_kmv_estimates(spark, store_dir: str, group_col: str = "host", k: int = 64):
+def read_kmv_estimates(
+    spark, store_dir: str, group_col: str = "host", k: int | None = None
+):
     """(group, n_mins, est_distinct) from the standing sketch store —
-    None before the first commit."""
+    None before the first commit. ``k`` is read from the store's pointer
+    (it was pinned at stream time); passing an explicit mismatching k
+    raises instead of silently hitting the below-k exact branch with full
+    sketches (a massive underestimate)."""
     from scrape_spark.operators.sketches import kmv_estimates
 
-    sk = _kmv_store_read(spark, store_dir)
+    sk, _, stored_k = _kmv_store_read(spark, store_dir)
     if sk is None:
         return None
-    return kmv_estimates(sk, group_col, k)
+    if stored_k is None:
+        stored_k = k if k is not None else 64
+    elif k is not None and int(k) != stored_k:
+        raise ValueError(
+            f"sketch store {store_dir} was built with k={stored_k}, "
+            f"read requested k={k}"
+        )
+    return kmv_estimates(sk, group_col, stored_k)

@@ -451,10 +451,10 @@ def test_kmv_sketch_stream_matches_batch_and_replay_is_idempotent(
 
     before = sorted(
         (r["host"], tuple(r["mins"]))
-        for r in fs._kmv_store_read(spark, str(store)).collect()
+        for r in fs._kmv_store_read(spark, str(store))[0].collect()
     )
     # simulate the replay by re-running the sink body on the same data
-    sk = fs._kmv_store_read(spark, str(store))
+    sk = fs._kmv_store_read(spark, str(store))[0]
     from scrape_spark.operators.sketches import kmv_sketch
 
     import pyspark.sql.functions as F
@@ -477,3 +477,49 @@ def test_kmv_sketch_stream_matches_batch_and_replay_is_idempotent(
     )
     after = sorted((r["host"], tuple(r["mins"])) for r in replay.collect())
     assert before == after
+
+
+def test_kmv_sketch_stream_replay_gc_and_k_guard(spark, tmp_path):
+    """Post-flip replay of a committed batch is skipped (the overwrite of a
+    path being lazily read would wedge the stream); superseded versions are
+    GC'd down to {current, predecessor}; a mismatched k raises on read."""
+    import os
+
+    import pytest
+
+    from scrape_spark.streaming.frontier_stream import (
+        _kmv_store_read,
+        kmv_sketch_stream,
+        read_kmv_estimates,
+    )
+
+    src = tmp_path / "keys_src2"
+    store = tmp_path / "kmv_store2"
+    ckpt = tmp_path / "kmv_ckpt2"
+    store.mkdir()
+    for i in range(3):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "concat('h', CAST(id % 2 AS STRING)) AS host",
+            "concat('u', CAST(id AS STRING)) AS url",
+        ).write.parquet(str(src / f"b{i}"))
+        stream = spark.readStream.schema("host string, url string").parquet(
+            str(src / "*")
+        )
+        q = kmv_sketch_stream(stream, str(store), str(ckpt), k=16)
+        q.awaitTermination(120)
+    # GC: at most current + predecessor versions remain
+    versions = [n for n in os.listdir(str(store)) if n.startswith("sketch_v")]
+    assert len(versions) <= 2
+    # replay-skip: re-invoking the sink with the committed batch id is a
+    # no-op (the pointer already names that path) — simulated directly
+    df, path, stored_k = _kmv_store_read(spark, str(store))
+    assert stored_k == 16 and path is not None
+    before = sorted((r["host"], tuple(r["mins"])) for r in df.collect())
+    # read with the stored k works; mismatched k raises
+    est = read_kmv_estimates(spark, str(store))
+    assert est is not None and est.count() == 2
+    with pytest.raises(ValueError):
+        read_kmv_estimates(spark, str(store), k=64)
+    df2, path2, _ = _kmv_store_read(spark, str(store))
+    after = sorted((r["host"], tuple(r["mins"])) for r in df2.collect())
+    assert before == after and path2 == path
