@@ -5264,6 +5264,51 @@ def q_novelty_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _weighted_budget_frame(d)
 
 
+def _reach_priority_oracle() -> str:
+    from scrape_spark.operators.sketches import hyperball_counts_sql
+
+    hb = hyperball_counts_sql(_PR_EDGES_SQL, radius=2, k=16)
+    return f"""WITH f AS ({FRONTIER_SQL}),
+HB AS ({hb}),
+p AS (SELECT f.*, {QUOTA_SQL} AS quota,
+             CAST(coalesce(hb.est_ball, 0) AS BIGINT) AS est_ball
+      FROM f LEFT JOIN HB hb ON hb.node = f.seq
+      WHERE f.status = 'pending'),
+r AS (SELECT url, host, seq, est_ball, quota,
+             row_number() OVER (PARTITION BY host ORDER BY -est_ball, seq)
+               AS host_rank
+      FROM p)
+SELECT url, host, seq, est_ball, CAST(host_rank AS BIGINT) AS host_rank
+FROM r WHERE host_rank <= quota"""
+
+
+@_q("frontier_reach_priority", _reach_priority_oracle())
+def q_frontier_reach_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-reach priority dequeue: per-host top-k ordered by the
+    HyperBall radius-2 out-ball estimate — fetch first the pages that
+    unlock the most frontier (a signal PageRank's popularity can't give);
+    same salted two-stage top-k, so mega-hosts never funnel one task."""
+    from scrape_spark.operators.politeness import host_quota_expr, per_host_take
+    from scrape_spark.operators.sketches import hyperball_counts
+
+    _view(spark, sf_dir, "documents")
+    hb = hyperball_counts(spark.sql(_PR_EDGES_SQL), radius=2, k=16).select(
+        F.col("node"), F.col("est_ball")
+    )
+    fr = (
+        _frontier(spark, sf_dir)
+        .where(F.col("status") == "pending")
+        .join(hb, on=F.col("seq") == F.col("node"), how="left")
+        .withColumn("est_ball", F.coalesce("est_ball", F.lit(0)).cast("long"))
+        .withColumn("quota", host_quota_expr(F.col("crawl_delay"), 60, 10))
+        .withColumn("_prio", -F.col("est_ball"))
+    )
+    return per_host_take(fr, "quota", order_cols=["_prio", "seq"]).select(
+        "url", "host", "seq", "est_ball",
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
