@@ -181,6 +181,7 @@ SELECT url, host, seq, CAST(host_rank AS BIGINT) AS host_rank
 FROM r WHERE host_rank <= quota""",
 )
 def q_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host FIFO top-k dequeue under politeness quotas (salted two-stage ranking)."""
     from scrape_spark.operators.politeness import host_quota_expr, per_host_take
 
     fr = (
@@ -210,6 +211,7 @@ SELECT url, host, seq, n_chars, CAST(host_rank AS BIGINT) AS host_rank
 FROM r WHERE host_rank <= quota""",
 )
 def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-queue dequeue: content-richness order, FIFO tiebreak, same salted top-k."""
     from scrape_spark.operators.politeness import host_quota_expr, per_host_take
 
     fr = (
@@ -237,6 +239,7 @@ SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank, crawl_delay,
 FROM r WHERE host_rank <= quota""",
 )
 def q_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual per-host fetch slots spaced ≥ crawl_delay (quota + rank + slot arithmetic)."""
     from scrape_spark.operators.politeness import (
         assign_fetch_slots,
         host_quota_expr,
@@ -274,6 +277,7 @@ SELECT url, robots_denied,
 FROM j""",
 )
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots deny-before-allow + TTL gate over the frontier via the broadcast dim."""
     from scrape_spark.operators.robots import join_robots
 
     fr = _frontier(spark, sf_dir).where(F.col("status") == "pending").drop(
@@ -298,6 +302,7 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT status, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY status""",
 )
 def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One grouped aggregation of frontier rows by status (A1)."""
     return (
         _frontier(spark, sf_dir).groupBy("status").agg(F.count("*").alias("n"))
     )
@@ -314,6 +319,7 @@ SELECT CAST(count(*) AS BIGINT) AS total,
 FROM f""",
 )
 def q_page_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide page statistics in one aggregation (A2/A3)."""
     fr = _frontier(spark, sf_dir)
     return fr.agg(
         F.count("*").alias("total"),
@@ -333,6 +339,7 @@ WHERE NOT EXISTS (SELECT 1 FROM part p
                     AND 'u' || CAST(p.p_partkey AS STRING) = c.url)""",
 )
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen anti-join: candidate links minus the seen table (D1)."""
     _view(spark, sf_dir, "lineitem", "part")
     cand = spark.sql(
         "SELECT DISTINCT 'u' || CAST(l_partkey AS STRING) AS url FROM lineitem"
@@ -351,6 +358,7 @@ SELECT url, parent_seq, link_pos, referrer, depth FROM e
 QUALIFY row_number() OVER (PARTITION BY url ORDER BY parent_seq, link_pos) = 1""",
 )
 def q_first_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-discovery winner per URL via min_by over (seq, link order) (S9)."""
     from scrape_spark.operators.ordering import first_discovery
 
     _view(spark, sf_dir, "lineitem")
@@ -387,6 +395,7 @@ QUALIFY row_number() OVER (PARTITION BY substring(url, 1, 255)
                            ORDER BY parent_seq, link_pos) = 1""",
 )
 def q_strict_url255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict url(255) mode: prefix-truncated keys collide like the reference schema."""
     from scrape_spark.operators.ordering import first_discovery
 
     _view(spark, sf_dir, "lineitem")
@@ -416,6 +425,7 @@ SELECT url, depth, parent_seq, link_pos,
 FROM e""",
 )
 def q_crawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global crawl ordering: range-partitioned sequence assignment (O1)."""
     from scrape_spark.operators.ordering import assign_global_seq
 
     _view(spark, sf_dir, "lineitem")
@@ -435,6 +445,7 @@ SELECT f.url AS referrer, CAST(l.pos AS BIGINT) AS link_pos,
 FROM f, (VALUES (0), (1), (2)) AS l(pos)""",
 )
 def q_link_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor explode in document order with per-page link positions (O2)."""
     fr = _frontier(spark, sf_dir)
     exploded = fr.select(
         F.col("url").alias("referrer"),
@@ -459,6 +470,7 @@ SELECT seq AS doc_id, {DIRTY_URL_SQL} AS dirty_url,
 FROM f""",
 )
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL normalization (scheme://host/path, query+fragment dropped) (F1)."""
     from scrape_spark.functions.urls import normalize_url_expr
 
     fr = _frontier(spark, sf_dir)
@@ -487,6 +499,7 @@ SELECT url,
 FROM f""",
 )
 def q_playwright_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 routing decision: pattern-matched dynamic-render flag per URL."""
     from scrape_spark.functions.urls import use_playwright_expr
 
     fr = _frontier(spark, sf_dir)
@@ -502,6 +515,7 @@ def q_playwright_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT doc_id, sha256(text) AS content_sha FROM documents",
 )
 def q_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA-256 content hash per page (builtin sha2; F3/F9/D3)."""
     return _docs(spark, sf_dir).select(
         "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
     )
@@ -514,6 +528,7 @@ def q_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT url, status, error_message FROM f WHERE error_message IS NOT NULL""",
 )
 def q_error_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-row projection (url, error_message) for failed fetches (P6)."""
     fr = _frontier(spark, sf_dir)
     return fr.where(F.col("error_message").isNotNull()).select(
         "url", "status", "error_message"
@@ -532,6 +547,7 @@ SELECT host, n_urls, n_pending,
 FROM g""",
 )
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl metrics including the mega-host skew profile (A4)."""
     fr = _frontier(spark, sf_dir)
     g = fr.groupBy("host").agg(
         F.count("*").alias("n_urls"),
@@ -551,6 +567,7 @@ def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM documents GROUP BY 1""",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one hash-keyed groupBy keeps first by seq."""
     from scrape_spark.operators.dedup import exact_dedup
 
     return exact_dedup(_docs(spark, sf_dir))
@@ -567,6 +584,7 @@ _MH_COLS = ", ".join(f"sig[{i + 1}] AS mh{i}" for i in range(ts.N_MINHASH))
 SELECT doc_id, {_MH_COLS} FROM s""",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature arrays (exact int64 affine family)."""
     docs = _docs(spark, sf_dir).withColumn("sig", ts.minhash_signature("text"))
     return docs.select(
         "doc_id",
@@ -597,6 +615,7 @@ scored AS (SELECT id_1, id_2,
 SELECT id_1, id_2, n_sig_match FROM scored WHERE n_sig_match >= 2""",
 )
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs with signature-overlap filter."""
     from scrape_spark.operators.dedup import minhash_neardup_pairs
 
     return minhash_neardup_pairs(
@@ -635,6 +654,7 @@ scored AS (SELECT probe_id, index_id,
 SELECT probe_id, index_id, n_sig_match FROM scored WHERE n_sig_match >= 2""",
 )
 def q_neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing LSM near-dup index probe: new docs against the band table."""
     from scrape_spark.operators.dedup import NearDupIndex
     from scrape_spark.plans.statestore import SnapshotStore
 
@@ -663,6 +683,7 @@ SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id
 FROM s GROUP BY simhash""",
 )
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint buckets (exact and near-dup candidates)."""
     from scrape_spark.operators.dedup import simhash_buckets
 
     return simhash_buckets(_docs(spark, sf_dir))
@@ -680,6 +701,7 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤k pairs via the Manku block-pigeonhole search."""
     from scrape_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(_docs(spark, sf_dir), bits=28, max_hamming=3)
@@ -730,6 +752,7 @@ WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5)"""
 SELECT host_1, host_2, n_common, n_1, n_2, jaccard FROM mpairs""",
 )
 def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection: content-set Jaccard per host pair."""
     from scrape_spark.operators.dedup import host_mirror_pairs
 
     return host_mirror_pairs(_mirror_pages(spark, sf_dir), min_jaccard=0.5)
@@ -751,6 +774,7 @@ SELECT id AS host, min(r) AS canonical_host FROM reach
 GROUP BY id HAVING id <> min(r)""",
 )
 def q_mirror_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical host per mirror cluster via connected components."""
     from scrape_spark.operators.corpus import connected_components
     from scrape_spark.operators.dedup import host_mirror_pairs
 
@@ -778,6 +802,7 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
 )
 def q_simhash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide two-mix 56-bit SimHash Manku search at Hamming ≤ 3."""
     from scrape_spark.operators.dedup import simhash_neardup_pairs
 
     docs = _docs(spark, sf_dir)
@@ -810,6 +835,7 @@ SELECT id_1, id_2,
 FROM p""",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word n-gram Jaccard verification over candidate pairs."""
     from scrape_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
@@ -828,6 +854,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM documents""",
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, fingerprints and length stats per doc (map-only kernels)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         ts.token_count("text").cast("long").alias("n_tokens"),
@@ -846,6 +873,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM documents""",
 )
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length / word shape / punctuation mix) per doc."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.floor(ts.quality_score("text") * 10000).cast("long").alias("quality_q4"),
@@ -860,6 +888,7 @@ SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY lang, pred""",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID predictions against the labeled corpus."""
     return (
         _docs(spark, sf_dir)
         .select("lang", ts.lang_pred("text").alias("pred"))
@@ -923,6 +952,7 @@ FROM embeddings a JOIN embeddings b
 WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.2""",
 )
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding cosine pairs within groups (similarity baseline)."""
     from scrape_spark.operators.similarity import cosine_pairs
 
     return cosine_pairs(
@@ -943,6 +973,7 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM r WHERE rank <= 10""",
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the ANN oracle baseline."""
     from scrape_spark.operators.similarity import cosine_topk
 
     emb = _emb(spark, sf_dir)
@@ -962,6 +993,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM events WHERE props IS NOT NULL GROUP BY 1""",
 )
 def q_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload field extraction via get_json_object (F8)."""
     _view(spark, sf_dir, "events")
     return spark.sql(
         """SELECT get_json_object(props, '$.k') AS k_val, count(*) AS n
@@ -1037,6 +1069,7 @@ def q_post_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT url, host, seq, status FROM f WHERE url = 'http://host2.test/doc/42'""",
 )
 def q_page_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity point lookups by url and by seq (D4)."""
     fr = _frontier(spark, sf_dir)
     return fr.where(F.col("url") == "http://host2.test/doc/42").select(
         "url", "host", "seq", "status"
@@ -1051,6 +1084,7 @@ def q_page_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM events GROUP BY 1, 2""",
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollups (UTC-pinned grouped agg)."""
     _view(spark, sf_dir, "events")
     return spark.sql(
         """SELECT date_format(ts, 'yyyy-MM-dd HH') AS hour_key, event_type,
@@ -1542,6 +1576,7 @@ SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM r WHERE sample_rank <= {_SAMPLE_K}""",
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum quota sampling via seeded hash order."""
     from scrape_spark.operators.corpus import stratified_sample
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
@@ -2004,6 +2039,7 @@ _WARC_DATE_SQL = (
 FROM documents""",
 )
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink + source round-trip: pages → gzip members → pages view."""
     import atexit
     import shutil
     import tempfile
