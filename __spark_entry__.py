@@ -5345,6 +5345,33 @@ def q_frontier_reach_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSAMPLE_DOCS_SQL = (
+    "SELECT doc_id, CAST(doc_id % 13 + 1 AS BIGINT) AS w FROM documents"
+)
+
+
+def _wsample_oracle() -> str:
+    from scrape_spark.operators.corpus import weighted_sample_sql
+
+    inner = weighted_sample_sql(_WSAMPLE_DOCS_SQL, 100, "w")
+    # priority is engine-identical except the last ulp of ln (JVM vs
+    # libm); the SAMPLE is the contract — project the doubles out
+    return f"SELECT doc_id, weight FROM ({inner})"
+
+
+@_q("weighted_sample_aes", _wsample_oracle())
+def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement (A-ES keys
+    over the 64-bit digest) — the consumer for DSIR/quality/novelty
+    weights; deterministic and engine-identical."""
+    from scrape_spark.operators.corpus import weighted_sample
+
+    _view(spark, sf_dir, "documents")
+    return weighted_sample(spark.sql(_WSAMPLE_DOCS_SQL), 100, "w").select(
+        "doc_id", "weight"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1808,3 +1808,96 @@ def dedup_retain_best(
         F.col("id") != F.col("_keep_id")
     ).select(F.col("id").alias(id_col))
     return docs.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+# The curation pipeline produces per-doc WEIGHTS (DSIR importance weights,
+# quality scores, novelty) — consuming them needs a sampler whose inclusion
+# probabilities are actually proportional to the weights. Uniform-hash
+# order-by tricks are NOT (the min of U/w races selects with probability
+# w1/(2·w2)-shaped, not w1/(w1+w2)); the A-ES keys u^(1/w) — equivalently
+# ascending −ln(u)/w — are the classic exact construction (Efraimidis &
+# Spirakis 2006): the n smallest keys are a weighted sample without
+# replacement. u comes from the deterministic 64-bit digest, so the sample
+# is reproducible and the DuckDB twin replays it bit-for-bit (the ln/÷
+# double arithmetic is engine-identical — the same discipline the
+# cross-entropy and char-entropy kernels already rely on).
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """n-row weighted sample without replacement; deterministic.
+
+    (id[, stratum], weight, priority) — ascending A-ES priority
+    −ln(u)/w with u = (digest64(id)+1)/(U+1) ∈ (0, 1]. Rows with
+    weight ≤ 0 or NULL are excluded (zero mass). With ``strata_col`` the
+    quota applies per stratum (salted two-stage top-k, so a mega-stratum
+    never funnels one window task); globally the plan is
+    TakeOrderedAndProject — per-partition top-n, n-row merge.
+    """
+    from scrape_spark.operators.politeness import per_host_take
+
+    pri = _aes_priority_sql(id_col, weight_col)
+    base = (
+        docs.select(
+            F.col(id_col),
+            *([F.col(strata_col)] if strata_col else []),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .where(F.col("weight") > 0)
+        .withColumn("priority", F.expr(pri.format(w="weight")))
+    )
+    if strata_col is None:
+        return base.orderBy("priority", id_col).limit(int(n))
+    ranked = per_host_take(
+        base.withColumn("_q", F.lit(int(n))),
+        quota_col="_q",
+        host_col=strata_col,
+        order_cols=("priority", id_col),
+    )
+    return ranked.select(id_col, strata_col, "weight", "priority")
+
+
+def _aes_priority_sql(id_col: str, weight_col: str) -> str:
+    """−ln(u)/w over the id digest — dialect-free (ln/÷ identical);
+    ``{w}`` is left as a format slot for the caller's weight expr."""
+    from scrape_spark.functions import textstats as ts
+
+    dig = ts.kmv_id_digest64_sql(id_col)
+    u = (
+        f"((CAST({dig} AS DOUBLE) + 1.0) / "
+        f"(CAST({ts.KMV_UNIVERSE} AS DOUBLE) + 1.0))"
+    )
+    return f"(-ln({u}) / CAST({{w}} AS DOUBLE))"
+
+
+def weighted_sample_sql(
+    docs_sql: str,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> str:
+    """DuckDB oracle: identical digests, priorities, order, quota."""
+    pri = _aes_priority_sql(id_col, weight_col).format(w="weight")
+    strata_sel = f", {strata_col}" if strata_col else ""
+    base = f"""_ws_b AS (SELECT {id_col}{strata_sel},
+           CAST({weight_col} AS BIGINT) AS weight FROM ({docs_sql})),
+_ws_p AS (SELECT *, {pri} AS priority FROM _ws_b WHERE weight > 0)"""
+    if strata_col is None:
+        return (
+            f"WITH {base}\nSELECT * FROM _ws_p "
+            f"ORDER BY priority, {id_col} LIMIT {int(n)}"
+        )
+    return f"""WITH {base},
+_ws_r AS (SELECT *, row_number() OVER (PARTITION BY {strata_col}
+            ORDER BY priority, {id_col}) AS rn FROM _ws_p)
+SELECT {id_col}, {strata_col}, weight, priority
+FROM _ws_r WHERE rn <= {int(n)}"""

@@ -931,3 +931,69 @@ def test_text_semantic_recall_monotone_in_tables(spark):
         for nt in (1, 2, 4)
     ]
     assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis–Spirakis weighted sampling
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_parity_and_proportionality(spark):
+    import duckdb
+
+    from scrape_spark.operators.corpus import weighted_sample, weighted_sample_sql
+
+    docs = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "CASE WHEN id < 500 THEN 9 ELSE 1 END AS w"
+    )
+    got = [tuple(r) for r in weighted_sample(docs, 100, "w").collect()]
+    want = duckdb.connect().execute(
+        weighted_sample_sql(
+            "SELECT range AS doc_id, CASE WHEN range < 500 THEN 9 ELSE 1 END"
+            " AS w FROM range(0,1000)",
+            100,
+            "w",
+        )
+    ).fetchall()
+    # identical SAMPLE across engines; priorities may differ in the last
+    # ulp (JVM vs libm ln) — the oracle harness's %.6g rendering absorbs
+    # that, here we compare ids/weights exactly and priorities to 1e-12
+    gs, ws = sorted(got), sorted(want)
+    assert [(a, b) for a, b, _ in gs] == [(a, b) for a, b, _ in ws]
+    assert all(abs(a[2] - b[2]) <= 1e-12 * max(1.0, abs(b[2]))
+               for a, b in zip(gs, ws))
+    heavy = sum(1 for r in got if r[0] < 500)
+    # weights 9:1 over equal halves → heavy share of a 100-sample ≈ 90
+    assert 75 <= heavy <= 99
+
+
+def test_weighted_sample_stratified_and_edge_cases(spark):
+    import duckdb
+
+    from scrape_spark.operators.corpus import weighted_sample, weighted_sample_sql
+
+    docs = spark.range(0, 90).selectExpr(
+        "id AS doc_id", "1 AS w", "CAST(id % 3 AS STRING) AS s"
+    )
+    got = [
+        (r["doc_id"], r["s"]) for r in
+        weighted_sample(docs, 5, "w", strata_col="s").collect()
+    ]
+    from collections import Counter
+
+    assert Counter(s for _, s in got) == {"0": 5, "1": 5, "2": 5}
+    want = duckdb.connect().execute(
+        weighted_sample_sql(
+            "SELECT range AS doc_id, 1 AS w, CAST(range % 3 AS VARCHAR) AS s"
+            " FROM range(0,90)",
+            5,
+            "w",
+            strata_col="s",
+        )
+    ).fetchall()
+    assert sorted(got) == sorted((r[0], r[1]) for r in want)
+    # zero/negative/NULL weights excluded; n >= eligible rows → all eligible
+    docs2 = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 2)], "doc_id long, w int"
+    )
+    ids = {r["doc_id"] for r in weighted_sample(docs2, 10, "w").collect()}
+    assert ids == {1, 5}
