@@ -287,3 +287,51 @@ def test_winnow_novelty_scores(spark):
         )
     }
     assert got == want
+
+
+def test_winnow_guarantee_randomized_corpora(spark):
+    """Property: for random docs with a planted shared run of length
+    >= g + window - 1 tokens, the pair is ALWAYS found; docs with no
+    shared run of >= g tokens never pair. One batched DataFrame."""
+    import random
+
+    from scrape_spark.operators.dedup import (
+        WINNOW_G,
+        WINNOW_W,
+        winnowed_dup_candidates,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    expected = set()
+    doc_id = 0
+    for case in range(12):
+        run_len = WINNOW_G + WINNOW_W - 1 + rng.randint(0, 6)
+        # unique-token passage (disjoint from vocab) guarantees no
+        # accidental cross-case collisions
+        passage = " ".join(f"p{case}x{j}" for j in range(run_len))
+        a_pad = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        b_pad = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        rows.append((doc_id, f"{a_pad} {passage}".strip()))
+        rows.append((doc_id + 1, f"{passage} {b_pad}".strip()))
+        expected.add((doc_id, doc_id + 1))
+        doc_id += 2
+    # distractors built from tokens never shared >= g in a row: each doc
+    # uses its own disjoint token namespace
+    for case in range(6):
+        rows.append(
+            (doc_id, " ".join(f"d{case}q{j}" for j in range(25)))
+        )
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in winnowed_dup_candidates(docs, max_df=4).collect()
+    }
+    assert expected <= got  # the SWA03 guarantee, every planted pair
+    planted_ids = {i for p in expected for i in p}
+    for a, b in got - expected:
+        # any extra pair must come from vocab padding overlap between
+        # planted docs, never from the distractor namespace
+        assert a in planted_ids and b in planted_ids, (a, b)
