@@ -1844,12 +1844,15 @@ def weighted_sample(
     """
     from scrape_spark.operators.politeness import per_host_take
 
-    pri = _aes_priority_sql(id_col, weight_col)
+    pri = _aes_priority_sql(id_col)
     base = (
         docs.select(
             F.col(id_col),
             *([F.col(strata_col)] if strata_col else []),
-            F.col(weight_col).cast("long").alias("weight"),
+            # DOUBLE, not integer: DSIR/quality/novelty weights are
+            # fractional — a long cast truncates 0.7 to zero mass (and
+            # DuckDB ROUNDS double→BIGINT where Spark truncates)
+            F.col(weight_col).cast("double").alias("weight"),
         )
         .where(F.col("weight") > 0)
         .withColumn("priority", F.expr(pri.format(w="weight")))
@@ -1865,12 +1868,14 @@ def weighted_sample(
     return ranked.select(id_col, strata_col, "weight", "priority")
 
 
-def _aes_priority_sql(id_col: str, weight_col: str) -> str:
+def _aes_priority_sql(id_col: str) -> str:
     """−ln(u)/w over the id digest — dialect-free (ln/÷ identical);
-    ``{w}`` is left as a format slot for the caller's weight expr."""
+    ``{w}`` is left as a format slot for the caller's weight expr.
+    ``id_col`` must be a nonnegative integer id (cast to BIGINT here —
+    int32 ids would overflow the digest multiply on both engines)."""
     from scrape_spark.functions import textstats as ts
 
-    dig = ts.kmv_id_digest64_sql(id_col)
+    dig = ts.kmv_id_digest64_sql(f"CAST({id_col} AS BIGINT)")
     u = (
         f"((CAST({dig} AS DOUBLE) + 1.0) / "
         f"(CAST({ts.KMV_UNIVERSE} AS DOUBLE) + 1.0))"
@@ -1886,10 +1891,10 @@ def weighted_sample_sql(
     strata_col: str | None = None,
 ) -> str:
     """DuckDB oracle: identical digests, priorities, order, quota."""
-    pri = _aes_priority_sql(id_col, weight_col).format(w="weight")
+    pri = _aes_priority_sql(id_col).format(w="weight")
     strata_sel = f", {strata_col}" if strata_col else ""
     base = f"""_ws_b AS (SELECT {id_col}{strata_sel},
-           CAST({weight_col} AS BIGINT) AS weight FROM ({docs_sql})),
+           CAST({weight_col} AS DOUBLE) AS weight FROM ({docs_sql})),
 _ws_p AS (SELECT *, {pri} AS priority FROM _ws_b WHERE weight > 0)"""
     if strata_col is None:
         return (

@@ -997,3 +997,27 @@ def test_weighted_sample_stratified_and_edge_cases(spark):
     )
     ids = {r["doc_id"] for r in weighted_sample(docs2, 10, "w").collect()}
     assert ids == {1, 5}
+
+
+def test_weighted_sample_fractional_weights_and_int32_ids(spark):
+    """Fractional weights (novelty/DSIR are in [0,1]) must carry real
+    mass — a long cast truncated 0.7 to zero and dropped the doc — and
+    int32 id columns must not overflow the digest multiply."""
+    import duckdb
+
+    from scrape_spark.operators.corpus import weighted_sample, weighted_sample_sql
+
+    docs = spark.createDataFrame(
+        [(1, 0.7), (2, 0.9), (3, 1.9), (4, 3.0)], "doc_id int, w double"
+    )
+    got = {(r["doc_id"], r["weight"]) for r in weighted_sample(docs, 10, "w").collect()}
+    assert got == {(1, 0.7), (2, 0.9), (3, 1.9), (4, 3.0)}
+    want = duckdb.connect().execute(
+        weighted_sample_sql(
+            "SELECT * FROM (VALUES (1, 0.7),(2, 0.9),(3, 1.9),(4, 3.0))"
+            " t(doc_id, w)",
+            10,
+            "w",
+        )
+    ).fetchall()
+    assert got == {(r[0], r[1]) for r in want}

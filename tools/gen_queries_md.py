@@ -30,7 +30,13 @@ def main() -> None:
     ]
     for i, (name, fn) in enumerate(qs.items(), 1):
         doc = (fn.__doc__ or "").strip().splitlines()
-        summary = " ".join(x.strip() for x in doc[:2]).strip() if doc else ""
+        # the summary is everything up to the first blank line (then capped)
+        head = []
+        for line in doc:
+            if not line.strip():
+                break
+            head.append(line.strip())
+        summary = " ".join(head)
         if len(summary) > 140:
             summary = summary[:137] + "..."
         summary = summary.replace("|", "\\|")
