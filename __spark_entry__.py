@@ -5354,8 +5354,10 @@ def _wsample_oracle() -> str:
     from scrape_spark.operators.corpus import weighted_sample_sql
 
     inner = weighted_sample_sql(_WSAMPLE_DOCS_SQL, 100, "w")
-    # priority is engine-identical except the last ulp of ln (JVM vs
-    # libm); the SAMPLE is the contract — project the doubles out
+    # the A-ES key is now a 2^-24 fixed-point BIGINT (ADVICE r3), so the
+    # selection order is integer-exact; the SAMPLE is the contract — the
+    # key column stays projected out (belt and braces against the
+    # residual boundary-ulp window the quantization note documents)
     return f"SELECT doc_id, weight FROM ({inner})"
 
 

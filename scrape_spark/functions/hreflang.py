@@ -28,20 +28,37 @@ from pyspark.sql import functions as F
 
 from scrape_spark.functions.imgtext import resolve_src_sql
 
-#: Shared regexes — spliced into BOTH dialects verbatim (backslash-free).
+#: Shared regexes — spliced into BOTH dialects verbatim (backslash-free;
+#: literal single quotes appear SQL-escaped as '' so the same constant text
+#: parses identically inside a '…' literal on both engines).
 LINK_TAG_RE = "(?i)<link[^>]*>"
-HREFLANG_RE = '(?i)hreflang="([^"]*)"'
-HREF_RE = '(?i)href="([^"]*)"'
-#: rel may carry several space-separated tokens ("alternate nofollow").
-REL_ALT_RE = '(?i)rel="[^"]*alternate[^"]*"'
+
+
+def _attr_val_sql(tag: str, attr: str) -> str:
+    """First ``attr=…`` value in a tag — double-quoted, single-quoted, or
+    unquoted (``href='/fr'`` and ``rel=alternate`` are common in real HTML;
+    the BeautifulSoup-based extractors the reference builds on accept all
+    three, so only accepting double quotes silently lost recall). Quote
+    styles are tried in that order and coalesced; an unquoted value runs to
+    the first space/``>``/quote, the HTML5 delimiter set minus backslash
+    classes (tab/newline-delimited unquoted values are vanishingly rare and
+    degrade identically on both engines)."""
+    dq = f"nullif(regexp_extract({tag}, '(?i){attr}=\"([^\"]*)\"', 1), '')"
+    sq = f"nullif(regexp_extract({tag}, '(?i){attr}=''([^'']*)''', 1), '')"
+    uq = f"nullif(regexp_extract({tag}, '(?i){attr}=([^ >\"'']+)', 1), '')"
+    return f"coalesce({dq}, {sq}, {uq})"
 
 
 def _tag_cols_sql(tag: str) -> dict[str, str]:
     """Per-tag extraction formulas — identical text on both engines."""
     return {
-        "hreflang": f"lower(nullif(regexp_extract({tag}, '{HREFLANG_RE}', 1), ''))",
-        "raw_href": f"nullif(regexp_extract({tag}, '{HREF_RE}', 1), '')",
-        "is_alt": f"(regexp_extract({tag}, '{REL_ALT_RE}', 0) <> '')",
+        "hreflang": f"lower({_attr_val_sql(tag, 'hreflang')})",
+        "raw_href": _attr_val_sql(tag, "href"),
+        # rel may carry several space-separated tokens ("alternate nofollow")
+        "is_alt": (
+            f"(lower(coalesce({_attr_val_sql(tag, 'rel')}, ''))"
+            " LIKE '%alternate%')"
+        ),
     }
 
 

@@ -1821,9 +1821,18 @@ def dedup_retain_best(
 # ascending −ln(u)/w — are the classic exact construction (Efraimidis &
 # Spirakis 2006): the n smallest keys are a weighted sample without
 # replacement. u comes from the deterministic 64-bit digest, so the sample
-# is reproducible and the DuckDB twin replays it bit-for-bit (the ln/÷
-# double arithmetic is engine-identical — the same discipline the
-# cross-entropy and char-entropy kernels already rely on).
+# is reproducible and the DuckDB twin replays it bit-for-bit.
+#
+# The SELECTION ORDER is integer-only (ADVICE r3): the double key is
+# quantized to a 2^-24 fixed-point grid — ``floor(−ln(u)/w · 2^24)`` as
+# BIGINT, clamped at 2^62 — BEFORE ranking, with ties broken by id. A
+# last-ulp JVM-vs-libm ln() difference can therefore flip the sample only
+# when a key sits within one ulp of a grid boundary (~2^(BITS−52) of the
+# near-tie window the raw double ordering exposed), and an exact grid tie
+# resolves identically on both engines via the id tiebreak. 2^24 keeps
+# ~7 significant digits of the key — far finer than any weight signal the
+# curation pipeline produces — and the clamp keeps floor() inside int64
+# for adversarially tiny weights.
 
 
 def weighted_sample(
@@ -1836,7 +1845,8 @@ def weighted_sample(
     """n-row weighted sample without replacement; deterministic.
 
     (id[, stratum], weight, priority) — ascending A-ES priority
-    −ln(u)/w with u = (digest64(id)+1)/(U+1) ∈ (0, 1]. Rows with
+    ``floor(−ln(u)/w · 2^24)`` (BIGINT — see the quantization note above)
+    with u = (digest64(id)+1)/(U+1) ∈ (0, 1], ties by id. Rows with
     weight ≤ 0 or NULL are excluded (zero mass). With ``strata_col`` the
     quota applies per stratum (salted two-stage top-k, so a mega-stratum
     never funnels one window task); globally the plan is
@@ -1868,8 +1878,14 @@ def weighted_sample(
     return ranked.select(id_col, strata_col, "weight", "priority")
 
 
+#: fixed-point bits of the quantized A-ES key (documented contract)
+AES_PRIORITY_BITS = 24
+
+
 def _aes_priority_sql(id_col: str) -> str:
-    """−ln(u)/w over the id digest — dialect-free (ln/÷ identical);
+    """Quantized A-ES key ``floor(−ln(u)/w · 2^24)`` as BIGINT over the id
+    digest — dialect-free (ln/floor/least identical; the inner clamp at
+    2^62 runs in DOUBLE so Spark's long-typed floor() never overflows);
     ``{w}`` is left as a format slot for the caller's weight expr.
     ``id_col`` must be a nonnegative integer id (cast to BIGINT here —
     int32 ids would overflow the digest multiply on both engines)."""
@@ -1880,7 +1896,12 @@ def _aes_priority_sql(id_col: str) -> str:
         f"((CAST({dig} AS DOUBLE) + 1.0) / "
         f"(CAST({ts.KMV_UNIVERSE} AS DOUBLE) + 1.0))"
     )
-    return f"(-ln({u}) / CAST({{w}} AS DOUBLE))"
+    scale = float(1 << AES_PRIORITY_BITS)
+    clamp = float(1 << 62)
+    return (
+        f"CAST(floor(least((-ln({u}) / CAST({{w}} AS DOUBLE)) * {scale!r}, "
+        f"{clamp!r})) AS BIGINT)"
+    )
 
 
 def weighted_sample_sql(

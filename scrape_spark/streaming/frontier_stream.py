@@ -225,6 +225,7 @@ def kmv_sketch_stream(
     group_col: str = "host",
     k: int = 64,
     available_now: bool = True,
+    gc_keep: int = 8,
 ):
     """Maintain per-group KMV sketches over an unbounded key stream.
 
@@ -288,11 +289,25 @@ def kmv_sketch_stream(
         with open(tmp, "w") as f:
             f.write(f"{out}\n{int(k)}\n")
         os.replace(tmp, os.path.join(store_dir, "_LATEST"))
-        # GC: keep the new version and its direct predecessor (a reader
-        # that loaded the old pointer may still be scanning it); drop the
-        # rest — without this a long-lived stream accumulates one full
-        # table copy per micro-batch
-        keep = {out, prev_path}
+        # GC: keep the ``gc_keep`` NEWEST versions (by batch id), not just
+        # {current, predecessor} — a reader that resolved _LATEST several
+        # micro-batches ago can still be mid-scan of an old directory, and
+        # with fast triggers the window between its pointer read and scan
+        # completion spans multiple commits (ADVICE r3). gc_keep bounds the
+        # exposure to gc_keep trigger intervals while still capping store
+        # growth at gc_keep table copies; raise it for slow readers.
+        versions = sorted(
+            (
+                int(name[len("sketch_v"):])
+                for name in os.listdir(store_dir)
+                if name.startswith("sketch_v")
+                and name[len("sketch_v"):].isdigit()
+            ),
+            reverse=True,
+        )
+        keep = {os.path.join(store_dir, f"sketch_v{v}") for v in
+                versions[: max(int(gc_keep), 2)]}
+        keep.update({out, prev_path})
         for name in os.listdir(store_dir):
             p_ = os.path.join(store_dir, name)
             if name.startswith("sketch_v") and p_ not in keep:

@@ -73,6 +73,42 @@ def test_duckdb_parity_links_and_pairs(spark):
     assert gotp == sorted(con.execute(hreflang_doc_pairs_sql(src)).fetchall())
 
 
+_QUOTES = (
+    "<html><head><link rel='alternate' hreflang='fr' href='/fr'>"
+    '<link rel=alternate hreflang=de href=/de>'
+    '<link rel="alternate nofollow" hreflang=\'PT-br\' href="/pt">'
+    "<link rel=stylesheet href='/css'>"
+    "</head></html>"
+)
+
+
+def test_links_single_quoted_and_unquoted_attributes(spark):
+    """ADVICE r3: href='/fr' and rel=alternate declarations must not be
+    silently dropped — all three HTML attribute quote styles count."""
+    df = _pages(spark, [("http://q.test/en", _QUOTES)])
+    got = {
+        (r["link_pos"], r["hreflang"], r["href"])
+        for r in hreflang_links(df).collect()
+    }
+    assert got == {
+        (1, "fr", "http://q.test/fr"),
+        (2, "de", "http://q.test/de"),
+        (3, "pt-br", "http://q.test/pt"),
+    }
+
+
+def test_duckdb_parity_quote_styles(spark):
+    rows = [("http://q.test/en", _QUOTES)]
+    df = _pages(spark, rows)
+    vals = ", ".join(
+        "('" + u + "', '" + h.replace("'", "''") + "')" for u, h in rows
+    )
+    src = f"SELECT * FROM (VALUES {vals}) AS t(url, html_str)"
+    con = duckdb.connect()
+    got = sorted(tuple(r) for r in hreflang_links(df).collect())
+    assert got == sorted(con.execute(hreflang_links_sql(src)).fetchall())
+
+
 def test_clusters_merge_editions_via_any_annotator(spark):
     # only the en edition annotates; fr/de carry no tags — still one cluster
     rows = [

@@ -482,7 +482,8 @@ def test_kmv_sketch_stream_matches_batch_and_replay_is_idempotent(
 def test_kmv_sketch_stream_replay_gc_and_k_guard(spark, tmp_path):
     """Post-flip replay of a committed batch is skipped (the overwrite of a
     path being lazily read would wedge the stream); superseded versions are
-    GC'd down to {current, predecessor}; a mismatched k raises on read."""
+    GC'd down to the ``gc_keep`` newest (a reader resolved several commits
+    ago may still be mid-scan — ADVICE r3); a mismatched k raises on read."""
     import os
 
     import pytest
@@ -505,9 +506,9 @@ def test_kmv_sketch_stream_replay_gc_and_k_guard(spark, tmp_path):
         stream = spark.readStream.schema("host string, url string").parquet(
             str(src / "*")
         )
-        q = kmv_sketch_stream(stream, str(store), str(ckpt), k=16)
+        q = kmv_sketch_stream(stream, str(store), str(ckpt), k=16, gc_keep=2)
         q.awaitTermination(120)
-    # GC: at most current + predecessor versions remain
+    # GC with gc_keep=2: at most the two newest versions remain
     versions = [n for n in os.listdir(str(store)) if n.startswith("sketch_v")]
     assert len(versions) <= 2
     # replay-skip: re-invoking the sink with the committed batch id is a

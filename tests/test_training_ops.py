@@ -954,13 +954,11 @@ def test_weighted_sample_parity_and_proportionality(spark):
             "w",
         )
     ).fetchall()
-    # identical SAMPLE across engines; priorities may differ in the last
-    # ulp (JVM vs libm ln) — the oracle harness's %.6g rendering absorbs
-    # that, here we compare ids/weights exactly and priorities to 1e-12
+    # priorities are 2^-24 fixed-point BIGINTs (ADVICE r3) — the whole
+    # row, priority included, must now match exactly across engines
     gs, ws = sorted(got), sorted(want)
-    assert [(a, b) for a, b, _ in gs] == [(a, b) for a, b, _ in ws]
-    assert all(abs(a[2] - b[2]) <= 1e-12 * max(1.0, abs(b[2]))
-               for a, b in zip(gs, ws))
+    assert gs == ws
+    assert all(isinstance(p, int) for _, _, p in gs)
     heavy = sum(1 for r in got if r[0] < 500)
     # weights 9:1 over equal halves → heavy share of a 100-sample ≈ 90
     assert 75 <= heavy <= 99
