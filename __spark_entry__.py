@@ -547,15 +547,27 @@ SELECT host, n_urls, n_pending,
 FROM g""",
 )
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host crawl metrics including the mega-host skew profile (A4)."""
+    """Per-host crawl metrics including the mega-host skew profile (A4).
+
+    The global total is a scalar agg broadcast back as a 1-row join (the
+    webrank stats-join pattern) — NOT a partitionless window, which would
+    funnel the whole host dimension through one task at 10^8-host scale.
+    """
     fr = _frontier(spark, sf_dir)
     g = fr.groupBy("host").agg(
         F.count("*").alias("n_urls"),
         F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pending"),
     )
-    total = F.sum("n_urls").over(Window.partitionBy())
-    return g.withColumn(
-        "share", F.round(F.col("n_urls").cast("double") / total.cast("double"), 4)
+    total = g.agg(F.sum("n_urls").alias("_tot"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n_urls").cast("double") / F.col("_tot").cast("double"), 4
+            ),
+        )
+        .drop("_tot")
     )
 
 
