@@ -5389,6 +5389,97 @@ def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The round driver samples the FIRST 50 registered queries for its
+# correctness gate; registration order used to be module order, which front-
+# loaded the crawl family and left sessions 7-9 (webgraph, sketches, search,
+# budgets, bitext, recrawl, sampling) riding only on the in-repo sweep
+# (r3 verdict item 7). This curated prefix puts >= one query from EVERY
+# operator family in the driver's sample window — names and callables are
+# untouched, only dict order changes; tests/test_registry_order.py pins it.
+_DRIVER_SAMPLE = [
+    # crawl core: dequeue, rounds, robots, politeness, dedup, ordering,
+    # fetch variants, error paths, metrics, parse invariant
+    "frontier_topk_dequeue",
+    "crawl_order_seq",
+    "crawl_expand_round",
+    "conditional_refetch",
+    "robots_gate",
+    "politeness_slots",
+    "seen_antijoin",
+    "first_discovery_dedup",
+    "post_fetch",
+    "error_rows",
+    "frontier_status_counts",
+    "page_statistics",
+    "link_explode",
+    "url_normalize",
+    "extracted_text_invariant",
+    "content_hash",
+    # events + archive sources
+    "events_hourly",
+    "warc_latest_capture",
+    # dedup family: exact, minhash-LSH, standing index, simhash, verify,
+    # components, semantic, line-level
+    "dedup_exact",
+    "minhash_neardup_pairs",
+    "neardup_index_probe",
+    "simhash_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "neardup_components",
+    "semantic_dedup_retain",
+    "line_dedup",
+    # winnowing
+    "winnow_dup_candidates",
+    # ANN: exact baseline, IVF, PQ
+    "ann_cosine_topk",
+    "ivf_ann_topk",
+    "pq_ann_topk",
+    # multimodal
+    "multimodal_features",
+    "media_neardup_pairs",
+    # text quality / language / LM quality
+    "doc_quality",
+    "gopher_quality_rules",
+    "lang_id_eval",
+    "lang_temperature_plan",
+    "lm_ppl_buckets",
+    "dsir_weights",
+    # tokenizer ops
+    "bpe_pair_counts",
+    "pack_sequences",
+    # contamination / PII
+    "contamination_ngram",
+    "pii_redact",
+    # sketches + graph sketches
+    "kmv_crawl_overlap",
+    "hyperball_neighborhood",
+    # webgraph ranking
+    "link_pagerank",
+    # search / retrieval
+    "bm25_topk",
+    # bitext / cross-lingual
+    "hreflang_pairs",
+    # scheduling budgets + recrawl + weighted sampling
+    "host_budget_alloc",
+    "recrawl_priority",
+    "weighted_sample_aes",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _DRIVER_SAMPLE if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"_DRIVER_SAMPLE names not registered: {missing}")
+    head = set(_DRIVER_SAMPLE)
+    rest = [n for n in _REGISTRY if n not in head]
+    ordered = {n: _REGISTRY[n] for n in [*_DRIVER_SAMPLE, *rest]}
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
