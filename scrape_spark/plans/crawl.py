@@ -191,13 +191,26 @@ class CrawlJob:
         url_key_chars: int | None = None,
         priority: Column | None = None,
         conditional_fetch: bool = False,
+        fetcher=None,
     ) -> None:
         self.spark = spark
         self.store = store
+        # Live-network mode (S2 executable variant): a plans/httpfetch
+        # HttpFetcher replaces the pages-table join — the scheduled batch is
+        # actually fetched over HTTP (host-partitioned mapInPandas, bounded
+        # pool, reference timeout/encoding/error semantics). ``pages`` may
+        # then be None (a true live frontier) or kept as the parallel-truth
+        # capture table: when present it still supplies ``src_text`` so the
+        # byte-identical-extracted-text invariant (text_match) is verified
+        # against the capture — the e2e equivalence suite runs both modes
+        # over one corpus and asserts identical final state.
+        self.fetcher = fetcher
+        if pages is None and fetcher is None:
+            raise ValueError("CrawlJob needs a pages table or a fetcher")
         # S3: fetch identity includes (method, payload); a pages source without
         # those columns is an all-GET web (the common Common-Crawl shape),
         # which keeps the fetch join url-keyed and bucket-layout-compatible
-        self.pages_have_methods = "method" in pages.columns
+        self.pages_have_methods = pages is not None and "method" in pages.columns
         if self.pages_have_methods and "payload" not in pages.columns:
             pages = pages.withColumn("payload", F.lit(None).cast("string"))
         self.pages = pages
@@ -911,8 +924,73 @@ class CrawlJob:
             round_idx=round_idx,
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-        # --- simulated fetch: batch ⋈ pages on (url, method, payload) (S2/S3),
-        #     without ever shuffling the pages side ---
+        # --- fetch: live HTTP (mapInPandas pool) or the simulated
+        #     batch ⋈ pages join — the pages side never shuffles either way
+        raw_fetch = None
+        fetch_errors = None
+        if self.fetcher is not None:
+            extra = [
+                c
+                for c in ("host", "payload", "referrer", "fetch_slot",
+                          "crawl_delay")
+                if c in batch.columns
+            ]
+            probe_r = batch.select(
+                "url",
+                "method",
+                _payload_key().alias("_payload_key"),
+                "seq",
+                "depth",
+                F.col("content_hash").alias("_prior_hash"),
+                *extra,
+            )
+            # persisted: the fetch stage feeds BOTH the hit pipeline and the
+            # error rows — without a persist the network fetch would run
+            # twice (and non-idempotently)
+            raw_fetch = self.fetcher.fetch(probe_r).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            okf = raw_fetch.where(F.col("error_message").isNull())
+            fetch_errors = raw_fetch.where(
+                F.col("error_message").isNotNull()
+            ).select(
+                *_FETCH_KEYS, F.col("error_message").alias("_err")
+            )
+            fetched = okf.select(
+                "url",
+                "html",
+                "seq",
+                "depth",
+                "method",
+                "_payload_key",
+                "_prior_hash",
+                F.col("status_code").alias("_real_status"),
+            )
+            if self.pages is not None:
+                # verification mode: the capture table supplies src_text for
+                # the byte-identical-text invariant. Pages is scanned once
+                # and never shuffled: the fetched url sliver broadcasts into
+                # it, then the (batch-sized) result broadcasts back.
+                src = self.pages.select(
+                    "url", F.col("text").alias("src_text")
+                ).join(
+                    F.broadcast(okf.select("url").dropDuplicates(["url"])),
+                    on="url",
+                )
+                fetched = fetched.join(F.broadcast(src), on="url", how="left")
+            else:
+                fetched = fetched.withColumn(
+                    "src_text", F.lit(None).cast("string")
+                )
+            results_nm = None
+            hits = self._parse_hits(
+                fetched, in_stream_304=self.conditional_fetch
+            )
+            return self._finish_round(
+                t0, round_idx, meta0, pending, pending_est, robots,
+                batch, blocked, allowed, hits, results_nm, fetch_errors,
+                raw_fetch,
+            )
         probe = batch.select(
             "url",
             "method",
@@ -963,6 +1041,7 @@ class CrawlJob:
                 *_FETCH_KEYS,
                 F.lit(True).alias("_hit"),
                 F.lit(True).alias("_nm"),
+                F.lit(None).cast("int").alias("_real_status"),
                 F.col("_prior_hash").alias("_content_hash"),
                 F.lit(None).cast("string").alias("_page_title"),
                 F.lit(None).cast("string").alias("_text_sha"),
@@ -979,8 +1058,21 @@ class CrawlJob:
             pages_have_methods=self.pages_have_methods,
             broadcast=do_broadcast,
             bucketed=self.pages_bucketed,
+        ).withColumn("_real_status", F.lit(None).cast("int"))
+        hits = self._parse_hits(
+            fetched, in_stream_304=self.conditional_fetch and not digest_mode
         )
-        if self.conditional_fetch and not digest_mode:
+        return self._finish_round(
+            t0, round_idx, meta0, pending, pending_est, robots,
+            batch, blocked, allowed, hits, results_nm, None, None,
+        )
+
+    def _parse_hits(self, fetched: DataFrame, in_stream_304: bool) -> DataFrame:
+        """The fused parse stage over fetched rows — shared by the simulated
+        join and the live HTTP fetcher (both deliver the same shape: url,
+        html, src_text, seq, depth, method, _payload_key, _prior_hash,
+        _real_status)."""
+        if in_stream_304:
             # in-stream 304 path (no digest column): hash equality is decided
             # JVM-side in the scan stage; unchanged bodies are nulled HERE so
             # they never cross the Arrow boundary into the parse UDF and
@@ -991,7 +1083,7 @@ class CrawlJob:
             )
         else:
             not_mod = F.lit(False)
-        hits = (
+        return (
             fetched
             .withColumn("_not_modified", not_mod)
             .withColumn(
@@ -1008,6 +1100,7 @@ class CrawlJob:
                 "depth",
                 "src_text",
                 "_not_modified",
+                "_real_status",
                 F.sha2(F.col("html"), 256).alias("content_hash"),  # F3/D3
                 # P7: the reference extracts links only from non-blank content
                 # (scraper.py:186-193); blank pages are still marked done.
@@ -1024,6 +1117,12 @@ class CrawlJob:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
+    def _finish_round(
+        self, t0, round_idx, meta0, pending, pending_est, robots,
+        batch, blocked, allowed, hits, results_nm, fetch_errors, raw_fetch,
+    ) -> dict | None:
+        """Link expansion → round delta → snapshot commit + metrics —
+        identical for both fetch modes."""
         # --- link expansion (O2 → D1 → §7.4 ordering) ---
         edges = (
             hits.where(F.col("has_content"))  # P7 empty-content branch
@@ -1066,7 +1165,7 @@ class CrawlJob:
 
         delta, next_seq = self._round_delta(
             batch, blocked, hits, new, round_idx, meta0, robots=robots,
-            results_nm=results_nm,
+            results_nm=results_nm, fetch_errors=fetch_errors,
         )
 
         # --- metrics (A1/A2/A4 parity + engine extensions) ride ON the write
@@ -1133,7 +1232,9 @@ class CrawlJob:
                 )
                 .collect()[0]["nxt"]
             )
-            for df in (batch, hits, new):
+            for df in (batch, hits, new) + (
+                (raw_fetch,) if raw_fetch is not None else ()
+            ):
                 df.unpersist()  # pending stays: the cache still reflects
             # the rolled-back (= unchanged) frontier snapshot
             if nxt is None:
@@ -1185,7 +1286,9 @@ class CrawlJob:
         self._advance_pending_cache(
             pending, delta_committed, n_done + n_err + n_blocked + n_new
         )
-        for df in (batch, hits, new):
+        for df in (batch, hits, new) + (
+            (raw_fetch,) if raw_fetch is not None else ()
+        ):
             df.unpersist()
         self._maybe_compact(metrics)
         return metrics
@@ -1194,6 +1297,7 @@ class CrawlJob:
         self, batch, blocked, hits, new, round_idx: int, meta0: dict,
         robots: DataFrame | None = None,
         results_nm: DataFrame | None = None,
+        fetch_errors: DataFrame | None = None,
     ) -> tuple[DataFrame, int]:
         """The round's O(batch+new) state delta: touched rows + new rows.
 
@@ -1271,6 +1375,7 @@ class CrawlJob:
             *_FETCH_KEYS,
             F.lit(True).alias("_hit"),
             F.col("_not_modified").alias("_nm"),
+            F.col("_real_status"),
             F.col("content_hash").alias("_content_hash"),
             title_with_fallback(F.col("raw_title"), F.col("url")).alias("_page_title"),
             F.sha2(F.col("text"), 256).alias("_text_sha"),
@@ -1284,8 +1389,21 @@ class CrawlJob:
         # columns — the parse was skipped, and the body is byte-identical to
         # the capture those columns were computed from, so they still hold
         nm = F.col("_hit") & F.col("_nm")
+        keyed_batch = batch.withColumn("_payload_key", _payload_key())
+        if fetch_errors is not None:
+            # live-fetch mode: transport/HTTP failures carry their real
+            # message (timeout, "503 Service Unavailable", DNS error — the
+            # reference's str(e), scraper.py:100-109); rows in neither
+            # results nor errors keep the simulated-miss constant below
+            keyed_batch = keyed_batch.join(
+                fetch_errors, on=_FETCH_KEYS, how="left"
+            )
+        else:
+            keyed_batch = keyed_batch.withColumn(
+                "_err", F.lit(None).cast("string")
+            )
         updated = (
-            batch.withColumn("_payload_key", _payload_key())
+            keyed_batch
             .join(results, on=_FETCH_KEYS, how="left")
             .select(
                 *[c for c in FRONTIER_COLS if c not in _RESULT_COLS],
@@ -1293,10 +1411,11 @@ class CrawlJob:
                 .otherwise(F.lit("error"))
                 .alias("status"),
                 F.when(F.col("_hit"), F.lit(None).cast("string"))
-                .otherwise(F.lit("404 Not Found"))
+                .otherwise(F.coalesce(F.col("_err"), F.lit("404 Not Found")))
                 .alias("error_message"),
                 F.when(nm, F.lit(304))
-                .when(F.col("_hit"), F.lit(200))
+                .when(F.col("_hit"), F.coalesce(F.col("_real_status"),
+                                                F.lit(200)))
                 .cast("int")
                 .alias("status_code"),
                 F.when(F.col("_hit"), F.col("_content_hash")).alias("content_hash"),

@@ -1,0 +1,248 @@
+"""Real HTTP fetch execution — the live-network variant of S2/S3.
+
+``simulated_fetch`` (plans/crawl.py) resolves a scheduled batch against a
+pre-captured pages table; this module actually fetches it, behind the same
+round interface: :class:`HttpFetcher` turns the round's probe frame into
+fetched rows via ``mapInPandas`` — an Arrow-batched stage running a bounded
+thread pool per task, host-partitioned so every host's fetches are
+SEQUENTIAL (politeness-correct) while distinct hosts proceed in parallel.
+No per-row Python UDFs: one pool per partition, one pandas frame in/out.
+
+Reference semantics reproduced (scraper.py:39-109 ``scrape_page``,
+scraper.py:119-149 ``fetch_post_content``):
+
+- 10 s timeout (``timeout`` param), ``Referer`` header when the row carries
+  a referrer, User-Agent always sent.
+- ``response.encoding = response.apparent_encoding`` re-decode: the
+  reference lets chardet pick the encoding REGARDLESS of the header. The
+  stdlib stand-in (chardet is not in this environment) is declared-charset
+  sniffing — Content-Type header charset, else the first meta charset
+  declaration in the body (the same declared subset as
+  functions/canonical.py's WHATWG kernel), else UTF-8 with replacement.
+- ``raise_for_status`` → error rows: a non-2xx/3xx response yields
+  ``error_message = "<code> <reason>"`` (the engine's stable rendering —
+  matching ``simulated_fetch``'s miss rows, which write ``404 Not Found``),
+  ``status_code = NULL`` and empty content, exactly the reference's
+  exception path (ScrapedPage(content="", status_code=None, error=str(e))).
+- transport failures → ``error_message = "timed out"`` /
+  ``str(e.reason)``; POST rows send the frontier payload (JSON object →
+  urlencoded form, the ``requests.post(data=dict)`` analog; non-JSON
+  payloads post as raw bytes).
+
+Scale shape: the input is the round's politeness-capped batch (bounded by
+construction — ``host_quota_expr`` × hosts), hash-partitioned on host so a
+task holds complete hosts; concurrency = pool_size per task × tasks.
+``pace=True`` additionally sleeps ``crawl_delay`` between a host's
+consecutive fetches (the reference's ``time.sleep`` politeness,
+scraper.py:34-36, minus the global serialization); the default leaves
+pacing to the virtual fetch-slot evidence, which e2e tests replay.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: declared-charset sniff patterns (Python-side mirror of the WHATWG
+#: declared subset in functions/canonical.py — header first, then meta).
+_META_CHARSET_RE = re.compile(
+    rb"(?i)<meta[^>]*charset\s*=\s*[\"']?([a-zA-Z0-9_-]+)"
+)
+_HEADER_CHARSET_RE = re.compile(r"(?i)charset\s*=\s*[\"']?([a-zA-Z0-9_-]+)")
+
+
+def sniff_decode(body: bytes, content_type: str | None) -> str:
+    """Decode a response body per the module-doc encoding contract."""
+    enc = None
+    if content_type:
+        m = _HEADER_CHARSET_RE.search(content_type)
+        if m:
+            enc = m.group(1)
+    if enc is None:
+        m = _META_CHARSET_RE.search(body[:4096])
+        if m:
+            enc = m.group(1).decode("ascii", "ignore")
+    for candidate in ([enc] if enc else []) + ["utf-8"]:
+        try:
+            return body.decode(candidate)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return body.decode("utf-8", errors="replace")
+
+
+def _fetch_one(
+    url: str,
+    method: str,
+    payload: str | None,
+    referrer: str | None,
+    user_agent: str,
+    timeout: float,
+    max_body_bytes: int | None,
+) -> tuple[str, int | None, str | None]:
+    """(html, status_code, error_message) for one URL — reference
+    semantics per the module doc. Never raises."""
+    import json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    if not (url or "").strip():
+        return "", None, "URL is empty"  # P1 guard (scraper.py:41-45)
+    headers = {"User-Agent": user_agent}
+    if referrer:
+        headers["Referer"] = referrer
+    data = None
+    if (method or "GET").upper() != "GET":
+        try:
+            obj = json.loads(payload) if payload else {}
+            if isinstance(obj, dict):
+                data = urllib.parse.urlencode(obj).encode("ascii")
+            else:
+                raise ValueError
+        except (ValueError, TypeError):
+            data = (payload or "").encode("utf-8")
+    req = urllib.request.Request(
+        url, data=data, headers=headers,
+        method=(method or "GET").upper(),
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            status = int(resp.status)
+            if status >= 400:  # raise_for_status analog (urllib usually
+                # raises HTTPError itself; belt and braces for opener quirks)
+                return "", None, f"{status} {resp.reason}"
+            body = resp.read(
+                max_body_bytes + 1 if max_body_bytes else None
+            )
+            if max_body_bytes and len(body) > max_body_bytes:
+                return "", None, f"body exceeds {max_body_bytes} bytes"
+            html = sniff_decode(body, resp.headers.get("Content-Type"))
+            return html, status, None
+    except urllib.error.HTTPError as e:
+        return "", None, f"{e.code} {e.reason}"
+    except TimeoutError:
+        return "", None, "timed out"
+    except urllib.error.URLError as e:
+        reason = e.reason
+        if isinstance(reason, TimeoutError):
+            return "", None, "timed out"
+        return "", None, str(reason)
+    except Exception as e:  # noqa: BLE001 — reference stores str(e)
+        return "", None, str(e)
+
+
+class HttpFetcher:
+    """Batched HTTP fetch stage behind the ``simulated_fetch`` interface.
+
+    ``fetch(probe)`` appends (html, status_code, error_message) to every
+    probe row. The probe must carry ``url``/``method``/``host`` and may
+    carry ``payload``/``referrer``/``fetch_slot``/``seq``/``crawl_delay``;
+    all input columns pass through untouched. Error rows follow the
+    reference's exception path: empty html, NULL status_code, message set.
+    """
+
+    def __init__(
+        self,
+        timeout: float = 10.0,
+        pool_size: int = 16,
+        user_agent: str = "MyScraperBot",
+        pace: bool = False,
+        max_body_bytes: int | None = None,
+    ) -> None:
+        self.timeout = float(timeout)
+        self.pool_size = int(pool_size)
+        self.user_agent = user_agent
+        self.pace = bool(pace)
+        self.max_body_bytes = max_body_bytes
+
+    def fetch(self, probe: DataFrame) -> DataFrame:
+        timeout = self.timeout
+        pool_size = self.pool_size
+        user_agent = self.user_agent
+        pace = self.pace
+        max_body = self.max_body_bytes
+        in_cols = probe.columns
+        schema = StructType(
+            list(probe.schema.fields)
+            + [
+                StructField("html", StringType()),
+                StructField("status_code", IntegerType()),
+                StructField("error_message", StringType()),
+            ]
+        )
+
+        def run(batches):
+            import time as _time
+            from concurrent.futures import ThreadPoolExecutor
+
+            import pandas as pd
+
+            frames = list(batches)
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True)
+            # a host's rows fetch sequentially in slot order — politeness
+            order_cols = [
+                c for c in ("host", "fetch_slot", "seq") if c in pdf.columns
+            ]
+            if order_cols:
+                pdf = pdf.sort_values(order_cols, kind="stable").reset_index(
+                    drop=True
+                )
+
+            def fetch_host(idx: list[int]) -> list[tuple]:
+                out = []
+                for j, i in enumerate(idx):
+                    row = pdf.iloc[i]
+                    if pace and j and "crawl_delay" in pdf.columns:
+                        d = row.get("crawl_delay")
+                        if d is not None and not pd.isna(d) and d > 0:
+                            _time.sleep(float(d))
+                    out.append(
+                        _fetch_one(
+                            row["url"],
+                            row.get("method", "GET"),
+                            row.get("payload"),
+                            row.get("referrer"),
+                            user_agent,
+                            timeout,
+                            max_body,
+                        )
+                    )
+                return out
+
+            by_host: dict[str, list[int]] = {}
+            for i, h in enumerate(
+                pdf["host"] if "host" in pdf.columns else pdf["url"]
+            ):
+                by_host.setdefault(h, []).append(i)
+            results: list[tuple | None] = [None] * len(pdf)
+            with ThreadPoolExecutor(
+                max_workers=max(1, min(pool_size, len(by_host) or 1))
+            ) as ex:
+                for idx, res in zip(
+                    by_host.values(), ex.map(fetch_host, by_host.values())
+                ):
+                    for i, r in zip(idx, res):
+                        results[i] = r
+            pdf["html"] = [r[0] for r in results]
+            pdf["status_code"] = pd.array(
+                [r[1] for r in results], dtype="Int32"
+            )
+            pdf["error_message"] = [r[2] for r in results]
+            yield pdf
+
+        parted = (
+            probe.repartition(F.col("host"))
+            if "host" in in_cols
+            else probe
+        )
+        return parted.mapInPandas(run, schema=schema)

@@ -1,0 +1,278 @@
+"""Live HTTP fetch (S2 executable variant) — e2e vs the simulated join.
+
+A stdlib ``http.server`` fixture (threaded, bound to 0.0.0.0 so the
+127.0.0.0/8 loopback block provides several distinct virtual hosts on one
+socket) serves a small linked corpus. The same corpus backs a pages table,
+so one CrawlJob runs the simulated fetch join and another actually fetches
+over HTTP — final frontier state must be byte-identical, including the
+missing-link 404 path, the encoding re-decode (shift_jis meta declaration,
+header-declared latin-1) and the text/content hashes. Timeout and non-200
+responses get their own live-only assertions (the simulated join cannot
+express them), as does POST payload round-tripping and per-host sequential
+fetch ordering (politeness)."""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.plans.crawl import CrawlJob, FRONTIER_COLS
+from scrape_spark.plans.httpfetch import HttpFetcher, sniff_decode
+from scrape_spark.plans.statestore import SnapshotStore
+from scrape_spark.session import local_df
+
+
+class _Handler(BaseHTTPRequestHandler):
+    routes: dict[str, tuple[int, str, bytes]] = {}
+    log: list[tuple[str, str, float]] = []
+    lock = threading.Lock()
+
+    def _serve(self, body_extra: bytes = b"") -> None:
+        with _Handler.lock:
+            _Handler.log.append(
+                (self.headers.get("Host", ""), self.path, time.monotonic())
+            )
+        if self.path == "/slow":
+            time.sleep(2.0)
+        route = _Handler.routes.get(self.path)
+        if route is None:
+            self.send_error(404, "Not Found")
+            return
+        status, ctype, body = route
+        body = body + body_extra
+        if status >= 400:
+            self.send_error(status)
+            return
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        self._serve()
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        posted = self.rfile.read(n)
+        self._serve(body_extra=b"<p>posted:" + posted + b"</p>")
+
+    def log_message(self, *a):  # silence stderr
+        pass
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("0.0.0.0", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _host(i: int, srv) -> str:
+    return f"127.0.0.{i + 2}:{srv.server_address[1]}"
+
+
+def _corpus(srv):
+    """(pages_rows, routes): 2 virtual hosts, hierarchical paths (the crawl
+    confines links UNDER the referring page's path — is_under_base, P2),
+    one dangling missing link per host, one shift_jis page (meta charset),
+    one latin-1 page (header charset only)."""
+    rows, routes = [], {}
+
+    def page(host_i, path, html, enc="utf-8", ctype="text/html"):
+        url = f"http://{_host(host_i, srv)}{path}"
+        rows.append((url, html, f"text-of {url}"))
+        routes[path] = (200, ctype, html.encode(enc))
+        return url
+
+    for hi in range(2):
+        h = _host(hi, srv)
+        extra = (
+            f'<a href="http://{h}/h{hi}/sjis">enc</a>' if hi == 0
+            else f'<a href="http://{h}/h{hi}/latin">enc</a>'
+        )
+        page(
+            hi,
+            f"/h{hi}/",
+            f'<html><title>H{hi} root</title><body>'
+            f'<a href="http://{h}/h{hi}/a">one</a>'
+            f'<a href="http://{h}/h{hi}/b">two</a>{extra}</body></html>',
+        )
+        page(
+            hi,
+            f"/h{hi}/a",
+            f'<html><title>H{hi} a</title><body>'
+            f'<a href="http://{h}/h{hi}/a/deep">three</a>'
+            f'<a href="http://{h}/h{hi}/a/missing">gone</a></body></html>',
+        )
+        page(hi, f"/h{hi}/b", "")  # blank body: done, no links (P7)
+        page(
+            hi,
+            f"/h{hi}/a/deep",
+            f"<html><title>H{hi} deep</title><body>leaf</body></html>",
+        )
+    # encoding paths: meta-declared shift_jis; header-declared latin-1
+    page(
+        0,
+        "/h0/sjis",
+        '<html><head><meta charset="shift_jis"><title>日本語</title></head>'
+        "<body>テキスト本文</body></html>",
+        enc="shift_jis",
+    )
+    page(
+        1,
+        "/h1/latin",
+        "<html><title>café</title><body>déjà vu</body></html>",
+        enc="latin-1",
+        ctype="text/html; charset=iso-8859-1",
+    )
+    return rows, routes
+
+
+def _job(spark, tmp_path, name, pages, fetcher=None, **kw):
+    store = SnapshotStore(spark, str(tmp_path / name))
+    robots = local_df(spark, [], "host string, robots_txt string")
+    return CrawlJob(
+        spark, store, pages, robots, n_buckets=4,
+        bucket_capacity=1 << 10, fetcher=fetcher, **kw,
+    )
+
+
+def _state(job) -> dict[str, tuple]:
+    cols = [c for c in FRONTIER_COLS]
+    return {
+        r["url"]: tuple(r[c] for c in cols if c != "url")
+        for r in job.frontier().select(*cols).collect()
+    }
+
+
+def test_live_state_byte_identical_to_simulated(spark, tmp_path, server):
+    rows, routes = _corpus(server)
+    _Handler.routes = routes
+    pages = local_df(spark, rows, "url string, html string, text string")
+    seeds = [f"http://{_host(i, server)}/h{i}/" for i in range(2)]
+
+    sim = _job(spark, tmp_path, "sim", pages)
+    sim.seed(seeds)
+    sim.run(max_rounds=10)
+
+    live = _job(
+        spark, tmp_path, "live", pages, fetcher=HttpFetcher(timeout=5.0)
+    )
+    live.seed(seeds)
+    live.run(max_rounds=10)
+
+    s, l = _state(sim), _state(live)
+    assert set(s) == set(l)
+    for url in s:
+        assert s[url] == l[url], (url, s[url], l[url])
+    # sanity: the crawl actually exercised the paths under test
+    statuses = {u: v[11] for u, v in s.items()}  # status col index
+    assert sum(1 for v in statuses.values() if v == "error") == 2  # missing×2
+    assert any(u.endswith("/h0/sjis") for u in s)
+    assert any(u.endswith("/h1/latin") for u in s)
+
+
+def test_live_error_rows_carry_reference_semantics(spark, tmp_path, server):
+    """Non-200 → '<code> <reason>' error rows with NULL status_code (the
+    raise_for_status path); unreachable-port → transport error string."""
+    _Handler.routes = {
+        "/": (
+            200,
+            "text/html",
+            b'<html><body><a href="/gone">x</a></body></html>',
+        ),
+        "/gone": (410, "text/html", b""),
+    }
+    h = _host(0, server)
+    live = _job(
+        spark, tmp_path, "err", None, fetcher=HttpFetcher(timeout=5.0)
+    )
+    live.seed([f"http://{h}/"])
+    live.run(max_rounds=5)
+    st = {
+        r["url"]: (r["status"], r["error_message"], r["status_code"])
+        for r in live.frontier().collect()
+    }
+    assert st[f"http://{h}/"] == ("done", None, 200)
+    assert st[f"http://{h}/gone"] == ("error", "410 Gone", None)
+
+
+def test_live_timeout_rows(spark, tmp_path, server):
+    _Handler.routes = {
+        "/": (
+            200,
+            "text/html",
+            b'<html><body><a href="/slow">s</a></body></html>',
+        ),
+        "/slow": (200, "text/html", b"<html>slow</html>"),
+    }
+    h = _host(1, server)
+    live = _job(
+        spark, tmp_path, "tmo", None, fetcher=HttpFetcher(timeout=0.5)
+    )
+    live.seed([f"http://{h}/"])
+    live.run(max_rounds=5)
+    st = {
+        r["url"]: (r["status"], r["error_message"])
+        for r in live.frontier().collect()
+    }
+    assert st[f"http://{h}/slow"] == ("error", "timed out")
+
+
+def test_live_post_payload_roundtrip(spark, tmp_path, server):
+    _Handler.routes = {
+        "/form": (200, "text/html", b"<html><title>form</title>"),
+    }
+    h = _host(0, server)
+    url = f"http://{h}/form"
+    live = _job(
+        spark, tmp_path, "post", None, fetcher=HttpFetcher(timeout=5.0)
+    )
+    live.seed([(url, "POST", '{"q": "spark", "n": 2}')])
+    live.run(max_rounds=2)
+    row = live.frontier().where(F.col("url") == url).collect()[0]
+    assert row["status"] == "done" and row["status_code"] == 200
+    expected = "<html><title>form</title><p>posted:q=spark&n=2</p>"
+    assert row["content_hash"] == hashlib.sha256(
+        expected.encode()
+    ).hexdigest()
+
+
+def test_per_host_fetches_are_sequential_in_seq_order(spark, tmp_path, server):
+    """Politeness: one host's fetches arrive strictly in frontier order
+    (the fetcher serializes per host; distinct hosts run in parallel)."""
+    rows, routes = _corpus(server)
+    _Handler.routes = routes
+    _Handler.log = []
+    pages = local_df(spark, rows, "url string, html string, text string")
+    live = _job(
+        spark, tmp_path, "seqorder", pages, fetcher=HttpFetcher(timeout=5.0)
+    )
+    live.seed([f"http://{_host(i, server)}/h{i}/" for i in range(2)])
+    live.run(max_rounds=10)
+    order = {r["url"]: r["seq"] for r in live.frontier().collect()}
+    by_host: dict[str, list[int]] = {}
+    for host, path, _t in _Handler.log:
+        url = f"http://{host}{path}"
+        if url in order:
+            by_host.setdefault(host, []).append(order[url])
+    for host, seqs in by_host.items():
+        assert seqs == sorted(seqs), (host, seqs)
+
+
+def test_sniff_decode_header_meta_fallback():
+    sjis = "<meta charset=shift_jis>日本語".encode("shift_jis")
+    assert "日本語" in sniff_decode(sjis, "text/html")
+    latin = "café".encode("latin-1")
+    assert sniff_decode(latin, "text/html; charset=iso-8859-1") == "café"
+    # undeclared non-utf8 degrades via replacement, never raises
+    assert sniff_decode(b"\xff\xfe caf", "text/html") != ""
+    assert sniff_decode("ok".encode(), None) == "ok"
