@@ -217,3 +217,97 @@ def test_bpe_train_random_corpora_match_reference(spark):
         ]
         got = bpe_train(_docs(spark, texts), n_merges=4)
         assert got == _py_bpe(texts, 4), texts
+
+
+def test_bpe_train_batched_exact_matches_sequential(spark):
+    """Exact batched mode must produce the IDENTICAL merge list — the
+    disjointness + dominance-gap + collision guards are order-equivalence
+    proofs, and this randomized sweep is their executable check."""
+    import random
+
+    from scrape_spark.operators.corpus import bpe_train_batched
+
+    rng = random.Random(321)
+    alphabet = "abcd"
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(3, 14))
+            )
+            for _ in range(4)
+        ]
+        want = _py_bpe(texts, 6)
+        for bs in (2, 8):
+            got = bpe_train_batched(
+                _docs(spark, texts), n_merges=6, batch_size=bs
+            )
+            assert got == want, (texts, bs)
+
+
+def test_bpe_train_batched_exact_on_fixture(spark):
+    from scrape_spark.operators.corpus import bpe_train_batched
+
+    got, stats = bpe_train_batched(
+        _docs(spark), n_merges=8, batch_size=8, return_stats=True
+    )
+    assert got == _py_bpe(_TEXTS, 8)
+    assert stats["iterations"] <= 8 and sum(stats["batches"]) == 8
+
+
+def test_bpe_train_batched_approximate_is_fast_and_valid(spark):
+    """exact=False (parallel-BPE approximation): batches are wide — a
+    disjoint-prefix of the count snapshot applies per round — so the
+    iteration count collapses; every merge must still be a genuinely
+    adjacent pair (validity), though order may diverge from sequential."""
+    import string
+
+    from scrape_spark.operators.corpus import bpe_train_batched
+
+    # spread corpus: 24 SYMBOL-DISJOINT frequent pairs (the regime a real
+    # Zipf tail provides in bulk) — all must merge in one round
+    letters = string.ascii_letters
+    words = [letters[2 * i] + letters[2 * i + 1] for i in range(24)]
+    texts = [" ".join(words) for _ in range(3)]
+    merges, stats = bpe_train_batched(
+        _docs(spark, texts),
+        n_merges=24,
+        batch_size=32,
+        exact=False,
+        return_stats=True,
+    )
+    assert len(merges) == 24
+    assert stats["iterations"] <= 2, stats
+    assert sorted(merges) == sorted((w[0], w[1]) for w in words)
+
+
+def test_bpe_train_batched_deep_merge_list_bounded_lineage(spark):
+    """Many iterations of batch-1 merges (worst case: every top pair shares
+    symbols) must not accrete plan lineage — the pre-localCheckpoint
+    implementation OOM'd the driver rendering the plan string at ~24
+    chained fold expressions."""
+    from scrape_spark.operators.corpus import bpe_train_batched
+
+    words = [a + b for a in "abcd" for b in "wxyz"]  # shared-symbol pairs
+    texts = [" ".join(words)] * 2
+    merges, stats = bpe_train_batched(
+        _docs(spark, texts), n_merges=16, batch_size=32, exact=False,
+        return_stats=True,
+    )
+    assert len(merges) == 16
+    assert stats["iterations"] >= 8  # genuinely deep, not one wide batch
+
+
+def test_bpe_train_batched_collision_guard(spark):
+    """A merge whose concatenation equals an existing symbol must end its
+    batch (old-pair counts can be boosted) — the 'ab' token created by
+    merging (a,b) collides with nothing here, but merging single chars in
+    a corpus containing the literal two-char word exercises the path."""
+    from scrape_spark.operators.corpus import bpe_train_batched
+
+    texts = ["ab ab ab a b a b a b c d c d"]
+    # chars: 'ab' appears as a word (symbols a,b) — merging (a,b) creates
+    # tokens equal to existing adjacencies; exact mode must still match
+    assert bpe_train_batched(
+        _docs(spark, texts), n_merges=3, batch_size=8
+    ) == _py_bpe(texts, 3)
