@@ -4226,6 +4226,46 @@ def q_change_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_estimate(caps, now=_RECRAWL_NOW)
 
 
+def _cgm_oracle() -> str:
+    from scrape_spark.operators.recrawl import cgm_change_rate_sql
+
+    return cgm_change_rate_sql(_RECRAWL_CAPS_DD, _RECRAWL_NOW)
+
+
+@_q("cgm_recrawl", _cgm_oracle())
+def q_cgm_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho–Garcia-Molina Poisson change-rate estimate + staleness-aware
+    expected-misses priority per URL (integer ln-table kernel, bit-exact
+    on both engines)."""
+    from scrape_spark.operators.recrawl import cgm_change_rate
+
+    d = F.col("doc_id")
+    marker = F.expr(
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0 "
+        "WHEN 1 THEN v ELSE v div 2 END"
+    )
+    caps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            F.concat(
+                F.lit("http://host"),
+                (d % 8).cast("string"),
+                F.lit(".test/p/"),
+                d.cast("string"),
+            ).alias("url"),
+            (F.lit(1700000000) + d * 10 + F.col("v"))
+            .cast("long")
+            .alias("warc_ts"),
+            F.concat(F.col("text"), F.lit(" v"), marker.cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    return cgm_change_rate(caps, now=_RECRAWL_NOW)
+
+
 # -- anti-spam: TrustRank over the same webgraph fixture -----------------------
 # Seeds = the hub node 0 plus two mid-graph nodes; trust mass propagates
 # forward only, so pages unreachable from the vetted set score 0 — the

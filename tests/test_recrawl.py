@@ -220,3 +220,138 @@ def test_change_estimate_drops_null_timestamp_captures(spark):
         change_estimate_sql("SELECT * FROM c", NOW)
     ).fetchall()[0]
     assert tuple(got) == duck
+
+
+# ---------------------------------------------------------------------------
+# Cho–Garcia-Molina Poisson estimator
+# ---------------------------------------------------------------------------
+
+
+def _py_cgm_lambda_q(n_obs: int, x: int) -> int:
+    """Pure-Python mirror of the integer kernel (same table arithmetic)."""
+    from scrape_spark.operators.recrawl import CGM_MAX_N, _cgm_ln_table
+
+    t = _cgm_ln_table()
+    n_c = min(n_obs, CGM_MAX_N)
+    x_c = 0 if n_obs <= 0 else (x * n_c) // n_obs
+    return t[2 * n_c + 1] - t[2 * (n_c - x_c) + 1]
+
+
+def test_cgm_static_and_always_changing(spark):
+    from scrape_spark.operators.recrawl import cgm_change_rate
+
+    caps = _caps(
+        spark,
+        [("http://s.test/", 1_000_000 + 10 * i, "same") for i in range(5)]
+        + [("http://c.test/", 1_000_000 + 10 * i, f"v{i}") for i in range(5)],
+    )
+    rows = {r["url"]: r for r in cgm_change_rate(caps, now=NOW).collect()}
+    s, c = rows["http://s.test/"], rows["http://c.test/"]
+    # never changed: lambda and priority exactly 0
+    assert s["x_changes"] == 0 and s["cgm_lambda_q"] == 0 and s["priority"] == 0
+    # changed every interval (X = n): lambda = T(2n+1) - T(1) = T(9), finite
+    assert c["x_changes"] == 4
+    assert c["cgm_lambda_q"] == _py_cgm_lambda_q(4, 4) > 0
+    # expected misses = lambda * age / mean_interval, exact ints
+    assert c["mean_interval"] == 10
+    assert c["expected_misses_q"] == (c["cgm_lambda_q"] * c["age"]) // 10
+    assert c["priority"] == c["expected_misses_q"]
+
+
+def test_cgm_corrects_saturation_vs_naive(spark):
+    """A page changing faster than the capture cadence: the naive
+    changes/interval estimate saturates at 1; CGM's -ln((n-X+.5)/(n+.5))
+    grows with X/n — partial observation is corrected upward."""
+    half = _py_cgm_lambda_q(10, 5)
+    nine = _py_cgm_lambda_q(10, 9)
+    full = _py_cgm_lambda_q(10, 10)
+    import math
+
+    assert 0 < half < nine < full
+    # X = n/2 → -ln((5.5)/(10.5)) ≈ 0.647 — above the naive 0.5
+    assert abs(half / (1 << 24) - (-math.log(5.5 / 10.5))) < 1e-6
+    # X = n → finite (the +0.5 regularizer), ≈ ln(21/1) = 3.04
+    assert abs(full / (1 << 24) - math.log(21.0)) < 1e-6
+
+
+def test_cgm_single_capture_and_long_history_rescale(spark):
+    from scrape_spark.operators.recrawl import CGM_MAX_N, cgm_change_rate
+
+    caps = _caps(
+        spark,
+        [("http://one.test/", 1_500_000, "x")]
+        + [
+            ("http://long.test/", 1_000_000 + i, f"v{i % 2 and i or 0}")
+            for i in range(300)
+        ],
+    )
+    rows = {r["url"]: r for r in cgm_change_rate(caps, now=NOW).collect()}
+    one = rows["http://one.test/"]
+    assert one["n_obs"] == 0 and one["cgm_lambda_q"] == 0 and one["priority"] == 0
+    lng = rows["http://long.test/"]
+    assert lng["n_obs"] == 299 > CGM_MAX_N
+    assert lng["cgm_lambda_q"] == _py_cgm_lambda_q(299, lng["x_changes"])
+
+
+def test_cgm_duckdb_parity(spark):
+    import duckdb
+
+    from scrape_spark.operators.recrawl import (
+        cgm_change_rate,
+        cgm_change_rate_sql,
+    )
+
+    rows = []
+    for u in range(24):
+        for i in range(u % 7 + 1):
+            rows.append(
+                (
+                    f"http://h{u % 5}.test/p{u}",
+                    1_000_000 + 13 * i + u,
+                    f"content {u} rev {(i * (u % 3)) % 4}",
+                )
+            )
+    caps = _caps(spark, rows)
+    got = sorted(tuple(r) for r in cgm_change_rate(caps, now=NOW).collect())
+    vals = ", ".join(f"('{u}', {t}, '{x}')" for u, t, x in rows)
+    sql = cgm_change_rate_sql(
+        f"SELECT * FROM (VALUES {vals}) t(url, warc_ts, text)", NOW
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_cgm_estimator_converges_on_synthetic_poisson(spark):
+    """Property: on capture histories sampled from a true Poisson change
+    process, the estimated rate converges to the true rate (the naive
+    X/(n·I) estimator does NOT at high rates — that is the point of CGM).
+    Pure-Python over the same integer kernel; no Spark needed."""
+    import math
+    import random
+
+    from scrape_spark.operators.recrawl import CGM_MAX_N
+
+    rng = random.Random(20260821)
+    interval = 10.0
+    for lam_i in (0.25, 0.8, 2.0):  # true changes per capture interval
+        p_change = 1.0 - math.exp(-lam_i)
+        n = CGM_MAX_N
+        ests = []
+        for _ in range(60):
+            x = sum(1 for _ in range(n) if rng.random() < p_change)
+            lam_q = _py_cgm_lambda_q(n, x)
+            ests.append(lam_q / (1 << 24) / interval)  # per-second rate
+        mean_est = sum(ests) / len(ests)
+        true_rate = lam_i / interval
+        if lam_i <= 1.0:
+            assert abs(mean_est - true_rate) <= 0.15 * true_rate, (
+                lam_i,
+                mean_est,
+            )
+        else:
+            # X/n saturates near 1: naive estimate would floor at ~0.086/s
+            # equivalent; CGM must exceed it substantially and be within
+            # ~35% of truth (binomial + clamp noise at n=128)
+            naive_cap = 1.0 / interval
+            assert mean_est > naive_cap * 1.5
+            assert abs(mean_est - true_rate) <= 0.35 * true_rate
