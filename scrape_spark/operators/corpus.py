@@ -273,13 +273,19 @@ def connected_components(
         l2 = stepped.select(
             F.col("id").alias("_cid"), F.col("label").alias("_clabel")
         )
+        # eager localCheckpoint, NOT persist: a cache short-circuits
+        # execution but the logical plan still accretes two joins per
+        # round, and analysis of the accumulated tree OOM'd the driver at
+        # sf1 round depths (caught by the stress sweep). The checkpoint
+        # materializes AND cuts lineage — every round plans against a flat
+        # scan (same bounded-lineage discipline as webrank/bpe_train).
         compressed = (
             stepped.join(l2, on=stepped["label"] == l2["_cid"], how="left")
             .select(
                 "id",
                 F.coalesce(F.col("_clabel"), F.col("label")).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             compressed.alias("n")

@@ -195,9 +195,17 @@ def fingerprint_neardup_pairs(
     return (
         left.join(right, on=["block_idx", "block_val"], how="inner")
         .where(F.col("id_1") < F.col("id_2"))
-        .dropDuplicates(["id_1", "id_2"])
+        # popcount verify BEFORE the dedupe shuffle: the sf1 stress sweep
+        # caught the old order (dedupe first) moving the ENTIRE raw
+        # candidate volume through the exchange — on a corpus whose
+        # fingerprint bits correlate (any shared-vocabulary web corpus), a
+        # hot block can hold 10^4-10^5 docs and the candidate set runs to
+        # 10^9 rows; the map-side Hamming filter kills ~99.9% of them for
+        # free (hamming is a pure function of the pair, so filtering
+        # before or after duplicate removal is semantically identical)
         .withColumn("hamming", F.expr("bit_count(sh_1 ^ sh_2)").cast("long"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_1", "id_2"])
         .select("id_1", "id_2", "hamming")
     )
 

@@ -7,7 +7,12 @@ row-sorted string renderings. Exit code 0 iff every checked query is green.
 
 Usage:
     python tests/run_oracle_check.py [query ...]      # default: all
+    python tests/run_oracle_check.py --sf-dir DIR [query ...]
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01          # table dir (default)
+
+``--sf-dir`` points both engines at another table directory — e.g. the
+``tools/gen_stress.py`` sf1 corpus for the scale-stress sweep (r4). Each
+result row carries ``sec`` (wall seconds for the Spark run + compare).
 """
 
 from __future__ import annotations
@@ -47,8 +52,13 @@ def main() -> int:
     import __spark_entry__ as entry
     from scrape_spark.session import get_spark
 
+    argv = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    wanted = sys.argv[1:]
+    if "--sf-dir" in argv:
+        i = argv.index("--sf-dir")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    wanted = argv
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = [n for n in qs if not wanted or n in wanted]
@@ -60,8 +70,11 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    import time
+
     failures = 0
     for name in names:
+        t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
             srows = sdf.collect()
@@ -94,6 +107,7 @@ def main() -> int:
                             "hash_match": hash_match,
                             "spark_rows": len(srows),
                             "oracle_rows": len(orows),
+                            "sec": round(time.time() - t0, 2),
                         }
                     }
                 )
