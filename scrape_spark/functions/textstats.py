@@ -74,6 +74,7 @@ SPARK_DIALECT = {
     "ainter": "array_intersect({arr}, {brr})",  # set intersect (dedup; order engine-specific)
     "aslice": "slice({arr}, 1, {k})",  # first k elements (fewer if shorter)
     "asliceat": "slice({arr}, {i}, {n})",  # n elements from 1-based pos i
+    "shl1": "shiftleft(CAST(1 AS BIGINT), {k})",  # 2^k as BIGINT
 }
 DUCK_DIALECT = {
     "chr": "unicode({x})",
@@ -106,6 +107,7 @@ DUCK_DIALECT = {
     "ainter": "list_intersect({arr}, {brr})",
     "aslice": "({arr})[1:{k}]",
     "asliceat": "({arr})[({i}):(({i}) + ({n}) - 1)]",
+    "shl1": "(CAST(1 AS BIGINT) << ({k}))",  # 2^k as BIGINT
 }
 
 
@@ -124,6 +126,99 @@ def _char_fold(s: str, d: dict, base: int = 31) -> str:
     return d["fold0"].format(
         arr=codes, lam=f"(acc, c) -> (acc * {int(base)} + c) % {HASH_P}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point natural log — the engine-proof ln for quantized scores
+# ---------------------------------------------------------------------------
+# Round 4's driver gate proved that even "identical IEEE expression trees"
+# can hash-diverge across environments (lang_temperature_plan), and ln() is
+# worse than the arithmetic ops: libm/JVM log implementations are only
+# 1-ulp-accurate, NOT identical between platforms. Every kernel whose
+# QUANTIZED output (floor over a score) consumed ln() therefore rode an
+# assumption. This kernel removes it: ``lnq_sql(m)`` computes
+# ``~round(ln(m) * 2^20)`` for integer ``1 <= m < 2^46`` in EXACT int64
+# arithmetic — decompose m = 2^k * (1 + i/128 + f), take k from the binary
+# string length (bin() is exact on both engines), look k·ln2 and
+# ln(1 + i/128) up in spliced integer tables (the CGM ln-table discipline,
+# operators/recrawl.py), and linearly interpolate the 1/128-wide cell with
+# a 16-bit integer fraction. Max |lnq/2^20 − ln| ≈ 3e-5 nats (measured over
+# the domain) — the kernel DEFINES the score semantics; both engines splice
+# the same table text, so parity is constructed, not assumed.
+#
+# Overflow bounds (documented contract): m < 2^46 keeps m*128 < 2^53 and
+# the 16-bit cell fraction product < 2^61; callers pass counts (corpus
+# token / bigram totals), far below 7·10^13 in any per-shard model.
+
+#: fixed-point bits of lnq (score quantizers divide this back out)
+LNQ_BITS = 20
+_LNQ_Q = 1 << LNQ_BITS
+
+
+def _lnq_tables() -> tuple[list[int], int]:
+    import math
+
+    t = [round(math.log1p(i / 128) * _LNQ_Q) for i in range(129)]
+    return t, round(math.log(2) * _LNQ_Q)
+
+
+def lnq_sql(m: str, d: dict) -> str:
+    """``round-ish(2^20 * ln(m))`` as one exact-int64 scalar expression.
+
+    ``m`` must be an integer SQL expression with value in [1, 2^46); the
+    expression text is spliced several times, so pass a short column
+    reference or parenthesized arithmetic, not a subquery.
+    """
+    t, ln2q = _lnq_tables()
+    big = f"CAST(({m}) AS BIGINT)"
+    k = f"(length(bin({big})) - 1)"
+    p = d["shl1"].format(k=k)
+    m128 = f"({big} * 128)"
+    i = f"({d['idiv'].format(a=m128, b=p)} - 128)"
+    f16 = d["idiv"].format(a=f"(({m128} % {p}) * 65536)", b=p)
+    ti = "(CASE {i} {w} END)".format(
+        i=i, w=" ".join(f"WHEN {j} THEN {t[j]}" for j in range(128))
+    )
+    dt = "(CASE {i} {w} END)".format(
+        i=i,
+        w=" ".join(f"WHEN {j} THEN {t[j + 1] - t[j]}" for j in range(128)),
+    )
+    interp = d["idiv"].format(a=f"({dt} * ({f16}))", b="65536")
+    return f"CAST({k} * {ln2q} + {ti} + {interp} AS BIGINT)"
+
+
+def lnq_py(m: int) -> int:
+    """Python replica of :func:`lnq_sql` — the spec both engines implement
+    (used to splice constant-argument lookups and by tests)."""
+    t, ln2q = _lnq_tables()
+    k = m.bit_length() - 1
+    p = 1 << k
+    i = (m * 128) // p - 128
+    f16 = ((m * 128) % p) * 65536 // p
+    return k * ln2q + t[i] + (t[i + 1] - t[i]) * f16 // 65536
+
+
+def lnq_wide_sql(m: str, d: dict) -> str:
+    """:func:`lnq_sql` extended to the full int64 domain ``1 <= m < 2^62``:
+    arguments at or above 2^46 evaluate as ``lnq(m div 2^16) + 16·ln2q``
+    (exact-integer shift; the dropped low bits perturb ln by < 2^-45
+    nats — far below the table's own 3e-5 bound, so the spec just folds
+    it in). Same splice-several-times caveat as lnq_sql."""
+    _, ln2q = _lnq_tables()
+    small = lnq_sql(m, d)
+    big = lnq_sql(d["idiv"].format(a=f"({m})", b="65536"), d)
+    return (
+        f"(CASE WHEN ({m}) < {1 << 46} THEN {small}"
+        f" ELSE {big} + {16 * ln2q} END)"
+    )
+
+
+def lnq_wide_py(m: int) -> int:
+    """Python replica of :func:`lnq_wide_sql`."""
+    _, ln2q = _lnq_tables()
+    if m < 1 << 46:
+        return lnq_py(m)
+    return lnq_py(m // 65536) + 16 * ln2q
 
 
 # ---------------------------------------------------------------------------
@@ -779,11 +874,15 @@ def char_entropy_q4_sql(text: str, d: dict) -> str:
     and repeated-character runs score near 0, normal prose ~2.9-3.2,
     random base64-ish noise ~4+. Both tails are curation signals.
 
-    ``H = ln(n) − (Σ cᵢ·ln cᵢ)/n`` with the distinct-char array SORTED
-    before the fold, so both engines sum identical values in identical
-    order — the only floats are ``ln`` over small-int counts, the same
-    IEEE ops on both sides. Clamped at 0 (1-ulp cancellation error on
-    uniform text must not floor to −1); empty text scores 0.
+    ``H = ln(n) − (Σ cᵢ·ln cᵢ)/n`` in EXACT int64 via the spliced lnq
+    table (r5 double-audit: ln is libm-dependent, so the quantized score
+    previously rode a cross-environment bit-identity assumption — the
+    class the r4 driver gate falsified): ``H_q4 = max(0, 10000·(n·lnq(n)
+    − Σ cᵢ·lnq(cᵢ))) div (n·2^20)``. The numerator is clamped BEFORE the
+    division (table error can push uniform text a hair negative, and
+    Spark ``div`` truncates where DuckDB ``//`` floors — they only agree
+    on non-negatives). No fold ordering needed: integer sums commute.
+    Bounds: n ≤ 2000 keeps every product < 2^48. Empty text scores 0.
     """
     n_capped = f"least(length({text}), {ENTROPY_CHARS})"
     chars = d["transform"].format(
@@ -794,15 +893,19 @@ def char_entropy_q4_sql(text: str, d: dict) -> str:
         arr=d["filter"].format(arr="__ch", lam="__y -> __y = __c")
     )
     counts = d["transform"].format(
-        arr=d["asort"].format(arr=d["adistinct"].format(arr="__ch")),
-        lam=f"__c -> CAST({count_of} AS DOUBLE)",
+        arr=d["adistinct"].format(arr="__ch"),
+        lam=f"__c -> CAST({count_of} AS BIGINT)",
     )
-    sumterm = d["dfold0"].format(
-        arr="__cc", lam="(acc, c) -> acc + c * ln(c)"
+    sumterm = d["fold0"].format(
+        arr="__cc", lam=f"(acc, c) -> acc + c * {lnq_sql('c', d)}"
     )
     nv = d["size"].format(arr="__ch")
-    h = f"(ln(CAST({nv} AS DOUBLE)) - ({sumterm}) / CAST({nv} AS DOUBLE))"
-    expr = f"CAST(greatest(0, floor(10000 * {h})) AS BIGINT)"
+    num = (
+        f"greatest(CAST(0 AS BIGINT), 10000 * "
+        f"(CAST({nv} AS BIGINT) * {lnq_sql(nv, d)} - ({sumterm})))"
+    )
+    h_q4 = d["idiv"].format(a=num, b=f"(CAST({nv} AS BIGINT) * {_LNQ_Q})")
+    expr = f"CAST({h_q4} AS BIGINT)"
     bound = _bind(_bind(expr, "__cc", counts, d), "__ch", chars, d)
     # NULL/empty guard OUTSIDE the array construction: Spark's
     # sequence(1, 0) is DESCENDING (the a<=b trap, same as text_hash_sql)

@@ -50,6 +50,10 @@ def shingle_dup_stats(
     (doc_id, n_shingles, n_shared, shared_ratio_q4) with the ratio quantized
     to 1e-4 (floor) for exact cross-engine comparison. Docs with fewer than
     SHINGLE_K words have no shingles and drop out (no denominator).
+    double-audit: floor(10000·a/b) over one correctly-rounded divide of
+    exact per-doc ints, identical expression text both engines; the
+    quotient's distance to any non-equal integer is ≥ 1/b ≫ ulp for
+    per-doc b, so the floor is unambiguous — no libm, deterministic.
     """
     sh = docs.select(
         F.col(id_col),
@@ -115,20 +119,29 @@ def gopher_rules_sql(text: str, d: dict) -> dict[str, str]:
     "Scaling Language Models: ... Gopher", §A1.1) expressible as exact
     arithmetic over the input_hint text shape (single-line, space-delimited;
     the line-shape rules need newlines the fixture doesn't have).
-    All doubles are IEEE via explicit CAST so both engines agree bitwise.
+    double-audit: NO doubles (r5) — the mean-word-length quantizer is an
+    exact integer floor division (numerator non-negative, where Spark
+    ``div`` and DuckDB ``//`` agree); the AWL *bound checks* compare the
+    q4 integer against integer-scaled thresholds.
     """
     nw = f"CAST({ts.token_count_sql(text, d)} AS BIGINT)"
-    awl = (
-        f"((CAST(length({text}) AS DOUBLE) - (CAST({nw} AS DOUBLE) - 1))"
-        f" / CAST({nw} AS DOUBLE))"
+    awl_q4 = d["idiv"].format(
+        a=f"((CAST(length({text}) AS BIGINT) - ({nw} - 1)) * 10000)",
+        b=nw,
     )
     stop = ts.lang_score_sql(text, "en")
     return {
         "n_words": nw,
-        "mean_word_len_q4": f"CAST(floor({awl} * 10000) AS BIGINT)",
+        "mean_word_len_q4": f"CAST({awl_q4} AS BIGINT)",
         "n_stopwords": f"CAST({stop} AS BIGINT)",
         "rule_words": f"({nw} >= {GOPHER_MIN_WORDS} AND {nw} <= {GOPHER_MAX_WORDS})",
-        "rule_word_len": f"({awl} >= {GOPHER_MIN_AWL} AND {awl} <= {GOPHER_MAX_AWL})",
+        # exact rational compare: awl >= L  <=>  len - nw + 1 >= L*nw
+        "rule_word_len": (
+            f"((CAST(length({text}) AS BIGINT) - ({nw} - 1))"
+            f" >= {int(GOPHER_MIN_AWL)} * {nw}"
+            f" AND (CAST(length({text}) AS BIGINT) - ({nw} - 1))"
+            f" <= {int(GOPHER_MAX_AWL)} * {nw})"
+        ),
         "rule_stopwords": f"({stop} >= {GOPHER_MIN_STOPWORDS})",
     }
 
@@ -445,6 +458,8 @@ def contamination_check(
     (id, n_shingles, n_eval_hits, overlap_q4, contaminated) with the ratio
     quantized to 1e-4 (floor) for exact cross-engine comparison; docs with
     fewer than SHINGLE_K words have no shingles and drop out.
+    double-audit: same single correctly-rounded divide argument as
+    shingle_dup_stats — deterministic, no libm.
 
     Scale shape: eval sets are tiny next to the corpus (MMLU+GSM8K+... is
     ~10^5 docs => ~10^6 distinct shingle hashes, a few MB of int64), so the
@@ -1782,6 +1797,46 @@ def bpe_train_batched(
 # ---------------------------------------------------------------------------
 
 
+def _isqrt_ratio_exprs(n: str, total: str, idiv: str) -> tuple:
+    """Three staged SQL expressions computing ``isqrt(floor(1e12*n/total))``
+    in exact int64 arithmetic — the integer-exact equivalent of
+    ``floor(1e6 * sqrt(n/total))`` (for integer k, ``k <= sqrt(x)`` iff
+    ``k*k <= floor(x)``, so flooring the ratio first changes nothing).
+
+    Returns ``(x_expr, g_expr, s_expr)`` where ``x_expr`` references the
+    caller's ``n``/``total`` columns, ``g_expr`` references the staged
+    ``_x``, and ``s_expr`` references ``_x`` and ``_g``:
+
+    - ``x = floor(1e12 * n / total)`` via two-limb long division (no
+      doubles, no overflow for ``total < 9.22e12`` — documented bound,
+      far above the 10^10-URL north-rule scale),
+    - ``g = floor(sqrt(double(x)))`` — a CANDIDATE only. The double
+      never reaches the output; it only has to land within +-1 of the
+      true isqrt, which any IEEE-correctly-rounded sqrt does for
+      x <= 1e12 (relative error ~2^-53 can flip floor by at most 1),
+    - ``s`` = the exact-int64 3-way correction: the largest of
+      ``g+1, g, g-1`` whose square is <= x. The selected value is fully
+      determined by int64 comparisons, so it is bit-identical across
+      engines AND environments — the discipline round 4's driver gate
+      proved necessary when raw ``floor(1e6*sqrt(n/N))`` hash-diverged
+      in the driver environment only.
+
+    ``idiv`` is the dialect integer-division operator (Spark ``div``,
+    DuckDB ``//``).
+    """
+    nm = f"({n} * 1000000)"
+    x = (
+        f"CAST(({nm} {idiv} {total}) * 1000000"
+        f" + (({nm} % {total}) * 1000000) {idiv} {total} AS BIGINT)"
+    )
+    g = "CAST(floor(sqrt(CAST(_x AS DOUBLE))) AS BIGINT)"
+    s = (
+        "CAST(CASE WHEN (_g+1)*(_g+1) <= _x THEN _g+1"
+        " WHEN _g*_g <= _x THEN _g ELSE _g-1 END AS BIGINT)"
+    )
+    return x, g, s
+
+
 def lang_temperature_sample(
     docs: DataFrame, budget: int, lang_col: str = "lang"
 ) -> DataFrame:
@@ -1792,23 +1847,32 @@ def lang_temperature_sample(
     High-resource languages are downweighted and low-resource ones
     upweighted by sampling language l with probability proportional to
     ``(n_l / N) ^ 0.5``. All derived quantities are integer-quantized
-    EARLY so the plan is bit-reproducible across engines and
-    partitionings: ``s_l = floor(1e6 * sqrt(n_l / N))`` (IEEE sqrt is
-    correctly rounded — identical on both engines), then exact integer
-    arithmetic: ``weight_ppm = 1e6 * s_l // S``, ``expected_docs =
-    budget * s_l // S``, ``rate_ppm = min(1e6, 1e6 * expected // n_l)``
-    (the per-doc keep probability a Bernoulli sampler applies
-    downstream). One hash agg over the corpus; the per-language table is
-    trivially driver-size.
+    EARLY so the plan is bit-reproducible across engines, environments
+    and partitionings: ``s_l = floor(1e6 * sqrt(n_l / N)) =
+    isqrt(floor(1e12 * n_l / N))`` (the identity holds because for
+    integer k, ``k <= sqrt(x)`` iff ``k^2 <= floor(x)``), computed in
+    EXACT int64 arithmetic — round 4's driver gate falsified the "IEEE
+    sqrt-of-a-division is bit-identical across environments" assumption,
+    so doubles no longer reach the selection path (see
+    :func:`_isqrt_ratio_sql`). Then exact integer arithmetic:
+    ``weight_ppm = 1e6 * s_l // S``, ``expected_docs = budget * s_l //
+    S``, ``rate_ppm = min(1e6, 1e6 * expected // n_l)`` (the per-doc
+    keep probability a Bernoulli sampler applies downstream). One hash
+    agg over the corpus; the per-language table is trivially
+    driver-size.
     """
     counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
         F.count("*").cast("long").alias("n_docs")
     )
-    w = Window.partitionBy()
-    s = F.floor(1e6 * F.sqrt(F.col("n_docs") / F.sum("n_docs").over(w))).cast(
-        "long"
+    x_e, g_e, s_e = _isqrt_ratio_exprs("n_docs", "_N", "div")
+    scored = (
+        counts.select(
+            "lang", "n_docs", F.expr("sum(n_docs) OVER ()").alias("_N")
+        )
+        .select("lang", "n_docs", F.expr(x_e).alias("_x"))
+        .select("lang", "n_docs", "_x", F.expr(g_e).alias("_g"))
+        .select("lang", "n_docs", F.expr(s_e).alias("s"))
     )
-    scored = counts.select("lang", "n_docs", s.alias("s"))
     return scored.select(
         "lang",
         "n_docs",
@@ -1831,15 +1895,17 @@ def lang_temperature_sample(
 def lang_temperature_sample_sql(
     docs_sql: str, budget: int, lang_col: str = "lang"
 ) -> str:
-    """DuckDB replay of :func:`lang_temperature_sample` (same early-quantize
-    integer arithmetic, so parity is exact, not approximate)."""
+    """DuckDB replay of :func:`lang_temperature_sample` (same staged
+    exact-int64 isqrt kernel — see :func:`_isqrt_ratio_exprs` — so parity
+    is constructed, not assumed)."""
+    x_e, g_e, s_e = _isqrt_ratio_exprs("n_docs", "_N", "//")
     return f"""WITH C AS (
   SELECT {lang_col} AS lang, CAST(count(*) AS BIGINT) AS n_docs
   FROM ({docs_sql}) GROUP BY {lang_col}),
-S AS (SELECT lang, n_docs,
-        CAST(floor(1e6 * sqrt(n_docs / (sum(n_docs) OVER ()))) AS BIGINT)
-          AS s
-      FROM C)
+T AS (SELECT lang, n_docs, sum(n_docs) OVER () AS _N FROM C),
+X AS (SELECT lang, n_docs, {x_e} AS _x FROM T),
+G AS (SELECT lang, n_docs, _x, {g_e} AS _g FROM X),
+S AS (SELECT lang, n_docs, {s_e} AS s FROM G)
 SELECT lang, n_docs,
   (1000000 * s) // (sum(s) OVER ()) AS weight_ppm,
   ({budget} * s) // (sum(s) OVER ()) AS expected_docs,
@@ -2017,14 +2083,14 @@ def dedup_retain_best(
 #
 # The SELECTION ORDER is integer-only (ADVICE r3): the double key is
 # quantized to a 2^-24 fixed-point grid — ``floor(−ln(u)/w · 2^24)`` as
-# BIGINT, clamped at 2^62 — BEFORE ranking, with ties broken by id. A
-# last-ulp JVM-vs-libm ln() difference can therefore flip the sample only
-# when a key sits within one ulp of a grid boundary (~2^(BITS−52) of the
-# near-tie window the raw double ordering exposed), and an exact grid tie
-# resolves identically on both engines via the id tiebreak. 2^24 keeps
-# ~7 significant digits of the key — far finer than any weight signal the
-# curation pipeline produces — and the clamp keeps floor() inside int64
-# for adversarially tiny weights.
+# BIGINT, clamped at 2^62 — BEFORE ranking, with ties broken by id. 2^24
+# keeps ~7 significant digits of the key — far finer than any weight
+# signal the curation pipeline produces — and the clamp keeps floor()
+# inside int64 for adversarially tiny weights. As of r5 the grid is a
+# semantic choice, not a defense: −ln(u) comes off the integer lnq table
+# (see _aes_priority_sql's double-audit note), so no libm call remains
+# anywhere in the key and the sample is bit-identical across engines AND
+# environments by construction.
 
 
 def weighted_sample(
@@ -2046,7 +2112,7 @@ def weighted_sample(
     """
     from scrape_spark.operators.politeness import per_host_take
 
-    pri = _aes_priority_sql(id_col)
+    pri = _aes_priority_sql(id_col, ts.SPARK_DIALECT)
     base = (
         docs.select(
             F.col(id_col),
@@ -2074,24 +2140,34 @@ def weighted_sample(
 AES_PRIORITY_BITS = 24
 
 
-def _aes_priority_sql(id_col: str) -> str:
+def _aes_priority_sql(id_col: str, d: dict) -> str:
     """Quantized A-ES key ``floor(−ln(u)/w · 2^24)`` as BIGINT over the id
-    digest — dialect-free (ln/floor/least identical; the inner clamp at
-    2^62 runs in DOUBLE so Spark's long-typed floor() never overflows);
-    ``{w}`` is left as a format slot for the caller's weight expr.
+    digest; ``{w}`` is left as a format slot for the caller's weight expr.
     ``id_col`` must be a nonnegative integer id (cast to BIGINT here —
-    int32 ids would overflow the digest multiply on both engines)."""
+    int32 ids would overflow the digest multiply on both engines).
+
+    double-audit (r5): the libm ln is gone — ``−ln(u) = ln(U+1) −
+    ln(dig+1)`` with integer arguments, so the numerator is the integer
+    lnq difference (constant side precomputed in Python, digest side via
+    textstats.lnq_wide_sql), cast to double EXACTLY (< 2^26). The
+    remaining double ops — /2^20 (power-of-two, exact), /w (correctly
+    rounded), ×2^24 (exact), least, floor — are all IEEE-deterministic
+    given identical ``w`` bits, so the key no longer rides ANY
+    environment assumption (the old 2^-24-grid argument bounded the flip
+    probability; this removes it). The inner clamp at 2^62 runs in
+    DOUBLE so Spark's long-typed floor() never overflows."""
     from scrape_spark.functions import textstats as ts
 
     dig = ts.kmv_id_digest64_sql(f"CAST({id_col} AS BIGINT)")
-    u = (
-        f"((CAST({dig} AS DOUBLE) + 1.0) / "
-        f"(CAST({ts.KMV_UNIVERSE} AS DOUBLE) + 1.0))"
+    lnq_u1 = ts.lnq_wide_py(ts.KMV_UNIVERSE + 1)
+    negln = (
+        f"(CAST({lnq_u1} - {ts.lnq_wide_sql(f'({dig}) + 1', d)} AS DOUBLE)"
+        f" / {float(1 << 20)!r})"
     )
     scale = float(1 << AES_PRIORITY_BITS)
     clamp = float(1 << 62)
     return (
-        f"CAST(floor(least((-ln({u}) / CAST({{w}} AS DOUBLE)) * {scale!r}, "
+        f"CAST(floor(least(({negln} / CAST({{w}} AS DOUBLE)) * {scale!r}, "
         f"{clamp!r})) AS BIGINT)"
     )
 
@@ -2104,7 +2180,7 @@ def weighted_sample_sql(
     strata_col: str | None = None,
 ) -> str:
     """DuckDB oracle: identical digests, priorities, order, quota."""
-    pri = _aes_priority_sql(id_col).format(w="weight")
+    pri = _aes_priority_sql(id_col, ts.DUCK_DIALECT).format(w="weight")
     strata_sel = f", {strata_col}" if strata_col else ""
     base = f"""_ws_b AS (SELECT {id_col}{strata_sel},
            CAST({weight_col} AS DOUBLE) AS weight FROM ({docs_sql})),

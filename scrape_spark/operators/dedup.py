@@ -288,8 +288,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-3-gram Jaccard for pre-paired rows; adds ``jaccard`` double.
 
-    Intersection/union on distinct shingle-hash sets — integer division is
-    exact, so the double is engine-reproducible bit-for-bit.
+    Intersection/union on distinct shingle-hash sets.
+    double-audit: the one double op is a single division of two exact
+    small ints — IEEE correct rounding makes it bit-identical across
+    engines and environments (no libm, no reassociation).
     """
     s1, s2 = _shingle_set(text_1), _shingle_set(text_2)
     inter = F.size(F.array_intersect(s1, s2)).cast("double")

@@ -158,10 +158,13 @@ def dust_rules(
             F.sum(ok).cast("long").alias("support"),
         )
         .withColumn(
+            # exact integer div, matching the oracle's `//` — the old
+            # floor-over-double form was provably equal only for
+            # n_tried < 2^45 (r5 double-audit: quotient-to-integer
+            # distance >= 1/b beats the ulp there); integer is exact
+            # unconditionally and reads as what it is
             "confidence_pct",
-            F.floor(F.lit(100) * F.col("support") / F.col("n_tried")).cast(
-                "long"
-            ),
+            F.expr("CAST((100 * support) div n_tried AS BIGINT)"),
         )
         .where(F.col("support") >= F.lit(int(min_support)))
     )

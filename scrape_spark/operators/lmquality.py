@@ -102,12 +102,14 @@ def _doc_bigram_tf(bg: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-#: the score fold: collected (key..., _term) structs sorted, then summed in
-#: that order with a double init — partition-order-independent IEEE sum
-_FOLD = (
-    "aggregate(transform(array_sort(collect_list(struct({keys}, _term))), "
-    "x -> x._term), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-)
+#: two-limb scaled floor division: ``floor(scale * num / den)`` for
+#: non-negative num without the ``num * scale`` overflow — ``q*scale +
+#: (r*scale) div den`` with q/r the staged div/mod columns. Exact int64;
+#: remainder bound documents the per-doc size contract (den = Q·n, so
+#: n < 2^23 ≈ 8.4M bigrams/features per doc keeps r*scale < 2^63).
+def _scaled_div_sql(q: str, r: str, den: str, scale: int, d: dict) -> str:
+    rest = d["idiv"].format(a=f"(({r}) * {scale})", b=f"({den})")
+    return f"CAST(({q}) * {scale} + {rest} AS BIGINT)"
 
 
 def lm_cross_entropy(
@@ -116,9 +118,17 @@ def lm_cross_entropy(
     """(id, n_bigrams, ce_q6): Laplace-bigram cross-entropy per document.
 
     Model: p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) with V = corpus
-    distinct-token count; CE = −(Σ tf·ln p) / n_bigrams, quantized to
-    integer micro-nats. Lower = more in-distribution (CCNet's "head").
-    Docs without bigrams drop out (no denominator).
+    distinct-token count; CE = (Σ tf·(lnq(c1+V) − lnq(c12+1))) / (Q·n),
+    quantized to integer micro-nats. Lower = more in-distribution
+    (CCNet's "head"). Docs without bigrams drop out (no denominator).
+
+    double-audit: NO doubles anywhere — ln is the spliced integer table
+    (textstats.lnq_sql, engine- and environment-proof by construction;
+    round 4's driver gate falsified bit-identity assumptions for IEEE
+    selection paths), terms are exact int64 so the per-doc sum needs no
+    order pinning, and the micro-nat quantizer is a two-limb integer
+    floor division. This also deletes the old per-doc
+    collect_list+array_sort fold — a plain map-side-combined sum now.
     """
     bg = doc_bigrams(docs, id_col, text_col)
     dbg = _doc_bigram_tf(bg, id_col)
@@ -130,28 +140,34 @@ def lm_cross_entropy(
         .union(bg.select(F.col("w2").alias("_w")))
         .agg(F.countDistinct("_w").cast("long").alias("n_vocab"))
     )
+    term = (
+        f"tf * ({ts.lnq_sql('c1 + n_vocab', _SD)}"
+        f" - {ts.lnq_sql('c12 + 1', _SD)})"
+    )
     scored = (
         dbg.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "_term",
-            F.expr(
-                "CAST(tf AS DOUBLE) * ln((CAST(c12 AS DOUBLE) + 1.0)"
-                " / (CAST(c1 AS DOUBLE) + CAST(n_vocab AS DOUBLE)))"
-            ),
-        )
+        .withColumn("_term", F.expr(f"CAST({term} AS BIGINT)"))
     )
     per = scored.groupBy(id_col).agg(
-        F.expr(_FOLD.format(keys="w1, w2")).alias("_s"),
+        F.sum("_term").cast("long").alias("_s"),
         F.sum("tf").cast("long").alias("n_bigrams"),
     )
-    return per.select(
-        F.col(id_col),
-        "n_bigrams",
-        F.expr(
-            f"CAST(floor({SCORE_Q}.0 * (-_s / CAST(n_bigrams AS DOUBLE)))"
-            " AS BIGINT)"
-        ).alias("ce_q6"),
+    den = f"(n_bigrams * {ts._LNQ_Q})"
+    return (
+        per.select(
+            F.col(id_col),
+            "n_bigrams",
+            F.expr(f"_s div {den}").alias("_q1"),
+            F.expr(f"_s % {den}").alias("_r1"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.expr(
+                _scaled_div_sql("_q1", "_r1", den, SCORE_Q, _SD)
+            ).alias("ce_q6"),
+        )
     )
 
 
@@ -190,12 +206,18 @@ def ccnet_buckets(
 def lm_cross_entropy_sql(docs_sql: str, id_col: str = "doc_id") -> str:
     """The identical computation as portable SQL (DuckDB oracle side).
 
-    ``docs_sql`` must project (id_col, text). DuckDB's ordered aggregate
-    ``list(x ORDER BY ...)`` plays the role of Spark's
-    collect_list+array_sort; both engines order strings by UTF-8 binary
-    comparison, so the fold order — and hence the IEEE sum — is identical.
+    ``docs_sql`` must project (id_col, text). Terms are exact int64 (the
+    same spliced lnq table as the Spark side — see
+    :func:`lm_cross_entropy`'s double-audit note), so no ordered
+    aggregate is needed: integer sums commute.
     """
     toks = tokens_sql("text", _DD)
+    term = (
+        f"tf * ({ts.lnq_sql('c1 + n_vocab', _DD)}"
+        f" - {ts.lnq_sql('c12 + 1', _DD)})"
+    )
+    den = f"(n_bigrams * {ts._LNQ_Q})"
+    out = _scaled_div_sql("_q1", "_r1", den, SCORE_Q, _DD)
     return f"""WITH _docs AS ({docs_sql}),
 _tok AS (SELECT {id_col}, {toks} AS toks FROM _docs),
 _pos AS (SELECT {id_col}, toks, unnest(range(1, len(toks))) AS i FROM _tok),
@@ -208,18 +230,17 @@ _c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM _c12 GROUP BY w1),
 _v AS (SELECT CAST(count(DISTINCT _w) AS BIGINT) AS n_vocab FROM
        (SELECT w1 AS _w FROM _bg UNION ALL SELECT w2 AS _w FROM _bg)),
 _sc AS (SELECT {id_col}, w1, w2, tf,
-          CAST(tf AS DOUBLE) * ln((CAST(c12 AS DOUBLE) + 1.0)
-            / (CAST(c1 AS DOUBLE) + CAST(n_vocab AS DOUBLE))) AS _term
+          CAST({term} AS BIGINT) AS _term
         FROM _dbg JOIN _c12 USING (w1, w2) JOIN _c1 USING (w1), _v),
 _per AS (SELECT {id_col},
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(_term ORDER BY w1, w2)), (a, x) -> a + x) AS _s,
+           CAST(sum(_term) AS BIGINT) AS _s,
            CAST(sum(tf) AS BIGINT) AS n_bigrams
-         FROM _sc GROUP BY {id_col})
-SELECT {id_col}, n_bigrams,
-  CAST(floor({SCORE_Q}.0 * (-_s / CAST(n_bigrams AS DOUBLE))) AS BIGINT)
-    AS ce_q6
-FROM _per"""
+         FROM _sc GROUP BY {id_col}),
+_lim AS (SELECT {id_col}, n_bigrams,
+           _s // {den} AS _q1, _s % {den} AS _r1
+         FROM _per)
+SELECT {id_col}, n_bigrams, {out} AS ce_q6
+FROM _lim"""
 
 
 def ccnet_buckets_sql(docs_sql: str, id_col: str = "doc_id") -> str:
@@ -251,6 +272,18 @@ def _bucket_sql(d: dict, n_buckets: int) -> str:
     return f"((({h1}) * 1000003 + ({h2})) % {ts.HASH_P}) % {int(n_buckets)}"
 
 
+def _dsir_ratio_sql(n_buckets: int, d: dict) -> str:
+    """Integer log importance ratio over the smoothed count columns:
+    ``(lnq(t_b+1) − lnq(t_tot+B)) − (lnq(r_b+1) − lnq(r_tot+B))`` — exact
+    int64 via the spliced lnq table (see :func:`lm_cross_entropy`'s
+    double-audit note; same r4-driver-gate rationale)."""
+    b = int(n_buckets)
+    return (
+        f"({ts.lnq_sql('t_b + 1', d)} - {ts.lnq_sql(f't_tot + {b}', d)})"
+        f" - ({ts.lnq_sql('r_b + 1', d)} - {ts.lnq_sql(f'r_tot + {b}', d)})"
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target_col: str = "is_target",
@@ -267,6 +300,12 @@ def dsir_weights(
     probe; target-absent buckets smooth to (0 + 1)/(T + B). Positive
     weight ⇒ resample toward the doc (DSIR samples ∝ exp(weight)
     downstream). Both count tables are ≤ n_buckets rows — broadcast joins.
+
+    double-audit: NO doubles — the log ratio is the spliced integer lnq
+    table (:func:`_dsir_ratio_sql`), terms and sums are exact int64 (no
+    ordered fold needed), and the quantizer is a two-limb integer floor
+    division over the +128-shifted sum (keeps the dividend non-negative,
+    where Spark ``div`` and DuckDB ``//`` agree).
     """
     bg = doc_bigrams(
         docs.select(id_col, text_col), id_col, text_col
@@ -288,28 +327,33 @@ def dsir_weights(
         F.sum("r_b").cast("long").alias("r_tot"),
         F.sum("t_b").cast("long").alias("t_tot"),
     )
-    ratio = (
-        f"ln((CAST(t_b AS DOUBLE) + 1.0)"
-        f" / (CAST(t_tot AS DOUBLE) + {int(n_buckets)}.0))"
-        f" - ln((CAST(r_b AS DOUBLE) + 1.0)"
-        f" / (CAST(r_tot AS DOUBLE) + {int(n_buckets)}.0))"
-    )
+    ratio = _dsir_ratio_sql(n_buckets, _SD)
     scored = (
         feats.join(F.broadcast(model), "b")
         .crossJoin(F.broadcast(totals))
-        .withColumn("_term", F.expr(f"CAST(tf AS DOUBLE) * ({ratio})"))
+        .withColumn("_term", F.expr(f"CAST(tf * ({ratio}) AS BIGINT)"))
     )
     per = scored.groupBy(id_col).agg(
-        F.expr(_FOLD.format(keys="b")).alias("_s"),
+        F.sum("_term").cast("long").alias("_s"),
         F.sum("tf").cast("long").alias("n_feats"),
     )
-    return per.select(
-        F.col(id_col),
-        "n_feats",
-        F.expr(
-            f"CAST(floor({SCORE_Q}.0 * (_s / CAST(n_feats AS DOUBLE)))"
-            " AS BIGINT)"
-        ).alias("logw_q6"),
+    den = f"(n_feats * {ts._LNQ_Q})"
+    shifted = f"(_s + 128 * {den})"
+    return (
+        per.select(
+            F.col(id_col),
+            "n_feats",
+            F.expr(f"{shifted} div {den}").alias("_q1"),
+            F.expr(f"{shifted} % {den}").alias("_r1"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            F.expr(
+                _scaled_div_sql("_q1", "_r1", den, SCORE_Q, _SD)
+                + f" - {128 * SCORE_Q}"
+            ).cast("long").alias("logw_q6"),
+        )
     )
 
 
@@ -325,12 +369,10 @@ def dsir_weights_sql(
     """
     toks = tokens_sql("text", _DD)
     bucket = _bucket_sql(_DD, n_buckets)
-    ratio = (
-        f"ln((CAST(t_b AS DOUBLE) + 1.0)"
-        f" / (CAST(t_tot AS DOUBLE) + {int(n_buckets)}.0))"
-        f" - ln((CAST(r_b AS DOUBLE) + 1.0)"
-        f" / (CAST(r_tot AS DOUBLE) + {int(n_buckets)}.0))"
-    )
+    ratio = _dsir_ratio_sql(n_buckets, _DD)
+    den = f"(n_feats * {ts._LNQ_Q})"
+    shifted = f"(_s + 128 * {den})"
+    out = _scaled_div_sql("_q1", "_r1", den, SCORE_Q, _DD)
     return f"""WITH _docs AS ({docs_sql}),
 _tok AS (SELECT {id_col}, {toks} AS toks FROM _docs),
 _pos AS (SELECT {id_col}, toks, unnest(range(1, len(toks))) AS i FROM _tok),
@@ -346,17 +388,18 @@ _m AS (SELECT b, r_b, CAST(coalesce(t_b, 0) AS BIGINT) AS t_b
        FROM _raw LEFT JOIN _tgt USING (b)),
 _tot AS (SELECT CAST(sum(r_b) AS BIGINT) AS r_tot,
                 CAST(sum(t_b) AS BIGINT) AS t_tot FROM _m),
-_sc AS (SELECT {id_col}, b, tf, CAST(tf AS DOUBLE) * ({ratio}) AS _term
+_sc AS (SELECT {id_col}, b, tf, CAST(tf * ({ratio}) AS BIGINT) AS _term
         FROM _f JOIN _m USING (b), _tot),
 _per AS (SELECT {id_col},
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(_term ORDER BY b)), (a, x) -> a + x) AS _s,
+           CAST(sum(_term) AS BIGINT) AS _s,
            CAST(sum(tf) AS BIGINT) AS n_feats
-         FROM _sc GROUP BY {id_col})
+         FROM _sc GROUP BY {id_col}),
+_lim AS (SELECT {id_col}, n_feats,
+           {shifted} // {den} AS _q1, {shifted} % {den} AS _r1
+         FROM _per)
 SELECT {id_col}, n_feats,
-  CAST(floor({SCORE_Q}.0 * (_s / CAST(n_feats AS DOUBLE))) AS BIGINT)
-    AS logw_q6
-FROM _per"""
+  CAST({out} - {128 * SCORE_Q} AS BIGINT) AS logw_q6
+FROM _lim"""
 
 
 # ---------------------------------------------------------------------------
@@ -441,9 +484,11 @@ def classifier_score(
     occurrence looks its weight up map-side, and the per-doc score is the
     weight mean: ``score_q6 = floor(1e6 · (bias + Σ w(tok)) / n_tokens)``
     with OOV tokens contributing 0. ``label = score_q6 >= threshold_q6``.
-    Exact int64 sums; only the final mean touches IEEE doubles, via the
-    same floor-over-double both engines replay identically. Scale shape and
-    zero-token contract: see ``_token_weight_agg``.
+    Exact int64 sums; only the final mean touches IEEE doubles.
+    double-audit: that mean is one correctly-rounded multiply + divide
+    over exact ints in identical expression text on both engines — no
+    libm, deterministic everywhere. Scale shape and zero-token contract:
+    see ``_token_weight_agg``.
     """
     agg = _token_weight_agg(
         docs, weights, id_col, text_col, token_col, weight_col

