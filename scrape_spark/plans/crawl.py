@@ -179,7 +179,7 @@ class CrawlJob:
         spark: SparkSession,
         store: SnapshotStore,
         pages: DataFrame,
-        robots_source: DataFrame,
+        robots_source: DataFrame | None,
         user_agent: str = "MyScraperBot",
         round_seconds: int = 60,
         zero_delay_cap: int = 1_000_000,
@@ -192,7 +192,9 @@ class CrawlJob:
         priority: Column | None = None,
         conditional_fetch: bool = False,
         fetcher=None,
+        robots_scheme: str = "https",
     ) -> None:
+        self.robots_scheme = robots_scheme
         self.spark = spark
         self.store = store
         # Live-network mode (S2 executable variant): a plans/httpfetch
@@ -215,6 +217,17 @@ class CrawlJob:
             pages = pages.withColumn("payload", F.lit(None).cast("string"))
         self.pages = pages
         self.pages_bucketed = pages_bucketed
+        # Live robots mode (r5): robots_source=None with a fetcher means
+        # rules are ACTUALLY fetched — {robots_scheme}://{host}/robots.txt
+        # through the same HttpFetcher (plans/httpfetch.live_robots_source;
+        # reference robots_handler.py:9-48) for stale hosts only, with
+        # fetch-failure-stores-nothing semantics (URLError path,
+        # robots_handler.py:42-44 — hence negative_cache=False there: a
+        # dead host is re-probed next round, not cached empty).
+        if robots_source is None and fetcher is None:
+            raise ValueError(
+                "CrawlJob needs a robots_source or a fetcher (live robots)"
+            )
         self.robots_source = robots_source
         self.user_agent = user_agent
         self.round_seconds = round_seconds
@@ -488,7 +501,7 @@ class CrawlJob:
             )
             # new hosts may lack robots rows; same invariant as seeding
             robots = self._robots()
-            hosts = proj.select("host")
+            hosts = proj.select("host", "url")
             if not stale_hosts(robots, hosts, self.user_agent).isEmpty():
                 self._refresh_robots_write(robots, hosts, round_idx=-1)
             else:
@@ -551,7 +564,7 @@ class CrawlJob:
         # present in the frontier has a (possibly negative-cached) rules row,
         # so rounds only ever need to check NEWLY-discovered hosts
         robots = self._robots()
-        seed_hosts = seeds.select("host")
+        seed_hosts = seeds.select("host", "url")
         if not stale_hosts(robots, seed_hosts, self.user_agent).isEmpty():
             self._refresh_robots_write(robots, seed_hosts, round_idx=-1)
         else:
@@ -590,8 +603,27 @@ class CrawlJob:
     def _refresh_robots_write(
         self, robots: DataFrame, hosts: DataFrame, round_idx: int
     ) -> DataFrame:
+        if self.robots_source is not None:
+            source, neg_cache = self.robots_source, True
+        else:
+            # live mode: probe only the STALE hosts (valid rows never
+            # trigger a network fetch), store nothing on transport failure.
+            # The url column (when the caller supplies it) provides the
+            # per-host authority exemplar — ports survive.
+            from scrape_spark.plans.httpfetch import live_robots_source
+
+            stale = stale_hosts(robots, hosts, self.user_agent)
+            cand = (
+                hosts.join(stale, "host", "left_semi")
+                if "url" in hosts.columns
+                else stale
+            )
+            source = live_robots_source(
+                self.fetcher, cand, scheme=self.robots_scheme
+            )
+            neg_cache = False
         refreshed = refresh_robots(
-            robots, hosts, self.robots_source, self.user_agent, negative_cache=True
+            robots, hosts, source, self.user_agent, negative_cache=neg_cache
         )
         self.store.write(
             "robots",
@@ -617,13 +649,13 @@ class CrawlJob:
         check = None
         full_check = False
         if snap is None:
-            check, full_check = pending.select("host"), True
+            check, full_check = pending.select("host", "url"), True
         else:
             m = snap["meta"]
             me, fs = m.get("min_expires"), m.get("frontier_snap")
             now = _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
             if me is None or fs is None or now >= _dt.datetime.fromisoformat(me):
-                check, full_check = pending.select("host"), True  # TTL lapsed
+                check, full_check = pending.select("host", "url"), True  # TTL lapsed
             else:
                 newer = [
                     p for p in self.store.chain_parts("frontier") if p["id"] > fs
@@ -642,7 +674,7 @@ class CrawlJob:
                     d = (
                         self.spark.read.parquet(p["path"])
                         .where(F.col("status") == "pending")
-                        .select("host")
+                        .select("host", "url")
                     )
                     check = d if check is None else check.unionByName(d)
                 if check is None and newer:

@@ -6,7 +6,9 @@ round interface: :class:`HttpFetcher` turns the round's probe frame into
 fetched rows via ``mapInPandas`` — an Arrow-batched stage running a bounded
 thread pool per task, host-partitioned so every host's fetches are
 SEQUENTIAL (politeness-correct) while distinct hosts proceed in parallel.
-No per-row Python UDFs: one pool per partition, one pandas frame in/out.
+No per-row Python UDFs: one pool per partition; output streams one pandas
+frame PER HOST as it completes, so fetched bodies never accumulate for the
+whole partition (task memory ~ hosts-in-flight × one host's batch).
 
 Reference semantics reproduced (scraper.py:39-109 ``scrape_page``,
 scraper.py:119-149 ``fetch_post_content``):
@@ -96,6 +98,18 @@ def _fetch_one(
 
     if not (url or "").strip():
         return "", None, "URL is empty"  # P1 guard (scraper.py:41-45)
+    # Scheme allowlist (ADVICE r4, medium): urllib would happily open
+    # file:// or ftp:// — a seed like file:///etc/passwd would read the
+    # worker's filesystem into the corpus as a "fetch". The reference's
+    # requests-based scrape_page raises InvalidSchema for non-http(s) and
+    # stores str(e) as the error row; mirror that message exactly.
+    scheme = urllib.parse.urlsplit(url).scheme.lower()
+    if scheme not in ("http", "https"):
+        return (
+            "",
+            None,
+            f"No connection adapters were found for {url!r}",
+        )
     headers = {"User-Agent": user_agent}
     if referrer:
         headers["Referer"] = referrer
@@ -180,65 +194,9 @@ class HttpFetcher:
         )
 
         def run(batches):
-            import time as _time
-            from concurrent.futures import ThreadPoolExecutor
-
-            import pandas as pd
-
-            frames = list(batches)
-            if not frames:
-                return
-            pdf = pd.concat(frames, ignore_index=True)
-            # a host's rows fetch sequentially in slot order — politeness
-            order_cols = [
-                c for c in ("host", "fetch_slot", "seq") if c in pdf.columns
-            ]
-            if order_cols:
-                pdf = pdf.sort_values(order_cols, kind="stable").reset_index(
-                    drop=True
-                )
-
-            def fetch_host(idx: list[int]) -> list[tuple]:
-                out = []
-                for j, i in enumerate(idx):
-                    row = pdf.iloc[i]
-                    if pace and j and "crawl_delay" in pdf.columns:
-                        d = row.get("crawl_delay")
-                        if d is not None and not pd.isna(d) and d > 0:
-                            _time.sleep(float(d))
-                    out.append(
-                        _fetch_one(
-                            row["url"],
-                            row.get("method", "GET"),
-                            row.get("payload"),
-                            row.get("referrer"),
-                            user_agent,
-                            timeout,
-                            max_body,
-                        )
-                    )
-                return out
-
-            by_host: dict[str, list[int]] = {}
-            for i, h in enumerate(
-                pdf["host"] if "host" in pdf.columns else pdf["url"]
-            ):
-                by_host.setdefault(h, []).append(i)
-            results: list[tuple | None] = [None] * len(pdf)
-            with ThreadPoolExecutor(
-                max_workers=max(1, min(pool_size, len(by_host) or 1))
-            ) as ex:
-                for idx, res in zip(
-                    by_host.values(), ex.map(fetch_host, by_host.values())
-                ):
-                    for i, r in zip(idx, res):
-                        results[i] = r
-            pdf["html"] = [r[0] for r in results]
-            pdf["status_code"] = pd.array(
-                [r[1] for r in results], dtype="Int32"
+            yield from _run_partition(
+                batches, timeout, pool_size, user_agent, pace, max_body
             )
-            pdf["error_message"] = [r[2] for r in results]
-            yield pdf
 
         parted = (
             probe.repartition(F.col("host"))
@@ -246,3 +204,144 @@ class HttpFetcher:
             else probe
         )
         return parted.mapInPandas(run, schema=schema)
+
+
+def live_robots_source(
+    fetcher: "HttpFetcher", hosts: DataFrame, scheme: str = "https"
+) -> DataFrame:
+    """(host, robots_txt) by actually fetching ``{scheme}://{host}/robots.txt``
+    through the existing fetch stage — the live-network counterpart of the
+    pre-supplied simulated source (r5, verdict item 2; reference:
+    fetch_and_store_robots, robots_handler.py:9-48, robots_url at :11).
+
+    Disposition mirrors stdlib ``RobotFileParser.read()`` — the parser the
+    reference builds on — per response class:
+
+    - 2xx: the body is the rules text.
+    - HTTP 401/403: deny-all (``disallow_all = True``); synthesized here as
+      ``User-agent: * / Disallow: /`` so the shared parse kernel
+      (operators/robots.py parse_robots_body) stores a rule that denies
+      every path — behaviorally identical, stored as the '/' prefix.
+    - other HTTPError (404, 5xx): no rules → allow-all; an EMPTY body row
+      is stored with the normal TTL (the engine's negative-cache shape).
+    - transport failure (DNS, refused, timeout): the row is DROPPED —
+      fetch failure stores NOTHING, exactly the reference's URLError path
+      (robots_handler.py:42-44), so the host is re-probed next round.
+
+    One host-partitioned fetch round over only the caller's (stale) hosts;
+    politeness is inherent — one robots.txt GET per host.
+
+    ``hosts`` should carry a ``url`` column (any URL of the host): the
+    probe authority is that exemplar's NETLOC — which keeps a nonstandard
+    port, exactly the reference's ``urlparse(url).netloc`` (the frontier's
+    ``host`` column is portless, Hive parse_url HOST semantics, so a
+    host-only reconstruction would probe the wrong port). Without a
+    ``url`` column the bare host is used (standard ports only).
+    """
+    if "url" in hosts.columns:
+        per_host = hosts.groupBy("host").agg(
+            F.min("url").alias("_exemplar")
+        )
+        authority = F.expr(
+            "substring_index(substring_index(_exemplar, '://', -1), '/', 1)"
+        )
+    else:
+        per_host = hosts.select("host").distinct()
+        authority = F.col("host")
+    probe = per_host.select(
+        "host",
+        F.concat(
+            F.lit(f"{scheme}://"), authority, F.lit("/robots.txt")
+        ).alias("url"),
+    )
+    fetched = fetcher.fetch(probe)
+    http_err = F.col("error_message").rlike("^[0-9]{3} ")
+    code = F.substring("error_message", 1, 3).cast("int")
+    deny_all = "User-agent: *\nDisallow: /"
+    return fetched.where(
+        F.col("status_code").isNotNull() | http_err
+    ).select(
+        "host",
+        F.when(F.col("status_code").isNotNull(), F.col("html"))
+        .when(code.isin(401, 403), F.lit(deny_all))
+        .otherwise(F.lit(""))
+        .alias("robots_txt"),
+    )
+
+
+def _run_partition(
+    batches,
+    timeout: float,
+    pool_size: int,
+    user_agent: str,
+    pace: bool,
+    max_body: int | None,
+):
+    """One task's fetch loop: pandas frames in → ONE frame PER HOST out,
+    yielded as each host completes (r5, verdict item 6): response bodies
+    only ever live in the per-host frame being streamed out through
+    Arrow, so task memory is capped at ~(hosts-in-flight × one host's
+    batch) instead of the whole politeness-capped round slice. The input
+    concat holds only probe rows (urls + scheduling ints), never bodies.
+    Module-level so tests can drive the multi-frame contract directly.
+    """
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    import pandas as pd
+
+    frames = list(batches)
+    if not frames:
+        return
+    pdf = pd.concat(frames, ignore_index=True)
+    # a host's rows fetch sequentially in slot order — politeness
+    order_cols = [
+        c for c in ("host", "fetch_slot", "seq") if c in pdf.columns
+    ]
+    if order_cols:
+        pdf = pdf.sort_values(order_cols, kind="stable").reset_index(
+            drop=True
+        )
+
+    def fetch_host(idx: list[int]) -> list[tuple]:
+        out = []
+        for j, i in enumerate(idx):
+            row = pdf.iloc[i]
+            if pace and j and "crawl_delay" in pdf.columns:
+                d = row.get("crawl_delay")
+                if d is not None and not pd.isna(d) and d > 0:
+                    _time.sleep(float(d))
+            out.append(
+                _fetch_one(
+                    row["url"],
+                    row.get("method", "GET"),
+                    row.get("payload"),
+                    row.get("referrer"),
+                    user_agent,
+                    timeout,
+                    max_body,
+                )
+            )
+        return out
+
+    by_host: dict[str, list[int]] = {}
+    for i, h in enumerate(
+        pdf["host"] if "host" in pdf.columns else pdf["url"]
+    ):
+        by_host.setdefault(h, []).append(i)
+    with ThreadPoolExecutor(
+        max_workers=max(1, min(pool_size, len(by_host) or 1))
+    ) as ex:
+        futs = {
+            ex.submit(fetch_host, idx): idx for idx in by_host.values()
+        }
+        for fut in as_completed(futs):
+            idx = futs[fut]
+            res = fut.result()
+            part = pdf.iloc[idx].copy()
+            part["html"] = [r[0] for r in res]
+            part["status_code"] = pd.array(
+                [r[1] for r in res], dtype="Int32"
+            )
+            part["error_message"] = [r[2] for r in res]
+            yield part

@@ -276,3 +276,118 @@ def test_sniff_decode_header_meta_fallback():
     # undeclared non-utf8 degrades via replacement, never raises
     assert sniff_decode(b"\xff\xfe caf", "text/html") != ""
     assert sniff_decode("ok".encode(), None) == "ok"
+
+
+def test_non_http_scheme_is_an_error_row_not_a_read():
+    """file:// (or any non-http scheme) must NEVER touch the worker's
+    filesystem — the reference's requests raises InvalidSchema and stores
+    str(e); the engine mirrors that exact message (ADVICE r4, medium)."""
+    from scrape_spark.plans.httpfetch import _fetch_one
+
+    for url in ("file:///etc/passwd", "ftp://example.com/x", "data:text/html,hi"):
+        html, status, err = _fetch_one(
+            url, "GET", None, None, "UA", 1.0, None
+        )
+        assert html == "" and status is None
+        assert err == f"No connection adapters were found for {url!r}"
+    # the guard must not shadow the P1 empty-URL path
+    assert _fetch_one("", "GET", None, None, "UA", 1.0, None)[2] == "URL is empty"
+
+
+def test_partition_streams_one_frame_per_host(server):
+    """_run_partition yields one pandas frame PER HOST (r5 memory cap:
+    bodies never accumulate for the whole partition), rows and values
+    identical to the single-frame contract."""
+    import pandas as pd
+
+    from scrape_spark.plans.httpfetch import _run_partition
+
+    _Handler.routes = {"/a": (200, "text/html", b"<html>A</html>")}
+    hosts = [_host(i, server) for i in range(3)]
+    pdf = pd.DataFrame(
+        {
+            "url": [f"http://{h}/a" for h in hosts for _ in range(2)],
+            "host": [h for h in hosts for _ in range(2)],
+            "seq": list(range(6)),
+        }
+    )
+    frames = list(_run_partition([pdf], 5.0, 4, "UA", False, None))
+    assert len(frames) == 3  # one per host, not one per partition
+    assert sorted(set(f["host"].iloc[0] for f in frames)) == sorted(hosts)
+    out = pd.concat(frames).sort_values("seq")
+    assert list(out["status_code"]) == [200] * 6
+    assert all("<html>A</html>" in h for h in out["html"])
+
+
+def test_live_robots_fetch_honors_disallow_and_delay(spark, tmp_path, server):
+    """S5/S7 live variant (r5): with ZERO pre-seeded robots rows, the crawl
+    fetches {scheme}://{host}/robots.txt itself through the HttpFetcher,
+    honors the live-fetched Disallow and Crawl-delay, and lands in state
+    byte-identical to the simulated robots source on the same corpus.
+    round_seconds=1 with Crawl-delay: 1 forces one-URL-per-host rounds, so
+    the delay actively shapes the schedule both jobs must agree on."""
+    rows, routes = _corpus(server)
+    robots_body = "User-agent: *\nDisallow: /h0/a\nCrawl-delay: 1"
+    routes["/robots.txt"] = (200, "text/plain", robots_body.encode())
+    _Handler.routes = routes
+    pages = local_df(spark, rows, "url string, html string, text string")
+    seeds = [f"http://{_host(i, server)}/h{i}/" for i in range(2)]
+
+    live_store = SnapshotStore(spark, str(tmp_path / "roblive"))
+    live = CrawlJob(
+        # pages rides along as the parallel-truth capture (supplies
+        # src_text for text_match) — robots_source=None is the live part
+        spark, live_store, pages, None, n_buckets=4,
+        bucket_capacity=1 << 10, fetcher=HttpFetcher(timeout=5.0),
+        robots_scheme="http", round_seconds=1,
+    )
+    live.seed(seeds)
+    live.run(max_rounds=20)
+
+    sim_store = SnapshotStore(spark, str(tmp_path / "robsim"))
+    sim_source = local_df(
+        spark,
+        # the frontier host column is PORTLESS (parse_url HOST semantics)
+        # — the simulated network keys rows the same way
+        [(_host(i, server).split(":")[0], robots_body) for i in range(2)],
+        "host string, robots_txt string",
+    )
+    sim = CrawlJob(
+        spark, sim_store, pages, sim_source, n_buckets=4,
+        bucket_capacity=1 << 10, round_seconds=1,
+    )
+    sim.seed(seeds)
+    sim.run(max_rounds=20)
+
+    assert _state(live) == _state(sim)
+    st = {r["url"]: r for r in live.frontier().collect()}
+    blocked = st[f"http://{_host(0, server)}/h0/a"]
+    assert blocked["status"] == "blocked" or "robots" in (
+        blocked["error_message"] or ""
+    ).lower()
+    # the disallowed subtree is never discovered
+    assert f"http://{_host(0, server)}/h0/a/deep" not in st
+    # live-fetched Crawl-delay landed in the rules table (portless keys)
+    rules = {
+        r["host"]: r["crawl_delay"]
+        for r in live_store.read("robots").collect()
+    }
+    assert rules["127.0.0.2"] == 1 and rules["127.0.0.3"] == 1
+
+
+def test_live_robots_transport_failure_stores_nothing(spark, tmp_path, server):
+    """A host whose robots.txt fetch fails at the TRANSPORT level must not
+    get a rules row (robots_handler.py:42-44: URLError -> store nothing);
+    an HTTP 404 host stores an empty-rules (allow-all) row."""
+    from scrape_spark.plans.httpfetch import live_robots_source
+
+    _Handler.routes = {}  # no /robots.txt -> 404 for live hosts
+    good = _host(0, server)
+    dead = "127.0.0.2:1"  # nothing listens on port 1 -> connection refused
+    hosts = local_df(spark, [(good,), (dead,)], "host string")
+    src = live_robots_source(
+        HttpFetcher(timeout=2.0), hosts, scheme="http"
+    ).collect()
+    got = {r["host"]: r["robots_txt"] for r in src}
+    assert dead not in got  # transport failure -> dropped
+    assert got[good] == ""  # 404 -> empty rules = allow-all
