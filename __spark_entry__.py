@@ -5430,13 +5430,19 @@ def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The round driver samples the FIRST 50 registered queries for its
-# correctness gate; registration order used to be module order, which front-
-# loaded the crawl family and left sessions 7-9 (webgraph, sketches, search,
-# budgets, bitext, recrawl, sampling) riding only on the in-repo sweep
-# (r3 verdict item 7). This curated prefix puts >= one query from EVERY
-# operator family in the driver's sample window — names and callables are
-# untouched, only dict order changes; tests/test_registry_order.py pins it.
-_DRIVER_SAMPLE = [
+# correctness gate. r3 made that window a curated one-per-family prefix;
+# r4's verdict showed the flaw: 102 queries had NEVER run in the driver's
+# environment, and the one environment-sensitive kernel sat undetected in
+# that tail for two rounds (lang_temperature_plan). r5 therefore ROTATES
+# the window (r4 verdict item 5, and the advisor's "curated prefix is not
+# an independent sample" note): a fixed crawl CORE (the north-rule surface,
+# always driver-checked) plus a rotating slice of the remaining names in
+# sorted order. The rotation phase derives from the number of
+# CORRECTNESS_r*.json files the driver has already written — deterministic,
+# self-advancing, no clock — so with 136 non-core names and a 34-name
+# window every registered query runs in the driver's environment exactly
+# once every 4 rounds. tests/test_registry_order.py pins the partition.
+_DRIVER_CORE = [
     # crawl core: dequeue, rounds, robots, politeness, dedup, ordering,
     # fetch variants, error paths, metrics, parse invariant
     "frontier_topk_dequeue",
@@ -5455,64 +5461,43 @@ _DRIVER_SAMPLE = [
     "url_normalize",
     "extracted_text_invariant",
     "content_hash",
-    # events + archive sources
-    "events_hourly",
-    "warc_latest_capture",
-    # dedup family: exact, minhash-LSH, standing index, simhash, verify,
-    # components, semantic, line-level
-    "dedup_exact",
-    "minhash_neardup_pairs",
-    "neardup_index_probe",
-    "simhash_neardup_pairs",
-    "ngram_jaccard_pairs",
-    "neardup_components",
-    "semantic_dedup_retain",
-    "line_dedup",
-    # winnowing
-    "winnow_dup_candidates",
-    # ANN: exact baseline, IVF, PQ
-    "ann_cosine_topk",
-    "ivf_ann_topk",
-    "pq_ann_topk",
-    # multimodal
-    "multimodal_features",
-    "media_neardup_pairs",
-    # text quality / language / LM quality
-    "doc_quality",
-    "gopher_quality_rules",
-    "lang_id_eval",
-    "lang_temperature_plan",
-    "lm_ppl_buckets",
-    "dsir_weights",
-    # tokenizer ops
-    "bpe_pair_counts",
-    "pack_sequences",
-    # contamination / PII
-    "contamination_ngram",
-    "pii_redact",
-    # sketches + graph sketches
-    "kmv_crawl_overlap",
-    "hyperball_neighborhood",
-    # webgraph ranking
-    "link_pagerank",
-    # search / retrieval
-    "bm25_topk",
-    # bitext / cross-lingual
-    "hreflang_pairs",
-    # scheduling budgets + recrawl + weighted sampling
-    "host_budget_alloc",
-    "recrawl_priority",
-    "weighted_sample_aes",
 ]
+
+#: rotating-window width; with the current registry this divides the
+#: non-core count exactly (136 = 4 × 34), giving disjoint 4-phase coverage
+_DRIVER_ROTATION = 34
+
+
+def _rotation_phase() -> int:
+    """Rounds already recorded = rotation phase (CORRECTNESS files are the
+    driver's own per-round artifacts, committed with each round)."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+
+
+def _driver_sample(phase: int | None = None) -> list[str]:
+    missing = [n for n in _DRIVER_CORE if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"_DRIVER_CORE names not registered: {missing}")
+    if phase is None:
+        phase = _rotation_phase()
+    rest = sorted(n for n in _REGISTRY if n not in set(_DRIVER_CORE))
+    if not rest:
+        return list(_DRIVER_CORE)
+    k = min(_DRIVER_ROTATION, len(rest))
+    off = (phase * k) % len(rest)
+    window = [rest[(off + i) % len(rest)] for i in range(k)]
+    return [*_DRIVER_CORE, *window]
 
 
 def _reorder_registry() -> None:
-    missing = [n for n in _DRIVER_SAMPLE if n not in _REGISTRY]
-    if missing:
-        raise RuntimeError(f"_DRIVER_SAMPLE names not registered: {missing}")
-    head = set(_DRIVER_SAMPLE)
+    sample = _driver_sample()
+    head = set(sample)
     rest = [n for n in _REGISTRY if n not in head]
-    ordered = {n: _REGISTRY[n] for n in [*_DRIVER_SAMPLE, *rest]}
+    ordered = {n: _REGISTRY[n] for n in [*sample, *rest]}
     _REGISTRY.clear()
     _REGISTRY.update(ordered)
 
