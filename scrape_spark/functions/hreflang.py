@@ -42,10 +42,15 @@ def _attr_val_sql(tag: str, attr: str) -> str:
     styles are tried in that order and coalesced; an unquoted value runs to
     the first space/``>``/quote, the HTML5 delimiter set minus backslash
     classes (tab/newline-delimited unquoted values are vanishingly rare and
-    degrade identically on both engines)."""
-    dq = f"nullif(regexp_extract({tag}, '(?i){attr}=\"([^\"]*)\"', 1), '')"
-    sq = f"nullif(regexp_extract({tag}, '(?i){attr}=''([^'']*)''', 1), '')"
-    uq = f"nullif(regexp_extract({tag}, '(?i){attr}=([^ >\"'']+)', 1), '')"
+    degrade identically on both engines). Every pattern requires a
+    preceding SPACE (ADVICE r4: an unanchored ``attr=`` matched substrings
+    inside another attribute's value — ``href="/p?rel=alternate"`` set
+    is_alt, and a ``?hreflang=de`` query param injected a bogus hreflang;
+    link-tag attributes are always space-preceded, so the anchor costs no
+    recall and stays backslash-free on both dialects)."""
+    dq = f"nullif(regexp_extract({tag}, '(?i)[ ]{attr}=\"([^\"]*)\"', 1), '')"
+    sq = f"nullif(regexp_extract({tag}, '(?i)[ ]{attr}=''([^'']*)''', 1), '')"
+    uq = f"nullif(regexp_extract({tag}, '(?i)[ ]{attr}=([^ >\"'']+)', 1), '')"
     return f"coalesce({dq}, {sq}, {uq})"
 
 

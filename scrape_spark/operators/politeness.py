@@ -222,6 +222,12 @@ def allocate_host_budget(
             "rem"
         ),
     )
+    # Materialize shares ONCE before the scalar collect (ADVICE r4): the
+    # eager checkpoint pins the exact rows both the base_sum aggregate and
+    # the lazy seat ranking below read, so a non-deterministic or
+    # recomputed host_counts can never make leftover disagree with the
+    # ranked base values (alloc sum > budget). Host-level sliver — tiny.
+    shares = shares.localCheckpoint(eager=True)
     base_sum = int(
         shares.agg(F.sum("base").alias("s")).collect()[0]["s"] or 0
     )

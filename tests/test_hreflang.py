@@ -148,3 +148,37 @@ def test_pair_join_prunes_html_before_exchange(spark):
     for section in plan.split("\n\n"):
         if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
             assert "html_str#" not in section, section
+
+
+def test_attr_substring_in_values_does_not_match(spark):
+    """ADVICE r4: an unanchored ``attr=`` pattern matched substrings inside
+    another attribute's quoted value — a ``?rel=alternate`` query param set
+    is_alt, a ``?hreflang=de`` param injected a bogus hreflang. Patterns
+    now require the preceding space of a real attribute boundary."""
+    html = (
+        '<html><head>'
+        # rel=alternate ONLY inside the href value -> NOT an alternate link
+        '<link href="/p?rel=alternate&hreflang=de">'
+        # real alternate with a decoy param in href; hreflang attr is real
+        '<link rel="alternate" hreflang="fr" href="/fr?hreflang=zz">'
+        "</head></html>"
+    )
+    df = _pages(spark, [("http://b.test/en", html)])
+    got = {
+        (r["hreflang"], r["href"]) for r in hreflang_links(df).collect()
+    }
+    assert got == {("fr", "http://b.test/fr?hreflang=zz")}
+    import duckdb
+
+    con = duckdb.connect()
+    src = (
+        "SELECT 'http://b.test/en' AS url, '"
+        + html.replace("'", "''")
+        + "' AS html_str"
+    )
+    parity = sorted(
+        tuple(r) for r in con.execute(hreflang_links_sql(src)).fetchall()
+    )
+    assert parity == sorted(
+        tuple(r) for r in hreflang_links(df).collect()
+    )
