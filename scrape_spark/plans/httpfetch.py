@@ -20,7 +20,10 @@ scraper.py:119-149 ``fetch_post_content``):
   stdlib stand-in (chardet is not in this environment) is declared-charset
   sniffing — Content-Type header charset, else the first meta charset
   declaration in the body (the same declared subset as
-  functions/canonical.py's WHATWG kernel), else UTF-8 with replacement.
+  functions/canonical.py's WHATWG kernel) — then strict UTF-8, then (r5) a
+  content-statistics ranking over shift_jis/euc-jp/gbk/cp1252 for
+  undeclared legacy pages (the apparent_encoding gap, verdict item 8),
+  else UTF-8 with replacement.
 - ``raise_for_status`` → error rows: a non-2xx/3xx response yields
   ``error_message = "<code> <reason>"`` (the engine's stable rendering —
   matching ``simulated_fetch``'s miss rows, which write ``404 Not Found``),
@@ -61,8 +64,82 @@ _META_CHARSET_RE = re.compile(
 _HEADER_CHARSET_RE = re.compile(r"(?i)charset\s*=\s*[\"']?([a-zA-Z0-9_-]+)")
 
 
+#: legacy candidates ranked by content statistics when nothing is declared
+#: and the body is not valid UTF-8 (r5, verdict item 8 — the chardet
+#: ``apparent_encoding`` stand-in for undeclared-legacy pages). Order is
+#: the tiebreak: CJK multibyte first (their byte patterns are
+#: discriminating), cp1252 last (it decodes almost anything).
+_LEGACY_CANDIDATES = ("shift_jis", "euc_jp", "gbk", "cp1252")
+#: content-statistics window — scoring is O(chars), cap it
+_SNIFF_BYTES = 8192
+
+
+#: highest-frequency simplified-Chinese characters — a correct gbk decode
+#: of real Chinese text hits these densely; a gbk MIS-decode of Japanese
+#: shift_jis/euc-jp bytes lands on arbitrary ideographs that mostly miss
+#: (the mini-chardet frequency trick; plain is-it-CJK counting cannot tell
+#: the double-byte codecs apart because they all map byte pairs to valid
+#: ideographs)
+_ZH_HIGH_FREQ = frozenset(
+    "的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得"
+    "就那要下以生会自着去之过家学对可她里后小么心"
+)
+
+
+def _score_decoding(s: str) -> tuple[int, int]:
+    """(bad, -good): fewer mojibake markers wins, then more real text.
+
+    bad = C0 controls (minus tab/newline/CR), C1 range (the classic
+    wrong-single-byte-codec tell), replacement chars, and CONSECUTIVE
+    accented Latin letters (real western text sprinkles accents through
+    ASCII; dense accented runs are a multibyte codec read as cp1252).
+    good weights what only a CORRECT decode produces in quantity: kana
+    and high-frequency hanzi at 3 (the codec discriminators), other
+    CJK/fullwidth, ASCII alphanumerics, and isolated accented letters at
+    1. Pure integer ordering — deterministic everywhere.
+    """
+    bad = good = 0
+    prev_acc = False
+    for ch in s:
+        o = ord(ch)
+        acc = 0xC0 <= o <= 0xFF and ch.isalpha()
+        if (o < 32 and ch not in "\t\n\r") or 0x80 <= o <= 0x9F or o == 0xFFFD:
+            bad += 1
+        elif 0x3040 <= o <= 0x30FF:
+            good += 3
+        elif ch in _ZH_HIGH_FREQ:
+            good += 3
+        elif 0x4E00 <= o <= 0x9FFF or 0xFF01 <= o <= 0xFF60:
+            good += 1
+        elif o < 128 and ch.isalnum():
+            good += 1
+        elif acc:
+            good += 1
+            if prev_acc:
+                bad += 1
+        prev_acc = acc
+    return bad, -good
+
+
+def _detect_legacy(body: bytes) -> str | None:
+    """Best legacy codec for a non-UTF-8 body, by content statistics."""
+    head = body[:_SNIFF_BYTES]
+    best: tuple[tuple[int, int], str] | None = None
+    for enc in _LEGACY_CANDIDATES:
+        # replace-mode scoring: a multibyte char cut at the window edge
+        # must cost one replacement mark, not disqualify the codec
+        score = _score_decoding(head.decode(enc, errors="replace"))
+        if best is None or score < best[0]:
+            best = (score, enc)
+    return best[1] if best else None
+
+
 def sniff_decode(body: bytes, content_type: str | None) -> str:
-    """Decode a response body per the module-doc encoding contract."""
+    """Decode a response body per the module-doc encoding contract:
+    declared charset (header, then meta) → strict UTF-8 → content-
+    statistics legacy ranking (:func:`_detect_legacy` — closes most of
+    the ``apparent_encoding`` gap for undeclared shift_jis/euc-jp/gbk/
+    cp1252 pages, r5) → UTF-8 with replacement."""
     enc = None
     if content_type:
         m = _HEADER_CHARSET_RE.search(content_type)
@@ -77,6 +154,12 @@ def sniff_decode(body: bytes, content_type: str | None) -> str:
             return body.decode(candidate)
         except (UnicodeDecodeError, LookupError):
             continue
+    legacy = _detect_legacy(body)
+    if legacy is not None:
+        try:
+            return body.decode(legacy)
+        except UnicodeDecodeError:
+            pass
     return body.decode("utf-8", errors="replace")
 
 
@@ -88,16 +171,21 @@ def _fetch_one(
     user_agent: str,
     timeout: float,
     max_body_bytes: int | None,
-) -> tuple[str, int | None, str | None]:
-    """(html, status_code, error_message) for one URL — reference
-    semantics per the module doc. Never raises."""
+) -> tuple[str, int | None, str | None, str | None]:
+    """(html, status_code, error_message, final_url) for one URL —
+    reference semantics per the module doc; ``final_url`` is the
+    post-redirect URL when the transport followed 3xx hops (urllib
+    follows silently, like the reference's requests — the page is STORED
+    under the ORIGINAL url, scraper.py:92, and this surfaces the hop as
+    an optional (url -> final_url) edge for operators/redirects.py),
+    None when no redirect happened. Never raises."""
     import json
     import urllib.error
     import urllib.parse
     import urllib.request
 
     if not (url or "").strip():
-        return "", None, "URL is empty"  # P1 guard (scraper.py:41-45)
+        return "", None, "URL is empty", None  # P1 guard (scraper.py:41-45)
     # Scheme allowlist (ADVICE r4, medium): urllib would happily open
     # file:// or ftp:// — a seed like file:///etc/passwd would read the
     # worker's filesystem into the corpus as a "fetch". The reference's
@@ -109,6 +197,7 @@ def _fetch_one(
             "",
             None,
             f"No connection adapters were found for {url!r}",
+            None,
         )
     headers = {"User-Agent": user_agent}
     if referrer:
@@ -132,25 +221,26 @@ def _fetch_one(
             status = int(resp.status)
             if status >= 400:  # raise_for_status analog (urllib usually
                 # raises HTTPError itself; belt and braces for opener quirks)
-                return "", None, f"{status} {resp.reason}"
+                return "", None, f"{status} {resp.reason}", None
             body = resp.read(
                 max_body_bytes + 1 if max_body_bytes else None
             )
             if max_body_bytes and len(body) > max_body_bytes:
-                return "", None, f"body exceeds {max_body_bytes} bytes"
+                return "", None, f"body exceeds {max_body_bytes} bytes", None
             html = sniff_decode(body, resp.headers.get("Content-Type"))
-            return html, status, None
+            final = resp.geturl()
+            return html, status, None, (final if final != url else None)
     except urllib.error.HTTPError as e:
-        return "", None, f"{e.code} {e.reason}"
+        return "", None, f"{e.code} {e.reason}", None
     except TimeoutError:
-        return "", None, "timed out"
+        return "", None, "timed out", None
     except urllib.error.URLError as e:
         reason = e.reason
         if isinstance(reason, TimeoutError):
-            return "", None, "timed out"
-        return "", None, str(reason)
+            return "", None, "timed out", None
+        return "", None, str(reason), None
     except Exception as e:  # noqa: BLE001 — reference stores str(e)
-        return "", None, str(e)
+        return "", None, str(e), None
 
 
 class HttpFetcher:
@@ -170,12 +260,18 @@ class HttpFetcher:
         user_agent: str = "MyScraperBot",
         pace: bool = False,
         max_body_bytes: int | None = None,
+        record_redirects: bool = False,
     ) -> None:
         self.timeout = float(timeout)
         self.pool_size = int(pool_size)
         self.user_agent = user_agent
         self.pace = bool(pace)
         self.max_body_bytes = max_body_bytes
+        # opt-in: append a ``final_url`` column (post-3xx URL, NULL when no
+        # redirect) — (url, final_url) rows feed operators/redirects.py's
+        # resolve_redirects as live redirect edges. Off by default so the
+        # CrawlJob round schema stays unchanged.
+        self.record_redirects = bool(record_redirects)
 
     def fetch(self, probe: DataFrame) -> DataFrame:
         timeout = self.timeout
@@ -183,6 +279,7 @@ class HttpFetcher:
         user_agent = self.user_agent
         pace = self.pace
         max_body = self.max_body_bytes
+        redirects = self.record_redirects
         in_cols = probe.columns
         schema = StructType(
             list(probe.schema.fields)
@@ -191,11 +288,17 @@ class HttpFetcher:
                 StructField("status_code", IntegerType()),
                 StructField("error_message", StringType()),
             ]
+            + (
+                [StructField("final_url", StringType())]
+                if redirects
+                else []
+            )
         )
 
         def run(batches):
             yield from _run_partition(
-                batches, timeout, pool_size, user_agent, pace, max_body
+                batches, timeout, pool_size, user_agent, pace, max_body,
+                redirects,
             )
 
         parted = (
@@ -276,6 +379,7 @@ def _run_partition(
     user_agent: str,
     pace: bool,
     max_body: int | None,
+    record_redirects: bool = False,
 ):
     """One task's fetch loop: pandas frames in → ONE frame PER HOST out,
     yielded as each host completes (r5, verdict item 6): response bodies
@@ -344,4 +448,6 @@ def _run_partition(
                 [r[1] for r in res], dtype="Int32"
             )
             part["error_message"] = [r[2] for r in res]
+            if record_redirects:
+                part["final_url"] = [r[3] for r in res]
             yield part

@@ -48,6 +48,12 @@ class _Handler(BaseHTTPRequestHandler):
         if status >= 400:
             self.send_error(status)
             return
+        if 300 <= status < 400:  # redirect: ctype slot carries Location
+            self.send_response(status)
+            self.send_header("Location", ctype)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         self.send_response(status)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
@@ -285,10 +291,10 @@ def test_non_http_scheme_is_an_error_row_not_a_read():
     from scrape_spark.plans.httpfetch import _fetch_one
 
     for url in ("file:///etc/passwd", "ftp://example.com/x", "data:text/html,hi"):
-        html, status, err = _fetch_one(
+        html, status, err, final = _fetch_one(
             url, "GET", None, None, "UA", 1.0, None
         )
-        assert html == "" and status is None
+        assert html == "" and status is None and final is None
         assert err == f"No connection adapters were found for {url!r}"
     # the guard must not shadow the P1 empty-URL path
     assert _fetch_one("", "GET", None, None, "UA", 1.0, None)[2] == "URL is empty"
@@ -391,3 +397,66 @@ def test_live_robots_transport_failure_stores_nothing(spark, tmp_path, server):
     got = {r["host"]: r["robots_txt"] for r in src}
     assert dead not in got  # transport failure -> dropped
     assert got[good] == ""  # 404 -> empty rules = allow-all
+
+
+def test_sniff_decode_undeclared_legacy_content_statistics():
+    """r5 (verdict item 8): a legacy page with NO charset declaration
+    anywhere decodes via content-statistics ranking, like the reference's
+    chardet apparent_encoding — not into mojibake."""
+    jp = "<html><title>日本語のページ</title><body>これは本文です。図書館、新聞、天気。</body></html>"
+    assert sniff_decode(jp.encode("shift_jis"), "text/html") == jp
+    assert sniff_decode(jp.encode("euc_jp"), "text/html") == jp
+    zh = "<html><body>这是一个中文网页，包含简体字内容。</body></html>"
+    assert sniff_decode(zh.encode("gbk"), "text/html") == zh
+    west = "<html><body>café déjà vu — naïve résumé</body></html>"
+    assert sniff_decode(west.encode("cp1252"), None) == west
+    # declared charset still wins over statistics; valid UTF-8 short-circuits
+    assert sniff_decode(jp.encode("utf-8"), "text/html") == jp
+    assert (
+        sniff_decode(jp.encode("shift_jis"), "text/html; charset=shift_jis")
+        == jp
+    )
+
+
+def test_live_redirects_store_under_original_url(spark, tmp_path, server):
+    """301/302 parity (r5, verdict item 7): urllib follows silently, like
+    the reference's requests — the page is stored under the ORIGINAL url
+    (scraper.py:92) with the FINAL status/content; with
+    record_redirects=True the hop surfaces as a (url, final_url) edge that
+    resolve_redirects consumes."""
+    h = _host(0, server)
+    _Handler.routes = {
+        "/old": (301, f"http://{h}/mid", b""),
+        "/mid": (302, f"http://{h}/new", b""),
+        "/new": (200, "text/html", b"<html><title>landed</title></html>"),
+    }
+    live = _job(
+        spark, tmp_path, "redir", None, fetcher=HttpFetcher(timeout=5.0)
+    )
+    live.seed([f"http://{h}/old"])
+    live.run(max_rounds=3)
+    st = {r["url"]: r for r in live.frontier().collect()}
+    row = st[f"http://{h}/old"]  # stored under the ORIGINAL url
+    assert row["status"] == "done" and row["status_code"] == 200
+    assert row["page_title"] == "landed"
+    assert f"http://{h}/new" not in st  # no phantom frontier row
+
+    # opt-in edge surface: (url, final_url) feeds the redirect resolver
+    probe = local_df(
+        spark,
+        [(f"http://{h}/old", h), (f"http://{h}/new", h)],
+        "url string, host string",
+    )
+    fetched = HttpFetcher(timeout=5.0, record_redirects=True).fetch(probe)
+    got = {r["url"]: r["final_url"] for r in fetched.collect()}
+    assert got[f"http://{h}/old"] == f"http://{h}/new"  # chain collapsed
+    assert got[f"http://{h}/new"] is None  # no redirect -> NULL
+
+    from scrape_spark.operators.redirects import resolve_redirects
+
+    edges = fetched.where(F.col("final_url").isNotNull()).select(
+        F.col("url").alias("src"), F.col("final_url").alias("dst")
+    )
+    res = {r["src"]: (r["resolved"], r["terminal"])
+           for r in resolve_redirects(edges).collect()}
+    assert res[f"http://{h}/old"] == (f"http://{h}/new", True)
