@@ -28,7 +28,9 @@ def main() -> None:
         "| # | query | oracle | summary |",
         "|---|---|---|---|",
     ]
-    for i, (name, fn) in enumerate(qs.items(), 1):
+    # name-sorted: registry order now rotates per round (driver-sample
+    # rotation), and the index should not churn with it
+    for i, (name, fn) in enumerate(sorted(qs.items()), 1):
         doc = (fn.__doc__ or "").strip().splitlines()
         # the summary is everything up to the first blank line (then capped)
         head = []
