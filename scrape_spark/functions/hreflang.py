@@ -43,14 +43,31 @@ def _attr_val_sql(tag: str, attr: str) -> str:
     the first space/``>``/quote, the HTML5 delimiter set minus backslash
     classes (tab/newline-delimited unquoted values are vanishingly rare and
     degrade identically on both engines). Every pattern requires a
-    preceding SPACE (ADVICE r4: an unanchored ``attr=`` matched substrings
-    inside another attribute's value — ``href="/p?rel=alternate"`` set
-    is_alt, and a ``?hreflang=de`` query param injected a bogus hreflang;
-    link-tag attributes are always space-preceded, so the anchor costs no
-    recall and stays backslash-free on both dialects)."""
-    dq = f"nullif(regexp_extract({tag}, '(?i)[ ]{attr}=\"([^\"]*)\"', 1), '')"
-    sq = f"nullif(regexp_extract({tag}, '(?i)[ ]{attr}=''([^'']*)''', 1), '')"
-    uq = f"nullif(regexp_extract({tag}, '(?i)[ ]{attr}=([^ >\"'']+)', 1), '')"
+    preceding attribute BOUNDARY (ADVICE r4: an unanchored ``attr=``
+    matched substrings inside another attribute's value —
+    ``href="/p?rel=alternate"`` set is_alt, and a ``?hreflang=de`` query
+    param injected a bogus hreflang). The boundary class is the HTML5
+    inter-attribute whitespace set (space/tab/LF/CR as LITERAL characters
+    inside the SQL literal — still backslash-free on both dialects; the
+    r5 review caught the space-only anchor dropping tab/newline-indented
+    attributes) plus both quotes (parsers accept ``..."attr=`` with no
+    whitespace after a quoted value). Residual decoy: a quote character
+    immediately before ``attr=`` INSIDE an oppositely-quoted value — an
+    order of magnitude rarer than the query-param decoys this anchors
+    out."""
+    cls = "[ \t\n\r\"'']"
+    dq = (
+        f"nullif(regexp_extract({tag}, '(?i){cls}{attr}=\"([^\"]*)\"', 1),"
+        " '')"
+    )
+    sq = (
+        f"nullif(regexp_extract({tag}, '(?i){cls}{attr}=''([^'']*)''', 1),"
+        " '')"
+    )
+    uq = (
+        f"nullif(regexp_extract({tag}, '(?i){cls}{attr}=([^ >\"'']+)', 1),"
+        " '')"
+    )
     return f"coalesce({dq}, {sq}, {uq})"
 
 

@@ -2112,7 +2112,7 @@ def weighted_sample(
     """
     from scrape_spark.operators.politeness import per_host_take
 
-    pri = _aes_priority_sql(id_col, ts.SPARK_DIALECT)
+    pri = _aes_priority_sql(ts.SPARK_DIALECT)
     base = (
         docs.select(
             F.col(id_col),
@@ -2123,7 +2123,9 @@ def weighted_sample(
             F.col(weight_col).cast("double").alias("weight"),
         )
         .where(F.col("weight") > 0)
+        .withColumn("_aes_m", F.expr(_aes_digest1_sql(id_col)))
         .withColumn("priority", F.expr(pri.format(w="weight")))
+        .drop("_aes_m")
     )
     if strata_col is None:
         return base.orderBy("priority", id_col).limit(int(n))
@@ -2140,11 +2142,26 @@ def weighted_sample(
 AES_PRIORITY_BITS = 24
 
 
-def _aes_priority_sql(id_col: str, d: dict) -> str:
-    """Quantized A-ES key ``floor(−ln(u)/w · 2^24)`` as BIGINT over the id
-    digest; ``{w}`` is left as a format slot for the caller's weight expr.
-    ``id_col`` must be a nonnegative integer id (cast to BIGINT here —
-    int32 ids would overflow the digest multiply on both engines).
+def _aes_digest1_sql(id_col: str) -> str:
+    """``digest64(id) + 1`` — the staged lnq argument. Staged into a
+    column BEFORE the priority expression (review r5): lnq_wide_sql
+    splices its argument ~12×, so inlining the digest arithmetic would
+    repeat the full hash chain dozens of times per row and push the
+    generated expression past whole-stage-codegen limits; a short column
+    reference keeps it one digest evaluation (same staged-column pattern
+    as _isqrt_ratio_exprs). ``id_col`` must be a nonnegative integer id
+    (cast to BIGINT here — int32 ids would overflow the digest multiply
+    on both engines)."""
+    from scrape_spark.functions import textstats as ts
+
+    return f"({ts.kmv_id_digest64_sql(f'CAST({id_col} AS BIGINT)')}) + 1"
+
+
+def _aes_priority_sql(d: dict, m_col: str = "_aes_m") -> str:
+    """Quantized A-ES key ``floor(−ln(u)/w · 2^24)`` as BIGINT over the
+    staged digest column ``m_col`` (= digest64(id)+1, see
+    :func:`_aes_digest1_sql`); ``{w}`` is left as a format slot for the
+    caller's weight expr.
 
     double-audit (r5): the libm ln is gone — ``−ln(u) = ln(U+1) −
     ln(dig+1)`` with integer arguments, so the numerator is the integer
@@ -2158,10 +2175,9 @@ def _aes_priority_sql(id_col: str, d: dict) -> str:
     DOUBLE so Spark's long-typed floor() never overflows."""
     from scrape_spark.functions import textstats as ts
 
-    dig = ts.kmv_id_digest64_sql(f"CAST({id_col} AS BIGINT)")
     lnq_u1 = ts.lnq_wide_py(ts.KMV_UNIVERSE + 1)
     negln = (
-        f"(CAST({lnq_u1} - {ts.lnq_wide_sql(f'({dig}) + 1', d)} AS DOUBLE)"
+        f"(CAST({lnq_u1} - {ts.lnq_wide_sql(m_col, d)} AS DOUBLE)"
         f" / {float(1 << 20)!r})"
     )
     scale = float(1 << AES_PRIORITY_BITS)
@@ -2180,11 +2196,14 @@ def weighted_sample_sql(
     strata_col: str | None = None,
 ) -> str:
     """DuckDB oracle: identical digests, priorities, order, quota."""
-    pri = _aes_priority_sql(id_col, ts.DUCK_DIALECT).format(w="weight")
+    pri = _aes_priority_sql(ts.DUCK_DIALECT).format(w="weight")
     strata_sel = f", {strata_col}" if strata_col else ""
     base = f"""_ws_b AS (SELECT {id_col}{strata_sel},
            CAST({weight_col} AS DOUBLE) AS weight FROM ({docs_sql})),
-_ws_p AS (SELECT *, {pri} AS priority FROM _ws_b WHERE weight > 0)"""
+_ws_d AS (SELECT *, {_aes_digest1_sql(id_col)} AS _aes_m
+          FROM _ws_b WHERE weight > 0),
+_ws_p AS (SELECT {id_col}{strata_sel}, weight, {pri} AS priority
+          FROM _ws_d)"""
     if strata_col is None:
         return (
             f"WITH {base}\nSELECT * FROM _ws_p "

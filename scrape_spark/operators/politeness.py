@@ -199,6 +199,15 @@ def allocate_host_budget(
 
     h = F.col(host_col)
     p = F.col(count_col).cast("long")
+    # Pin the INPUT rows once (review r5, tightening the ADVICE-r4 fix):
+    # w/pmax, the base shares and the seat ranking must all read the SAME
+    # host_counts rows — a non-deterministic or recomputed input seen
+    # differently by the w collect vs the shares scan would break the
+    # sum(alloc) <= budget contract (base computed against a stale w).
+    # Host-level sliver — tiny.
+    host_counts = host_counts.select(host_col, count_col).localCheckpoint(
+        eager=True
+    )
     tot = host_counts.agg(
         F.sum(p).alias("w"), F.max(p).alias("pmax")
     ).collect()[0]
@@ -222,12 +231,9 @@ def allocate_host_budget(
             "rem"
         ),
     )
-    # Materialize shares ONCE before the scalar collect (ADVICE r4): the
-    # eager checkpoint pins the exact rows both the base_sum aggregate and
-    # the lazy seat ranking below read, so a non-deterministic or
-    # recomputed host_counts can never make leftover disagree with the
-    # ranked base values (alloc sum > budget). Host-level sliver — tiny.
-    shares = shares.localCheckpoint(eager=True)
+    # shares derives deterministically from the pinned host_counts above,
+    # so the base_sum aggregate and the lazy seat ranking read identical
+    # base/rem values without a second checkpoint.
     base_sum = int(
         shares.agg(F.sum("base").alias("s")).collect()[0]["s"] or 0
     )

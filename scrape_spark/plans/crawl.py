@@ -604,15 +604,22 @@ class CrawlJob:
         self, robots: DataFrame, hosts: DataFrame, round_idx: int
     ) -> DataFrame:
         if self.robots_source is not None:
-            source, neg_cache = self.robots_source, True
+            source, neg_cache, now_col = self.robots_source, True, None
         else:
             # live mode: probe only the STALE hosts (valid rows never
             # trigger a network fetch), store nothing on transport failure.
             # The url column (when the caller supplies it) provides the
-            # per-host authority exemplar — ports survive.
+            # per-host authority exemplar — ports survive. `now` is pinned
+            # ONCE for this write (review r5): the staleness predicate
+            # evaluates both here and inside refresh_robots, and a row
+            # expiring between two wall-clock reads would make the live
+            # source and the internal stale set disagree for a round.
             from scrape_spark.plans.httpfetch import live_robots_source
 
-            stale = stale_hosts(robots, hosts, self.user_agent)
+            now_col = F.lit(
+                _dt.datetime.now(_dt.UTC).replace(tzinfo=None)
+            ).cast("timestamp")
+            stale = stale_hosts(robots, hosts, self.user_agent, now=now_col)
             cand = (
                 hosts.join(stale, "host", "left_semi")
                 if "url" in hosts.columns
@@ -623,7 +630,12 @@ class CrawlJob:
             )
             neg_cache = False
         refreshed = refresh_robots(
-            robots, hosts, source, self.user_agent, negative_cache=neg_cache
+            robots,
+            hosts,
+            source,
+            self.user_agent,
+            now=now_col,
+            negative_cache=neg_cache,
         )
         self.store.write(
             "robots",

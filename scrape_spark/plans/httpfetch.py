@@ -190,8 +190,14 @@ def _fetch_one(
     # file:// or ftp:// — a seed like file:///etc/passwd would read the
     # worker's filesystem into the corpus as a "fetch". The reference's
     # requests-based scrape_page raises InvalidSchema for non-http(s) and
-    # stores str(e) as the error row; mirror that message exactly.
-    scheme = urllib.parse.urlsplit(url).scheme.lower()
+    # stores str(e) as the error row; mirror that message exactly. The
+    # split itself can raise (ValueError on malformed IPv6 brackets) —
+    # that too must become an error row, never a task failure ("Never
+    # raises" contract; the reference stores str(e) for ANY exception).
+    try:
+        scheme = urllib.parse.urlsplit(url).scheme.lower()
+    except ValueError as e:
+        return "", None, str(e), None
     if scheme not in ("http", "https"):
         return (
             "",
@@ -212,11 +218,14 @@ def _fetch_one(
                 raise ValueError
         except (ValueError, TypeError):
             data = (payload or "").encode("utf-8")
-    req = urllib.request.Request(
-        url, data=data, headers=headers,
-        method=(method or "GET").upper(),
-    )
     try:
+        # Request() itself validates the URL and can raise — inside the
+        # try so a hostile href degrades to an error row like any other
+        # exception (reference: ScrapedPage(error=str(e)))
+        req = urllib.request.Request(
+            url, data=data, headers=headers,
+            method=(method or "GET").upper(),
+        )
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             status = int(resp.status)
             if status >= 400:  # raise_for_status analog (urllib usually
@@ -317,16 +326,23 @@ def live_robots_source(
     pre-supplied simulated source (r5, verdict item 2; reference:
     fetch_and_store_robots, robots_handler.py:9-48, robots_url at :11).
 
-    Disposition mirrors stdlib ``RobotFileParser.read()`` — the parser the
-    reference builds on — per response class:
+    Disposition mirrors the REFERENCE's ``fetch_and_store_robots`` DB
+    flow (robots_handler.py:9-48) — ``rp.read()`` swallows HTTPError
+    internally, then the flag state is what gets STORED — per response
+    class:
 
     - 2xx: the body is the rules text.
     - HTTP 401/403: deny-all (``disallow_all = True``); synthesized here as
       ``User-agent: * / Disallow: /`` so the shared parse kernel
       (operators/robots.py parse_robots_body) stores a rule that denies
       every path — behaviorally identical, stored as the '/' prefix.
-    - other HTTPError (404, 5xx): no rules → allow-all; an EMPTY body row
-      is stored with the normal TTL (the engine's negative-cache shape).
+    - other HTTPError (404, 5xx): an EMPTY-rules row is stored with the
+      normal TTL → allow-all. For 4xx that's RobotFileParser's
+      ``allow_all`` flag; for 5xx ``read()`` sets NEITHER flag, and the
+      reference still stores the row with empty disallow/allow, which its
+      DB-side ``check_robots_rules`` treats as allowed (the stored-row
+      check, not ``can_fetch()`` — whose no-entries path would deny). The
+      engine follows the reference's stored-row semantics.
     - transport failure (DNS, refused, timeout): the row is DROPPED —
       fetch failure stores NOTHING, exactly the reference's URLError path
       (robots_handler.py:42-44), so the host is re-probed next round.
@@ -345,8 +361,14 @@ def live_robots_source(
         per_host = hosts.groupBy("host").agg(
             F.min("url").alias("_exemplar")
         )
+        # authority = text after the FIRST '://' up to the next '/'.
+        # NOT substring_index(..., '://', -1): that splits on the LAST
+        # '://', so an archive-style URL embedding another absolute URL
+        # (https://web.archive.org/web/https://example.com/p) would probe
+        # and store the WRONG host's robots.txt (review r5).
         authority = F.expr(
-            "substring_index(substring_index(_exemplar, '://', -1), '/', 1)"
+            "substring_index("
+            "substr(_exemplar, instr(_exemplar, '://') + 3), '/', 1)"
         )
     else:
         per_host = hosts.select("host").distinct()

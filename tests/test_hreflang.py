@@ -182,3 +182,34 @@ def test_attr_substring_in_values_does_not_match(spark):
     assert parity == sorted(
         tuple(r) for r in hreflang_links(df).collect()
     )
+
+
+def test_tab_and_newline_indented_attributes_extract(spark):
+    """review r5: the space-only boundary anchor dropped attributes
+    preceded by tab/LF (pretty-printed heads) and quote-adjacent
+    attributes — all legal separators the extractor must accept."""
+    html = (
+        "<html><head><link rel=\"alternate\"\n\threflang=\"de\""
+        ' href="/de"><link rel="alternate"hreflang="fr" href="/fr">'
+        "</head></html>"
+    )
+    df = _pages(spark, [("http://t.test/en", html)])
+    got = {(r["hreflang"], r["href"]) for r in hreflang_links(df).collect()}
+    assert got == {
+        ("de", "http://t.test/de"),
+        ("fr", "http://t.test/fr"),
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    src = (
+        "SELECT 'http://t.test/en' AS url, '"
+        + html.replace("'", "''")
+        + "' AS html_str"
+    )
+    parity = sorted(
+        tuple(r) for r in con.execute(hreflang_links_sql(src)).fetchall()
+    )
+    assert parity == sorted(
+        tuple(r) for r in hreflang_links(df).collect()
+    )

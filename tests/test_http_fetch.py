@@ -460,3 +460,41 @@ def test_live_redirects_store_under_original_url(spark, tmp_path, server):
     res = {r["src"]: (r["resolved"], r["terminal"])
            for r in resolve_redirects(edges).collect()}
     assert res[f"http://{h}/old"] == (f"http://{h}/new", True)
+
+
+def test_fetch_one_never_raises_on_malformed_urls():
+    """'Never raises' contract (review r5): malformed IPv6 brackets made
+    the pre-guard urlsplit throw, crashing the task instead of producing
+    an error row like every other exception path."""
+    from scrape_spark.plans.httpfetch import _fetch_one
+
+    for url in ("http://[::1", "http://[bad", "https://exa mple.com/x"):
+        html, status, err, final = _fetch_one(
+            url, "GET", None, None, "UA", 1.0, None
+        )
+        assert html == "" and status is None and final is None
+        assert err  # str(e), reference semantics
+
+
+def test_robots_probe_authority_uses_first_scheme(spark, server):
+    """review r5: the probe authority must come from the FIRST '://' — an
+    archive-style exemplar embedding another absolute URL previously made
+    the crawler fetch the WRONG host's robots.txt."""
+    from scrape_spark.plans.httpfetch import HttpFetcher, live_robots_source
+
+    _Handler.routes = {
+        "/robots.txt": (200, "text/plain", b"User-agent: *\nDisallow: /x")
+    }
+    h = _host(0, server)
+    hosts = local_df(
+        spark,
+        [("127.0.0.2", f"http://{h}/web/2020/https://evil.example/page")],
+        "host string, url string",
+    )
+    src = live_robots_source(
+        HttpFetcher(timeout=3.0), hosts, scheme="http"
+    ).collect()
+    got = {r["host"]: r["robots_txt"] for r in src}
+    # fetched OUR server's robots.txt (authority = 127.0.0.2:<port>),
+    # not evil.example's (which would be a transport failure -> dropped)
+    assert got == {"127.0.0.2": "User-agent: *\nDisallow: /x"}
