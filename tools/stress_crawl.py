@@ -35,13 +35,163 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def live_phase(args) -> int:
+    """Live-HTTP variant (``--live``): the SAME webgraph topology served by
+    a threaded local http.server on loopback virtual hosts, crawled by the
+    real HttpFetcher (per-host streaming output, live robots.txt probe —
+    the r5 live-path machinery) vs the simulated fetch join on the same
+    corpus — final frontier state must be byte-identical. This is the e2e
+    suite's invariant at ~25× its corpus size, with a crawl-delay +
+    disallow robots body served LIVE (no pre-seeded rules)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity imports)
+
+    from scrape_spark.plans.crawl import CrawlJob
+    from scrape_spark.plans.httpfetch import HttpFetcher
+    from scrape_spark.plans.statestore import SnapshotStore
+    from scrape_spark.session import get_spark, local_df
+    from scrape_spark.sources.webgraph import host_sizes, page_html
+
+    n_hosts, per_host, k = args.hosts, args.pages, args.k
+    sizes = host_sizes(n_hosts, per_host, 1, 4)
+    failures = 0
+
+    def emit(name: str, ok: bool, **kw) -> None:
+        nonlocal failures
+        failures += 0 if ok else 1
+        print(json.dumps({name: {"ok": ok, **kw}}), flush=True)
+
+    robots_body = "User-agent: *\nDisallow: /p/0/1\nCrawl-delay: 2"
+
+    class H(BaseHTTPRequestHandler):
+        routes: dict[tuple[str, str], bytes] = {}
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/robots.txt":
+                body = robots_body.encode()
+            else:
+                body = H.routes.get(
+                    (self.headers.get("Host", ""), self.path)
+                )
+            if body is None:
+                self.send_error(404, "Not Found")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = ThreadingHTTPServer(("0.0.0.0", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+
+    def live_host(i: int) -> str:
+        return f"127.0.0.{i + 2}:{port}"
+
+    rows = []
+    for hi, size in enumerate(sizes):
+        h = live_host(hi)
+        for node in range(size):
+            url, html = page_html(h, node, k, size)
+            path = url.split(h, 1)[1]
+            H.routes[(h, path)] = html.encode()
+            rows.append((url, html, f"text-of {url}"))
+    total = len(rows)
+    seeds = [f"http://{live_host(i)}/p/0" for i in range(n_hosts)]
+
+    spark = get_spark(
+        master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = local_df(
+        spark, rows, "url string, html string, text string"
+    ).persist()
+    pages.count()
+
+    t0 = time.time()
+    live = CrawlJob(
+        spark,
+        SnapshotStore(spark, tempfile.mkdtemp(prefix="stress_live_")),
+        pages,  # parallel-truth capture (src_text for text_match)
+        None,  # robots_source=None -> LIVE robots probe
+        fetcher=HttpFetcher(timeout=10.0),
+        robots_scheme="http",
+    )
+    live.seed(seeds)
+    lmet = live.run(max_rounds=200)
+    live_sec = time.time() - t0
+    emit(
+        "live_run",
+        live.status_counts().get("pending", 0) == 0,
+        pages=total,
+        rounds=len(lmet),
+        sec=round(live_sec, 1),
+        urls_per_sec=round(total / live_sec, 1),
+    )
+
+    t0 = time.time()
+    sim_source = local_df(
+        spark,
+        [(live_host(i).split(":")[0], robots_body) for i in range(n_hosts)],
+        "host string, robots_txt string",
+    )
+    sim = CrawlJob(
+        spark,
+        SnapshotStore(spark, tempfile.mkdtemp(prefix="stress_sim_")),
+        pages,
+        sim_source,
+    )
+    sim.seed(seeds)
+    smet = sim.run(max_rounds=200)
+    sim_sec = time.time() - t0
+
+    from scrape_spark.plans.crawl import FRONTIER_COLS
+
+    def state(job):
+        cols = list(FRONTIER_COLS)
+        return {
+            r["url"]: tuple(r[c] for c in cols if c != "url")
+            for r in job.frontier().select(*cols).collect()
+        }
+
+    ls, ss = state(live), state(sim)
+    diff = sum(1 for u in set(ls) | set(ss) if ls.get(u) != ss.get(u))
+    n_blocked = sum(1 for v in ls.values() if "blocked" in v)
+    emit(
+        "live_state_byte_identical",
+        diff == 0 and set(ls) == set(ss),
+        rows=len(ls),
+        mismatches=diff,
+        blocked_rows=n_blocked,
+        sim_rounds=len(smet),
+        sim_sec=round(sim_sec, 1),
+    )
+    spark.stop()
+    srv.shutdown()
+    print(f"checks_failed={failures}", flush=True)
+    return 1 if failures else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hosts", type=int, default=50)
     ap.add_argument("--pages", type=int, default=1000)
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--live",
+        action="store_true",
+        help="live-HTTP phase: real HttpFetcher + live robots vs simulated",
+    )
     args = ap.parse_args()
+    if args.live:
+        return live_phase(args)
 
     from pyspark.sql import functions as F
 
