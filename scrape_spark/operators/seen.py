@@ -231,11 +231,16 @@ class SeenSet:
         # set, entirely on executors (groupBy-bucket build, store-table
         # write); nothing is collected and no local sidecar files exist
         total = 0 if self.is_empty() else self._total_rows()
+        # an unknown-size FIRST base (seed path with n_rows=None) must not
+        # collapse to partitions_for(0)=1 — a multi-million-URL seed list
+        # would dedup and write through a single task (review r5); leave
+        # the partitioning alone when nothing is known about the size
+        size_known = n_rows is not None or not self.is_empty()
         snap_id = self.store.write(
             self.name, merged, meta=snap_meta,
             coalesce=(
                 self.store.partitions_for(total + (n_rows or 0))
-                if total >= 0 else None
+                if total >= 0 and size_known else None
             ),
         )
         self._maybe_build_blooms(base_meta)
@@ -294,19 +299,27 @@ class SeenSet:
         (the crawl's seed path in particular). An existing bloom table is
         ALWAYS refreshed — a bloom older than the base it is probed against
         gives false "definitely new" verdicts (correctness, see __init__).
-        Built from the just-committed snapshot (exact manifest row count,
-        zero extra lineage), not the pre-write plan.
+        Built from the CHAIN BASE part (at the normal call sites that is
+        the just-committed snapshot — exact manifest row count, zero extra
+        lineage; on the repair path it is whatever base the chain
+        currently starts at) and stamped with that base's snapshot id
+        (``for_snap``) so ``filter_new`` can DETECT a stale bloom: a crash
+        between the base commit and this bloom write used to leave the
+        old bloom silently probing the new base — false "definitely new"
+        verdicts for every key the compaction folded in (review r5).
         """
         rows = self.store.current_snapshot(self.name)["rows"]
         if not self.store.exists(self.bloom_name) and 0 <= rows <= self.bloom_build_min:
             return
-        base = self.store.read(self.name)
+        base_part = self.store.chain_parts(self.name)[0]
+        base = self._read_part(base_part)
         blooms = base.select(_BUCKET, "url_hash").groupBy(_BUCKET).applyInPandas(
             _build_bloom_fn(self.m_bits), schema=BLOOM_SCHEMA
         )
         # ~24 blooms (~120 MB at the 10^10 sizing) per file
         self.store.write(
-            self.bloom_name, blooms, meta={**base_meta, "base": True},
+            self.bloom_name, blooms,
+            meta={**base_meta, "base": True, "for_snap": base_part["id"]},
             coalesce=max(1, self.n_buckets // 24),
         )
 
@@ -439,11 +452,34 @@ class SeenSet:
         )
 
         if self.store.exists(self.bloom_name):
+            # freshness gate (review r5): the bloom must cover EXACTLY the
+            # current chain base — a crash between a base commit and the
+            # bloom rebuild leaves the old bloom on disk, whose missing
+            # keys would flow out as false "definitely new" (the delta
+            # chain they used to live in is gone after compaction).
+            # Self-heal by rebuilding; legacy blooms without the stamp are
+            # treated as stale once, then stamped.
+            base_id = self.store.chain_parts(self.name)[0]["id"]
+            bloom_for = self.store.current_snapshot(self.bloom_name)[
+                "meta"
+            ].get("for_snap")
+            if bloom_for != base_id:
+                self._maybe_build_blooms({"event": "bloom-repair"})
             blooms = self.store.read(self.bloom_name)
             probed = (
                 cand.groupBy(_BUCKET)
                 .cogroup(blooms.groupBy(_BUCKET))
                 .applyInPandas(_probe_fn, schema=schema)
+                # NOTE (review r5): both split branches below consume this
+                # frame, so the union plan contains the Python cogroup
+                # stage twice (ReuseExchange dedups the shuffle beneath
+                # it, not the Arrow probe). Caching here is NOT safe:
+                # .persist() on this cogroup output made the downstream
+                # anti-joins return wrong rows (seen keys leaked through
+                # as new — caught by test_large_path_bloom_cogroup_
+                # matches_small_path when the fix was attempted), so the
+                # double probe is the accepted cost — numpy-vectorized
+                # over the politeness-capped batch.
             )
         else:  # store predates bloom tables: everything goes to the exact check
             probed = cand.withColumn("maybe_seen", F.lit(True))
@@ -558,8 +594,11 @@ def kmv_distinct(
         # NULL keys digest to NULL: excluded on both engines (Spark sorts
         # NULLs first, DuckDB last — counting one desyncs n_kept/threshold)
         .where(F.col("_kmv_h").isNotNull())
-        .groupBy("_kmv_h")
-        .agg(F.count(F.lit(1)).alias("_kmv_c"))
+        # distinct, not groupBy+count: the count column was never read
+        # (review r5) — .distinct() is the same map-side-combined hash
+        # dedup without the dead int64 per key, and matches the DuckDB
+        # twin's SELECT DISTINCT
+        .distinct()
         .orderBy("_kmv_h")
         .limit(int(k))
         .agg(

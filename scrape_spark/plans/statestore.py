@@ -129,11 +129,11 @@ class SnapshotStore:
         """
         return max(1, min(200, rows // rows_per_file + 1))
 
-    def _cut_orphans(self, manifest: dict, name: str, tbl: dict) -> None:
-        """Drop manifest entries past ``current`` (Iceberg branch cut) and
-        delete their data files — except reference snapshots, whose files are
-        owned by another table's lifecycle (see ``write_ref``), and files
-        another table's ref snapshots still point at.
+    def _cut_orphans(self, manifest: dict, name: str, tbl: dict) -> list[str]:
+        """Drop manifest entries past ``current`` (Iceberg branch cut) —
+        except reference snapshots, whose files are owned by another
+        table's lifecycle (see ``write_ref``), and files another table's
+        ref snapshots still point at.
 
         A cut orphan that survives only because a ref still points at it
         loses its manifest entry (it must: entries at ids <= the NEXT write's
@@ -141,12 +141,21 @@ class SnapshotStore:
         manifest's ``detached`` list — ``_gc_detached`` reclaims it once the
         last ref is gone. Without that list the directory would be reachable
         from no manifest entry after the ref compacts away: a permanent leak.
+
+        Returns the orphans' data directories for the CALLER to delete
+        AFTER the manifest commit (review r5): deleting here — before the
+        parquet write and ``_save`` — destroyed committed rollback targets
+        when the write then crashed, while the on-disk manifest still
+        listed them (the exact corruption the copy-on-write contract
+        forbids). A crash after commit but before the deferred deletion
+        merely leaks unreferenced directories, which is safe.
         """
         if tbl["current"] is None:
-            return
+            return []
         orphans = [s for s in tbl["snapshots"] if s["id"] > tbl["current"]]
         tbl["snapshots"] = [s for s in tbl["snapshots"] if s["id"] <= tbl["current"]]
         refs = self._externally_referenced(manifest, exclude=name) if orphans else set()
+        doomed: list[str] = []
         for s in orphans:
             if s["meta"].get("ref"):
                 continue  # files belong to another table's lifecycle
@@ -156,7 +165,8 @@ class SnapshotStore:
                 if s["path"] not in detached:
                     detached.append(s["path"])
             else:
-                shutil.rmtree(self._abs(s["path"]), ignore_errors=True)
+                doomed.append(self._abs(s["path"]))
+        return doomed
 
     def _gc_detached(self, manifest: dict) -> None:
         """Delete detached snapshot directories no ref points at anymore."""
@@ -202,7 +212,7 @@ class SnapshotStore:
         manifest = self._load()
         tbl = manifest["tables"].setdefault(name, {"snapshots": [], "current": None})
         snap_id = (tbl["snapshots"][-1]["id"] + 1) if tbl["snapshots"] else 0
-        self._cut_orphans(manifest, name, tbl)
+        doomed = self._cut_orphans(manifest, name, tbl)
         tbl["snapshots"].append(
             {
                 "id": snap_id,
@@ -215,6 +225,8 @@ class SnapshotStore:
         )
         tbl["current"] = snap_id
         self._save(manifest)
+        for p in doomed:  # only after the commit — see _cut_orphans
+            shutil.rmtree(p, ignore_errors=True)
         return snap_id
 
     def write(
@@ -240,9 +252,11 @@ class SnapshotStore:
         snap_id = (tbl["snapshots"][-1]["id"] + 1) if tbl["snapshots"] else 0
         # a write after a rollback commits the rolled-back state as the new
         # head: discard the stale forward chain (Iceberg-style branch cut) so
-        # chain-reading tables (delta snapshots) never see orphaned futures,
-        # and delete their now-unreachable data files
-        self._cut_orphans(manifest, name, tbl)
+        # chain-reading tables (delta snapshots) never see orphaned futures.
+        # Their data files are deleted only AFTER the manifest commit below
+        # — a crash during the (possibly long) parquet write must leave
+        # every snapshot the on-disk manifest lists intact (review r5).
+        doomed = self._cut_orphans(manifest, name, tbl)
         rel_path = os.path.join(name, f"snap_{snap_id:05d}")
         path = os.path.join(self.root, rel_path)
         if coalesce is not None:
@@ -264,11 +278,13 @@ class SnapshotStore:
         )
         tbl["current"] = snap_id
         self._save(manifest)
+        for p in doomed:  # only after the commit — see _cut_orphans
+            shutil.rmtree(p, ignore_errors=True)
         return snap_id
 
     # -- reads -------------------------------------------------------------
     def exists(self, name: str) -> bool:
-        tbl = self._manifest_path and self._load()["tables"].get(name)
+        tbl = self._load()["tables"].get(name)
         return bool(tbl and tbl["current"] is not None)
 
     def current_snapshot(self, name: str) -> dict | None:
@@ -422,6 +438,15 @@ class SnapshotStore:
         seen set's zero-copy frontier refs) are retained — manifest entry and
         files — so the referencing chain never dangles; a later prune after
         the ref is compacted away releases them.
+
+        The ENTIRE current chain (last base snapshot through ``current``)
+        is always retained regardless of ``keep_last`` (review r5): the
+        window used to count raw snapshots, so on a delta-chained table it
+        could delete the chain's base — after which ``chain_parts`` would
+        silently promote the oldest surviving delta to base and
+        merge-on-read would lose every row not touched since. Pruning a
+        chained table therefore only ever drops snapshots OLDER than the
+        current base; run a compaction first to shrink the chain itself.
         """
         manifest = self._load()
         tbl = manifest["tables"].get(name)
@@ -429,6 +454,17 @@ class SnapshotStore:
             return
         refs = self._externally_referenced(manifest, exclude=name)
         keep = {s["id"] for s in tbl["snapshots"][-keep_last:]} | {tbl["current"]}
+        if tbl["current"] is not None:
+            base_id = None
+            for s in tbl["snapshots"]:
+                if s["id"] <= tbl["current"] and s["meta"].get("base"):
+                    base_id = s["id"]
+            if base_id is not None:
+                keep |= {
+                    s["id"]
+                    for s in tbl["snapshots"]
+                    if base_id <= s["id"] <= tbl["current"]
+                }
         kept = []
         for s in tbl["snapshots"]:
             if (

@@ -38,11 +38,20 @@ def dedup_link_stream(
     ``time_col`` timestamp). One row per distinct URL within the watermark
     horizon; state is bounded by the watermark (late duplicates beyond it are
     caught by the batch seen-table anti-join downstream).
+
+    Dedup keys on the URL TEXT (review r5): keying on xxhash64 alone let a
+    64-bit collision between two DISTINCT new URLs inside one watermark
+    window permanently drop one of them — the downstream exact anti-join
+    can only remove rows, never resurrect them, and at the 10^10-URL scale
+    this module targets a few 64-bit collisions are EXPECTED. The hash
+    column still rides along for bucketing; exactness is the seen-set
+    discipline (operators/seen.py: hash only where collisions are
+    harmless).
     """
     return (
         links.withColumn("url_hash", url_hash("url"))
         .withWatermark(time_col, watermark)
-        .dropDuplicatesWithinWatermark(["url_hash"])
+        .dropDuplicatesWithinWatermark(["url"])
     )
 
 
@@ -128,7 +137,12 @@ def politeness_slot_stream(
         batch = pd.concat(parts).sort_values([time_col, "url"])
         slots = []
         for t in batch[time_col]:
-            epoch = int(pd.Timestamp(t).timestamp())
+            # a NULL event time must degrade, not kill the stream (the
+            # repo's hostile-row convention, functions/urls.py): NaT
+            # schedules at epoch 0 — i.e. "enqueued long ago", the next
+            # available slot — instead of raising inside the state fn
+            ts_t = pd.Timestamp(t)
+            epoch = 0 if pd.isna(ts_t) else int(ts_t.timestamp())
             nxt = epoch if last is None else max(epoch, last + delay)
             slots.append(nxt)
             last = nxt
@@ -335,7 +349,16 @@ def read_kmv_estimates(
     if sk is None:
         return None
     if stored_k is None:
-        stored_k = k if k is not None else 64
+        if k is None:
+            # refuse to guess (review r5): interpreting a legacy store's
+            # min-arrays with the wrong k silently mis-estimates (the
+            # docstring promises a raise on mismatch — a guessed 64
+            # against a k=256 store was exactly that mismatch)
+            raise ValueError(
+                f"sketch store {store_dir} predates the stored-k pointer "
+                "line; pass the k it was built with explicitly"
+            )
+        stored_k = int(k)
     elif k is not None and int(k) != stored_k:
         raise ValueError(
             f"sketch store {store_dir} was built with k={stored_k}, "

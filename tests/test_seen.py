@@ -205,3 +205,82 @@ def test_kmv_estimate_accuracy_and_determinism(spark):
     assert got == tuple(want)  # bit-identical across engines
     est = got[2]
     assert abs(est - n) / n < 0.25  # KMV with k=128: ~9% stderr, 25% bound
+
+
+def test_stale_bloom_detected_and_rebuilt(spark, tmp_path):
+    """review r5: a crash between a compaction's base commit and the bloom
+    rebuild leaves the OLD bloom probing the NEW base — keys that moved
+    from the delta chain into the base would flow out as false 'definitely
+    new'. filter_new must detect the stale stamp and self-heal."""
+    seen = _mk(spark, tmp_path, bloom_build_min=0)
+    seen.add(_urls(spark, [f"http://h.test/p/{i}" for i in range(100)]))
+    stale_bloom_snap = seen.store.current_snapshot(seen.bloom_name)["id"]
+    # delta, then compaction with the bloom rebuild suppressed = the crash
+    seen.add(_urls(spark, [f"http://h.test/q/{i}" for i in range(30)]))
+    orig = seen._maybe_build_blooms
+    seen._maybe_build_blooms = lambda meta: None  # crash window
+    seen.add(_urls(spark, ["http://h.test/z"]), compact_every=1)
+    seen._maybe_build_blooms = orig
+    assert (
+        seen.store.current_snapshot(seen.bloom_name)["id"]
+        == stale_bloom_snap  # bloom genuinely stale on disk
+    )
+    seen.probe_broadcast_limit = 0  # force the bloom path
+    cand = _urls(
+        spark,
+        [f"http://h.test/q/{i}" for i in range(20, 40)]  # 10 dup, 10 new
+        + ["http://h.test/z", "http://fresh.test/a"],
+    )
+    got = {r["url"] for r in seen.filter_new(cand).collect()}
+    assert got == {f"http://h.test/q/{i}" for i in range(30, 40)} | {
+        "http://fresh.test/a"
+    }
+    # and the repair stamped a fresh bloom for the new base
+    m = seen.store.current_snapshot(seen.bloom_name)["meta"]
+    assert m["for_snap"] == seen.store.chain_parts(seen.name)[0]["id"]
+
+
+def test_prune_never_drops_the_chain_base(spark, tmp_path):
+    """review r5: prune counted raw snapshots, so on a delta-chained table
+    it could delete the chain's BASE — merge-on-read would then silently
+    promote the oldest surviving delta and lose rows."""
+    from scrape_spark.plans.statestore import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "ps"))
+    base = _urls(spark, [f"http://h.test/{i}" for i in range(20)])
+    store.write("t", base, meta={"base": True})
+    for j in range(4):
+        store.write("t", _urls(spark, [f"http://d{j}.test/x"]), meta={"delta": True})
+    store.prune("t", keep_last=2)
+    parts = store.chain_parts("t")
+    assert parts[0]["meta"].get("base"), "chain base must survive prune"
+    assert len(parts) == 5  # whole current chain retained
+    # and the data is still readable end to end
+    assert store.read_chain("t").count() == 24
+
+
+def test_failed_write_preserves_rollback_targets(spark, tmp_path):
+    """review r5: orphan data files are deleted only AFTER the manifest
+    commit — a write that fails mid-parquet must leave every snapshot the
+    on-disk manifest lists readable (the copy-on-write contract)."""
+    from scrape_spark.plans.statestore import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "cw"))
+    for j in range(3):
+        store.write("t", _urls(spark, [f"http://s{j}.test/x"]))
+    store.rollback("t", 1)
+    # a write whose parquet stage fails (unwritable frame)
+    bad = _urls(spark, ["http://x.test/1"]).selectExpr(
+        "assert_true(url IS NULL) AS boom", "url"
+    )
+    try:
+        store.write("t", bad)
+    except Exception:
+        pass
+    # snapshot 2 was cut from the in-memory manifest of the failed write,
+    # but the on-disk manifest still lists it — its files must exist
+    fresh = SnapshotStore(spark, str(tmp_path / "cw"))
+    snaps = [s["id"] for s in fresh._load()["tables"]["t"]["snapshots"]]
+    assert 2 in snaps
+    fresh.rollback("t", 2)
+    assert fresh.read("t").count() == 1  # files intact, readable
